@@ -1,1 +1,340 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7.2)."""
+"""Grouped-aggregation queries (SURVEY.md §2.4 extension surface).
+
+Conventions for exact hash-matching vs DuckDB (SURVEY.md §7.4):
+floating SUMs rounded to 2, AVGs to 6; DuckDB integer aggregates cast
+``::BIGINT`` (DuckDB widens to HUGEINT, Spark stays LongType).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators import aggregates as A
+from oracle_to_cassandra_spark.operators import relational as R
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                   AS avg_qty,
+           round(avg(l_extendedprice), 6)                              AS avg_price,
+           round(avg(l_discount), 6)                                   AS avg_disc,
+           count(*)::BIGINT                                            AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical scan → filter → 8-way grouped
+    aggregate. Scale: map-side partial aggregation means the shuffle
+    carries ≤ (partitions × 6 groups) rows regardless of input size;
+    the filter pushes down to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return A.grouped_summary(
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
+        ["l_returnflag", "l_linestatus"],
+        [
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        ],
+    )
+
+
+@query(
+    "group_customer_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*)::BIGINT            AS n_customers,
+           round(avg(c_acctbal), 6)    AS avg_bal,
+           round(min(c_acctbal), 2)    AS min_bal,
+           round(max(c_acctbal), 2)    AS max_bal,
+           round(sum(c_acctbal), 2)    AS sum_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def group_customer_stats(spark, sf_dir):
+    """groupBy + count/avg/min/max/sum — the basic grouped surface."""
+    return A.grouped_summary(
+        load_table(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        ],
+    )
+
+
+@query(
+    "count_distinct_custkeys",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)::BIGINT AS n_custs,
+           count(*)::BIGINT                  AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_distinct_custkeys(spark, sf_dir):
+    """Exact distinct count per group. Scale: exact distinct expands to
+    a two-phase aggregate (distinct keys shuffled first) — prefer the
+    HLL variant below when the answer tolerates ~2% error."""
+    return A.grouped_summary(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [
+            F.count_distinct(F.col("o_custkey")).alias("n_custs"),
+            F.count("*").alias("n_orders"),
+        ],
+    )
+
+
+@query("approx_count_distinct_custkeys")  # HLL sketch: no exact SQL oracle
+def approx_count_distinct_custkeys(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB distinct-count
+    path: constant memory per group, one pass, no distinct shuffle.
+    Sketch values are implementation-defined → rows-only driver check.
+    """
+    return A.grouped_summary(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus"],
+        [F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs")],
+    )
+
+
+@query(
+    "rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS r_name, n.n_name AS n_name,
+           count(*)::BIGINT         AS n_customers,
+           round(sum(c.c_acctbal), 2) AS sum_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """ROLLUP over the dimension hierarchy — region subtotals and the
+    grand total in one pass (expands to 3 grouping sets, still one
+    shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = R.fk_chain_join(
+        c,
+        [
+            (n, c.c_nationkey == n.n_nationkey, True),
+            (r, n.n_regionkey == r.r_regionkey, True),
+        ],
+    )
+    return A.rollup_summary(
+        joined,
+        ["r_name", "n_name"],
+        [F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")],
+    )
+
+
+@query(
+    "cube_order_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)::BIGINT              AS n_orders,
+           round(sum(o_totalprice), 2)   AS sum_price
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_status_priority(spark, sf_dir):
+    """CUBE: all four grouping sets of (status, priority)."""
+    return A.cube_summary(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")],
+    )
+
+
+@query(
+    "grouping_sets_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def grouping_sets_status_priority(spark, sf_dir):
+    """Explicit GROUPING SETS — two independent one-key aggregations in
+    a single shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "pivot_user_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'view')::BIGINT     AS view,
+           count(*) FILTER (WHERE event_type = 'click')::BIGINT    AS click,
+           count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')::BIGINT   AS signup,
+           count(*) FILTER (WHERE event_type = 'error')::BIGINT    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_user_event_counts(spark, sf_dir):
+    """Pivot long→wide (pinned pivot values; empty cells → 0 to match
+    conditional aggregation)."""
+    return A.pivot_counts(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        "event_type",
+        ["view", "click", "purchase", "signup", "error"],
+    )
+
+
+@query(
+    "stats_dispersion_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(stddev_samp(c_acctbal), 4) AS sd_bal,
+           round(var_samp(c_acctbal), 2)    AS var_bal,
+           round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def stats_dispersion_per_segment(spark, sf_dir):
+    """stddev / variance / exact interpolated median per group.
+    Scale: exact percentile collects per-group sorted values — at
+    100 TB switch to ``percentile_approx`` (one-pass sketch)."""
+    return A.grouped_summary(
+        load_table(spark, sf_dir, "customer"),
+        ["c_mktsegment"],
+        [
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+            F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_bal"),
+        ],
+    )
+
+
+@query(
+    "having_filter_hot_parts",
+    oracle="""
+    SELECT l_partkey, count(*)::BIGINT AS n_lines,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING count(*) >= 40
+    """,
+)
+def having_filter_hot_parts(spark, sf_dir):
+    """GROUP BY + HAVING — post-aggregation predicate."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .filter(F.col("n_lines") >= 40)
+    )
+
+
+@query(
+    "conditional_aggregation",
+    oracle="""
+    SELECT n.n_name AS n_name,
+           count(*)::BIGINT AS n_orders,
+           count(*) FILTER (WHERE o.o_orderstatus = 'F')::BIGINT AS n_filled,
+           round(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+                          THEN o.o_totalprice ELSE 0 END), 2) AS urgent_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def conditional_aggregation(spark, sf_dir):
+    """Conditional aggregates (FILTER / CASE WHEN inside agg) after a
+    broadcast-dimension join — the revenue-by-nation shape."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = R.fk_chain_join(
+        o,
+        [
+            (c, o.o_custkey == c.c_custkey, True),
+            (n, c.c_nationkey == n.n_nationkey, True),
+        ],
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0)
+            ),
+            2,
+        ).alias("urgent_value"),
+    )
+
+
+@query(
+    "revenue_per_nation",
+    oracle="""
+    SELECT n.n_name AS n_name, r.r_name AS r_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+)
+def revenue_per_nation(spark, sf_dir):
+    """TPC-H Q5 shape: fact⋈fact shuffle join + three broadcast
+    dimension hops + grouped revenue. The headline analytical query.
+
+    Scale: the only exchange is lineitem⋈orders on the order key
+    (AQE-planned); dimensions broadcast; partial aggregation collapses
+    the output to 25 rows before the final shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = R.fk_chain_join(
+        li,
+        [
+            (o, li.l_orderkey == o.o_orderkey, False),
+            (c, o.o_custkey == c.c_custkey, True),
+            (n, c.c_nationkey == n.n_nationkey, True),
+            (r, n.n_regionkey == r.r_regionkey, True),
+        ],
+    )
+    return joined.groupBy("n_name", "r_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )

@@ -1,1 +1,220 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7.2)."""
+"""Window-function queries: ranking, analytic, frames (SURVEY.md §7.2
+step 4). All ranking windows carry a unique tie-break so the output is
+deterministic for the driver's hash compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators.windows import top_k_per_group
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark, sf_dir):
+    """Top-3 orders per customer — the canonical top-k-per-group.
+    Scale: WindowGroupLimit prunes to ≤3 candidates per group per input
+    partition before the sort; one shuffle on o_custkey."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice")
+    )
+    return top_k_per_group(
+        orders,
+        ["o_custkey"],
+        [F.desc("totalprice"), F.asc("o_orderkey")],
+        k=3,
+    )
+
+
+@query(
+    "rank_dense_rank_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey,
+           rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_custkey)::BIGINT AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_custkey)::BIGINT AS drnk
+    FROM orders
+    """,
+)
+def rank_dense_rank_orders(spark, sf_dir):
+    """rank vs dense_rank with ties (many orders share a custkey within
+    a priority): tied rows get equal rank on both sides → deterministic
+    without a tie-break."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_custkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+    )
+
+
+@query(
+    "lag_lead_user_events",
+    oracle="""
+    SELECT user_id, event_id,
+           round(value, 2) AS value,
+           round(lag(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS prev_value,
+           round(lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS next_value
+    FROM events
+    """,
+)
+def lag_lead_user_events(spark, sf_dir):
+    """Analytic lag/lead over each user's event timeline (event_id
+    tie-break for equal timestamps). First/last rows yield NULLs —
+    identical on both sides."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.round(F.lag("value").over(w), 2).alias("prev_value"),
+        F.round(F.lead("value").over(w), 2).alias("next_value"),
+    )
+
+
+@query(
+    "running_total_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    """,
+)
+def running_total_per_customer(spark, sf_dir):
+    """Aggregate-over-frame: cumulative sum ordered by the unique
+    clustering key, so the fp accumulation order matches the oracle."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+@query(
+    "moving_avg_3_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(avg(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+    FROM orders
+    """,
+)
+def moving_avg_3_orders(spark, sf_dir):
+    """Bounded ROWS frame: 3-row moving average."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 6).alias("avg3"),
+    )
+
+
+@query(
+    "range_frame_value_neighborhood",
+    oracle="""
+    SELECT l_partkey, l_quantity,
+           count(*) OVER (PARTITION BY l_partkey ORDER BY l_quantity
+                          RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)::BIGINT AS n_similar
+    FROM lineitem
+    """,
+)
+def range_frame_value_neighborhood(spark, sf_dir):
+    """RANGE frame on a numeric ordering column: how many lines of the
+    same part have quantity within ±5 — a value-based (not row-based)
+    frame."""
+    w = Window.partitionBy("l_partkey").orderBy("l_quantity").rangeBetween(-5, 5)
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        F.count("*").over(w).cast("long").alias("n_similar"),
+    )
+
+
+@query(
+    "ntile_quartiles",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey)::BIGINT AS quartile
+    FROM orders
+    """,
+)
+def ntile_quartiles(spark, sf_dir):
+    """ntile bucketing (unique tie-break → deterministic buckets).
+    Scale note: a global ORDER BY window runs on ONE task — acceptable
+    for bucketing *samples*; at 100 TB use approx quantile cutpoints +
+    a join instead."""
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.ntile(4).over(w).cast("long").alias("quartile")
+    )
+
+
+@query(
+    "percent_rank_cume_dist",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
+           round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+    FROM customer
+    """,
+)
+def percent_rank_cume_dist(spark, sf_dir):
+    """Distribution functions — tie rows receive equal values on both
+    sides, so no tie-break needed."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "first_last_value_frames",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_order,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    """,
+)
+def first_last_value_frames(spark, sf_dir):
+    """first_value/last_value over the full-partition frame (the
+    default frame would make last_value = current row — the classic
+    trap; pin the frame explicitly)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
