@@ -1,1 +1,184 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7.2)."""
+"""Event-time windowing over the stream-shaped ``events`` table,
+batch-checkable (SURVEY.md §7.2 step 7: batch-equivalent event-time
+windows first, DuckDB-checked; the readStream variants live in
+``queries/streaming.py`` with rows-only checks).
+
+Window starts are epoch-aligned in both engines (F.window ↔
+time_bucket / date_trunc — verified identical alignment). Timestamps
+are emitted as formatted strings (SURVEY.md §7.4 hard part #2).
+
+Scale notes: a tumbling/sliding window agg is an ordinary groupBy on
+(window, keys) — map-side partial aggregation applies; session windows
+shuffle per user and merge sorted runs, the same mechanics Structured
+Streaming uses with state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+
+@query(
+    "tumbling_daily_event_counts",
+    oracle=f"""
+    SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS window_start,
+           event_type,
+           count(*)::BIGINT      AS n_events,
+           round(sum(value), 2)  AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def tumbling_daily_event_counts(spark, sf_dir):
+    """Tumbling 1-day event-time windows per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "tumbling_6h_windows",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '{_TS_FMT_DUCK}') AS window_start,
+           count(*)::BIGINT     AS n_events,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def tumbling_6h_windows(spark, sf_dir):
+    """Sub-daily tumbling windows — F.window's epoch alignment matches
+    DuckDB's time_bucket (probed: both put 07:30 into the 06:00
+    bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "sliding_2d_1d_windows",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT strftime(date_trunc('day', ts) - INTERVAL '1 day', '{_TS_FMT_DUCK}'), value
+      FROM events
+    )
+    SELECT window_start, count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM assigned GROUP BY 1
+    """,
+)
+def sliding_2d_1d_windows(spark, sf_dir):
+    """Sliding windows (2-day length, 1-day slide): every event lands
+    in exactly two windows — Spark's window() explodes the assignment;
+    the oracle materializes the same two-way assignment with UNION ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "session_windows_per_user",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}')                         AS session_start,
+           strftime(max(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
+           count(*)::BIGINT     AS n_events,
+           round(sum(value), 2) AS session_value
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def session_windows_per_user(spark, sf_dir):
+    """Session windows (30-min inactivity gap) per user —
+    ``session_window`` in batch mode. Semantics (probed): an event at
+    exactly prev_ts+gap MERGES; a new session starts only when the gap
+    is strictly exceeded; session end = last event + gap. The oracle is
+    the classic gaps-and-islands rewrite.
+
+    Scale: sessionization shuffles once on user_id; Structured
+    Streaming runs the identical operator incrementally with state +
+    watermark (see queries/streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), _TS_FMT_SPARK).alias("session_start"),
+            F.date_format(F.col("sw.end"), _TS_FMT_SPARK).alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+@query(
+    "late_data_watermark_semantics",
+    oracle=f"""
+    WITH max_ts AS (SELECT max(ts) AS m FROM events)
+    SELECT strftime(date_trunc('day', e.ts), '{_TS_FMT_DUCK}') AS window_start,
+           count(*)::BIGINT AS n_events
+    FROM events e, max_ts
+    WHERE e.ts > max_ts.m - INTERVAL '7 days'
+    GROUP BY 1
+    """,
+)
+def late_data_watermark_semantics(spark, sf_dir):
+    """Batch illustration of watermark-style late-data cutoff: events
+    older than (max event time − 7 days) are dropped before the
+    windowed aggregation — the same admission rule a streaming
+    watermark enforces incrementally."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = ev.agg((F.max("ts") - F.expr("INTERVAL 7 DAYS")).alias("cutoff"))
+    kept = ev.join(F.broadcast(cutoff)).filter(F.col("ts") > F.col("cutoff"))
+    return (
+        kept.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
+            "n_events",
+        )
+    )

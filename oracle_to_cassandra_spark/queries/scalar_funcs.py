@@ -1,1 +1,258 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7.2)."""
+"""Scalar-function surface: string / date / math / JSON / conditional /
+array (SURVEY.md §2.6 — absent in the reference, required by the
+extension surface; the reference's only scalar transform is the rename
+P4 and the implicit timestamp→text cast at README.md:691,839).
+
+All expressions are JVM built-ins inside whole-stage codegen — no
+Python UDFs on these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "string_functions_part",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand)                    AS brand_upper,
+           lower(p_type)                     AS type_lower,
+           substr(p_name, 1, 8)              AS name_prefix,
+           length(p_name)::INT               AS name_len,
+           concat(p_brand, '|', p_type)      AS brand_type,
+           replace(p_name, ' ', '_')         AS name_snake,
+           trim(p_name)                      AS name_trim,
+           reverse(p_brand)                  AS brand_rev
+    FROM part
+    """,
+)
+def string_functions_part(spark, sf_dir):
+    """String surface: case, substring, length, concat, replace, trim,
+    reverse."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("|"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+    )
+
+
+@query(
+    "like_in_between_predicates",
+    oracle="""
+    SELECT p_partkey, p_name, p_size
+    FROM part
+    WHERE p_name LIKE '%gold%'
+       OR (p_size BETWEEN 10 AND 20 AND p_brand IN ('Brand#1', 'Brand#2'))
+    """,
+)
+def like_in_between_predicates(spark, sf_dir):
+    """Predicate surface beyond equality: LIKE / IN / BETWEEN /
+    compound booleans (none appear in the reference — SURVEY.md §2.2
+    notes the gap)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_name").like("%gold%")
+        | (
+            F.col("p_size").between(10, 20)
+            & F.col("p_brand").isin("Brand#1", "Brand#2")
+        )
+    ).select("p_partkey", "p_name", "p_size")
+
+
+@query(
+    "date_functions_orders",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)::INT                                    AS order_year,
+           month(o_orderdate)::INT                                   AS order_month,
+           day(o_orderdate)::INT                                     AS order_day,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')    AS month_start,
+           datediff('day', DATE '1995-01-01', o_orderdate::DATE)::INT AS days_since_95,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')                AS order_ts_str
+    FROM orders
+    """,
+)
+def date_functions_orders(spark, sf_dir):
+    """Date/time surface: extract, truncate, diff, format. Timestamps
+    are emitted as formatted strings so both engines hash identically
+    (SURVEY.md §7.4 hard part #2)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("order_ts_str"),
+    )
+
+
+@query(
+    "math_functions_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 1000.0), 2)       AS abs_diff,
+           ceil(l_discount * 100)::BIGINT                AS disc_pct_ceil,
+           floor(l_tax * 100)::BIGINT                    AS tax_pct_floor,
+           round(sqrt(l_quantity), 6)                    AS qty_sqrt,
+           round(ln(l_extendedprice + 1), 6)             AS price_ln,
+           round(pow(l_quantity, 2), 2)                  AS qty_sq,
+           (l_linenumber % 3)::INT                       AS line_mod
+    FROM lineitem
+    """,
+)
+def math_functions_lineitem(spark, sf_dir):
+    """Math surface: abs/ceil/floor/sqrt/ln/pow/mod. Spark ceil/floor
+    on double return LONG; DuckDB returns DOUBLE — both cast to BIGINT
+    explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000.0), 2).alias("abs_diff"),
+        F.ceil(F.col("l_discount") * 100).cast("long").alias("disc_pct_ceil"),
+        F.floor(F.col("l_tax") * 100).cast("long").alias("tax_pct_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("qty_sq"),
+        (F.col("l_linenumber") % 3).alias("line_mod"),
+    )
+
+
+@query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k')::INT AS k_val,
+           (json_extract_string(props, '$.k')::INT % 10)::INT AS k_mod
+    FROM events
+    WHERE json_extract_string(props, '$.k')::INT > 50
+    """,
+)
+def json_extract_events(spark, sf_dir):
+    """JSON surface over the ``events.props`` string column
+    (FIXTURES.md): extract, cast, filter on the extracted value.
+    ``get_json_object`` evaluates JVM-side; for repeated multi-field
+    extraction prefer ``from_json`` with an explicit schema (one parse
+    per row instead of one per field)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_id",
+            k.alias("k_val"),
+            (k % 10).alias("k_mod"),
+        )
+        .filter(F.col("k_val") > 50)
+    )
+
+
+@query(
+    "from_json_struct_events",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k')::INT AS k_val
+    FROM events
+    """,
+)
+def from_json_struct_events(spark, sf_dir):
+    """``from_json`` with a declared schema → typed struct column, then
+    field access — the scalable one-parse path for multi-field JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "props_struct", F.from_json("props", "k INT")
+    )
+    return parsed.select("event_id", F.col("props_struct.k").alias("k_val"))
+
+
+@query(
+    "case_when_coalesce_nullif",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 100000 THEN 'large'
+                WHEN o_totalprice >= 10000  THEN 'medium'
+                ELSE 'small' END                       AS size_class,
+           coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_resolved
+    FROM orders
+    """,
+)
+def case_when_coalesce_nullif(spark, sf_dir):
+    """Conditional scalar surface: CASE WHEN ladder, NULLIF, COALESCE."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 100000, "large")
+        .when(F.col("o_totalprice") >= 10000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_resolved"
+        ),
+    )
+
+
+@query(
+    "array_functions_embeddings",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT                                   AS dim,
+           round(embedding[1]::DOUBLE, 6)                        AS first_component,
+           round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot,
+           list_transform(embedding[1:3], x -> round(x::DOUBLE, 4)) AS head3
+    FROM embeddings
+    """,
+)
+def array_functions_embeddings(spark, sf_dir):
+    """Array surface over ArrayType(FloatType): size, element_at,
+    slice, transform, and an aggregate fold (self dot product) — all
+    codegen'd higher-order functions, no UDF."""
+    from oracle_to_cassandra_spark.functions.vector import dot
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
+        F.round(dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
+        F.transform(
+            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        ).alias("head3"),
+    )
+
+
+@query(
+    "explode_collect_roundtrip",
+    oracle="""
+    SELECT l_orderkey,
+           count(*)::BIGINT AS n_parts,
+           min(l_partkey)   AS min_part,
+           max(l_partkey)   AS max_part
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    GROUP BY l_orderkey
+    """,
+)
+def explode_collect_roundtrip(spark, sf_dir):
+    """collect_set → explode round-trip: build an array per group, then
+    flatten it back and summarize — exercising ArrayType aggregation
+    both directions. The summary (not the raw array) is compared, since
+    set order is engine-specific."""
+    li = load_table(spark, sf_dir, "lineitem")
+    arrays = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    exploded = arrays.select("l_orderkey", F.explode("parts").alias("l_partkey"))
+    return exploded.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_parts"),
+        F.min("l_partkey").alias("min_part"),
+        F.max("l_partkey").alias("max_part"),
+    )
