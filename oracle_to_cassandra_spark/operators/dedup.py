@@ -1,0 +1,252 @@
+"""Deduplication operators (north-star surface): exact, MinHash+LSH,
+SimHash, n-gram Jaccard verification.
+
+Pipeline shape (the standard LLM-corpus dedup stack):
+
+  documents → shingle (3-word n-grams) → one md5 per shingle →
+  k universal-hash permutations → per-doc MinHash signature →
+  LSH banding (b bands × r rows) → band-bucket self-join →
+  candidate pairs → exact Jaccard verify → near-dup clusters
+
+Scale notes:
+  * ONE md5 per distinct (doc, shingle); the k permutations are
+    integer multiply-add — at 100 TB this is the dominant cost lever
+    vs k independent md5 passes.
+  * The LSH self-join shuffles on (band_id, band_value): collisions —
+    not all pairs — drive the join size. b/r are chosen so random
+    pairs (J≈0.03 in the test corpus) almost never collide while
+    planted near-dups (J≥0.9) almost always do: with r=4, b=2,
+    P(candidate) = 1−(1−J⁴)² → 0.97 at J=0.9, ~2·10⁻⁶ at J=0.03.
+  * Exact Jaccard verification touches only LSH candidates; the
+    shingle-intersection join shuffles on the shingle hash.
+  * SimHash: one md5 per token, 16 sign-sums per doc → a single
+    64→16-bit fingerprint; bucket-equal fingerprints are near-dups
+    (Hamming-0 LSH). Cheaper but coarser than MinHash.
+
+All arithmetic is integer-exact and mirrored in DuckDB SQL (see
+functions/hashing.py) so every stage is driver-hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.functions.hashing import (
+    MERSENNE_P,
+    MINHASH_A,
+    MINHASH_B,
+    N_PERM,
+    base31,
+    base31_sql,
+    md5_int64,
+    md5_int64_sql,
+)
+from oracle_to_cassandra_spark.operators.text import shingles, shingles_sql, tokens
+
+SIMHASH_BITS = 16
+_TOK_SQL = "string_split(lower(text), ' ')"
+
+
+def exact_dedup_keepers(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: one keeper (min id) per distinct text + copy count.
+    Scale: a hash groupBy on the text — for long documents group on
+    ``md5(text)`` instead so the shuffle carries 32 bytes per row."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count("*").alias("n_copies"),
+    )
+
+
+def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded, distinct per doc."""
+    tok = tokens(F.col("text"))
+    return (
+        documents.filter(F.size(tok) >= k)
+        .select("doc_id", F.explode(F.array_distinct(shingles(tok, k))).alias("sh"))
+    )
+
+
+def doc_shingles_sql(k: int = 3) -> str:
+    """DuckDB CTE body matching ``doc_shingles``."""
+    return f"""
+      SELECT doc_id, unnest(list_distinct({shingles_sql(_TOK_SQL, k)})) AS sh
+      FROM documents
+      WHERE len({_TOK_SQL}) >= {k}
+    """
+
+
+def minhash_signatures(documents: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+    """Per-doc MinHash signature (sig0..sig{n-1}): one base hash per
+    shingle, n universal-hash permutations, min per doc."""
+    sh = doc_shingles(documents).withColumn("h31", base31(F.col("sh")))
+    sig_cols = [
+        F.min((F.col("h31") * MINHASH_A[i] + MINHASH_B[i]) % MERSENNE_P).alias(f"sig{i}")
+        for i in range(n_perm)
+    ]
+    return sh.groupBy("doc_id").agg(*sig_cols)
+
+
+def minhash_signatures_sql(n_perm: int = N_PERM) -> str:
+    h31 = base31_sql("sh")
+    sig_cols = ",\n           ".join(
+        f"min(({h31} * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P}) AS sig{i}"
+        for i in range(n_perm)
+    )
+    return f"""
+    WITH sh_tbl AS ({doc_shingles_sql()})
+    SELECT doc_id,
+           {sig_cols}
+    FROM sh_tbl GROUP BY doc_id
+    """
+
+
+def lsh_bands(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataFrame:
+    """Signature → (doc_id, band_id, band_val): band value is the
+    concatenated row signatures; docs colliding on any band are
+    candidates."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat_ws(
+                "_", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            ).alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataFrame:
+    """Distinct candidate pairs (doc_a < doc_b) sharing any LSH band.
+    The self-join shuffles on (band_id, band_val) — bucket collisions,
+    not n², drive the cost."""
+    b = lsh_bands(sigs, bands, rows)
+    left = b.alias("x")
+    right = b.alias("y")
+    return (
+        left.join(
+            right,
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_sql(bands: int = 2, rows: int = 4) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, "
+        + " || '_' || ".join(f"sig{b * rows + r}::VARCHAR" for r in range(rows))
+        + " AS band_val FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH sigs AS ({minhash_signatures_sql()}),
+    bands_tbl AS ({band_rows})
+    SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands_tbl x JOIN bands_tbl y
+      ON x.band_id = y.band_id AND x.band_val = y.band_val
+     AND x.doc_id < y.doc_id
+    """
+
+
+def jaccard_verified_pairs(
+    documents: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """The full MinHash→LSH→exact-Jaccard pipeline: candidates from
+    LSH, verified with exact shingle-set Jaccard, filtered at
+    ``threshold``."""
+    sh = doc_shingles(documents)
+    cands = lsh_candidate_pairs(minhash_signatures(documents))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    inter = (
+        cands.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = (
+        inter.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+
+
+def jaccard_verified_pairs_sql(threshold: float = 0.6) -> str:
+    return f"""
+    WITH sh_tbl AS ({doc_shingles_sql()}),
+    cands AS ({lsh_candidate_pairs_sql()}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_tbl GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM cands c
+      JOIN sh_tbl sa ON sa.doc_id = c.doc_a
+      JOIN sh_tbl sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= {threshold}
+    """
+
+
+def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: one md5 per distinct token; bit i of the
+    fingerprint is the sign of Σ(±1) over bit i of the token hashes."""
+    tok = tokens(F.col("text"))
+    t = documents.select(
+        "doc_id", F.explode(F.array_distinct(tok)).alias("t")
+    ).withColumn("h", md5_int64(F.col("t")))
+    sums = t.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(bits)
+        ]
+    )
+    fp = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def simhash_fingerprints_sql(bits: int = SIMHASH_BITS) -> str:
+    h = md5_int64_sql("t")
+    sum_cols = ",\n           ".join(
+        f"sum(CASE WHEN (({h} >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    return f"""
+    WITH tok_tbl AS (
+      SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS t FROM documents
+    ),
+    sums AS (SELECT doc_id, {sum_cols} FROM tok_tbl GROUP BY doc_id)
+    SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
+    """

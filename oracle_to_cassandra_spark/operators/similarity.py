@@ -1,0 +1,112 @@
+"""Similarity search over embeddings (north-star surface).
+
+Two paths, one semantics (top-k cosine neighbors per probe):
+
+  * ``brute_force_topk`` — exact: probes × corpus cosine scoring,
+    per-probe top-k via WindowGroupLimit. The baseline and the
+    verifier for approximate variants. Scale: cost = |probes| · |corpus|
+    — keep the probe set bounded; the corpus side stays distributed
+    (probes are broadcast).
+  * ``ivf_topk`` — IVF-style: k-means-ish coarse quantization with the
+    per-dimension label centroids as the codebook; a probe is assigned
+    to its nearest centroid and scores ONLY that cell's vectors. At
+    100 TB the cells are parquet partitions → partition pruning turns
+    a corpus scan into a cell scan. Recall < 1.0 by construction; the
+    brute-force twin measures it.
+
+Scoring uses zip_with/aggregate in double precision (JVM codegen, no
+UDF) — see functions/vector.py; a Pandas-UDF BLAS path exists there
+for very wide vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.functions.vector import cosine, dot
+
+
+def _scored_pairs(probes: DataFrame, cands: DataFrame) -> DataFrame:
+    """Broadcast probes against candidate vectors; cosine per pair."""
+    return (
+        F.broadcast(probes)
+        .join(cands, F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame, probe_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each probe id."""
+    probes = embeddings.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    cands = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = _scored_pairs(probes, cands)
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean vector via posexplode → per-dimension avg →
+    re-assembled array (sorted by position). The IVF codebook."""
+    exploded = embeddings.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    )
+    dims = exploded.groupBy("label", "pos").agg(
+        F.avg(F.col("v").cast("double")).alias("c")
+    )
+    return dims.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("pos"), F.col("c")))
+        ).alias("pc")
+    ).select(
+        "label", F.transform(F.col("pc"), lambda s: s.getField("c")).alias("centroid")
+    )
+
+
+def ivf_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 10) -> DataFrame:
+    """IVF-style ANN: assign each probe to its nearest label centroid,
+    then brute-force only within that cell."""
+    cents = label_centroids(embeddings)
+    probes = embeddings.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    assigned = (
+        probes.crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", cosine(F.col("p_emb"), F.col("centroid")))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
+    best_cell = (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("probe_id", "p_emb", F.col("label").alias("cell"))
+    )
+    cands = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        F.broadcast(best_cell)
+        .join(
+            cands,
+            (F.col("cell") == F.col("c_label"))
+            & (F.col("probe_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+    )
+    wk = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", F.col("cell"), "neighbor_id", "cos_sim", "rn")
+    )

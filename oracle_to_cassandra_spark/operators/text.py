@@ -1,0 +1,100 @@
+"""Text-analysis operators over the ``documents`` table (north-star
+surface: language-ID, quality scoring, token counting, fingerprinting).
+
+All hot-path expressions are JVM built-ins (split / higher-order array
+functions / regexp) — no Python UDFs; at 100 TB these run inside
+whole-stage codegen on the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny fixed stopword sets per language for the lang-ID heuristic and
+#: quality scoring (deterministic; mirrored literally into the SQL
+#: oracles)
+EN_STOPWORDS = ("the", "a", "of", "and", "to")
+
+#: BPE-ish tokenizer: letter runs, digit runs, single punctuation
+BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of lower-cased text."""
+    return F.split(F.lower(text), " ")
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """k-word shingles (1-based element_at, i ∈ [1, n-k+1]) — the
+    n-gram unit for MinHash/Jaccard dedup. Empty when the doc has
+    fewer than k tokens."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def shingles_sql(tokens_expr: str, k: int = 3) -> str:
+    """DuckDB twin of ``shingles`` (1-based list indexing)."""
+    parts = " || ' ' || ".join(f"{tokens_expr}[i+{j}]" for j in range(k))
+    return (
+        f"list_transform(range(1, greatest(len({tokens_expr}) - {k - 2}, 1)),"
+        f" i -> {parts})"
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count via regex runs — the cheap stand-in
+    for a real BPE tokenizer's token count."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def stopword_ratio(tok: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    hits = F.size(F.filter(tok, lambda t: t.isin(*stopwords)))
+    return hits / F.greatest(F.size(tok), F.lit(1))
+
+
+def distinct_ratio(tok: Column) -> Column:
+    return F.size(F.array_distinct(tok)) / F.greatest(F.size(tok), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score ∈ [0,1]: vocabulary diversity +
+    non-stopword density + length credit. Deterministic formula,
+    mirrored in the SQL oracle."""
+    tok = tokens(text)
+    n = F.greatest(F.size(tok), F.lit(1))
+    diversity = F.size(F.array_distinct(tok)) / n
+    non_stop = 1 - stopword_ratio(tok)
+    length_credit = F.least(F.size(tok) / F.lit(100.0), F.lit(1.0))
+    return 0.4 * diversity + 0.4 * non_stop + 0.2 * length_credit
+
+
+def sorted_token_fingerprint(text: Column) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token list — the classic near-dup *key collision*
+    fingerprint (docs that are permutations of the same vocabulary
+    collide)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def rolling_token_hash(text: Column) -> Column:
+    """Polynomial rolling hash folded over the token stream —
+    order-SENSITIVE fingerprint (vs the sorted fingerprint above).
+    acc = (acc·31 + h31(token)) mod p; sequential fold, exact in both
+    engines (acc·31 + h < 2³⁶)."""
+    from oracle_to_cassandra_spark.functions.hashing import MERSENNE_P, base31
+
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + base31(t)) % MERSENNE_P,
+    )

@@ -1,1 +1,133 @@
-"""Placeholder — filled in as coverage widens (SURVEY.md §7.2)."""
+"""Deduplication queries (north-star): exact, MinHash signatures,
+LSH candidates, Jaccard-verified near-dups, SimHash, embedding
+near-dup. The Spark ops and their DuckDB twins are generated from the
+same constants/formulas in operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators import dedup as D
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "dedup_exact_keepers",
+    oracle="""
+    SELECT md5(text) AS text_md5,
+           min(doc_id)      AS keeper_id,
+           count(*)::BIGINT AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact_keepers(spark, sf_dir):
+    """Exact dedup: group on md5(text) (32-byte shuffle key instead of
+    the document body), keep min doc_id."""
+    return D.exact_dedup_keepers(load_table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=D.minhash_signatures_sql(),
+)
+def dedup_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 perms over 3-word shingles) — stage 1 of
+    the near-dup stack; integer-exact across engines."""
+    return D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_lsh_candidates",
+    oracle=D.lsh_candidate_pairs_sql(),
+)
+def dedup_lsh_candidates(spark, sf_dir):
+    """LSH banding (2 bands × 4 rows) candidate pairs — stage 2; the
+    band-bucket self-join replaces the O(n²) all-pairs comparison."""
+    return D.lsh_candidate_pairs(
+        D.minhash_signatures(load_table(spark, sf_dir, "documents"))
+    )
+
+
+@query(
+    "dedup_neardup_pairs_verified",
+    oracle=D.jaccard_verified_pairs_sql(threshold=0.6),
+)
+def dedup_neardup_pairs_verified(spark, sf_dir):
+    """The full near-dup pipeline: MinHash → LSH candidates → exact
+    n-gram Jaccard verification at 0.6 — the flagship dedup operator.
+    The test corpus has planted near-dups at J≈0.9-0.97 with a clean
+    gap to random pairs (J≈0.03), so the output is stable."""
+    return D.jaccard_verified_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
+@query(
+    "dedup_simhash_fingerprints",
+    oracle=D.simhash_fingerprints_sql(),
+)
+def dedup_simhash_fingerprints(spark, sf_dir):
+    """16-bit SimHash fingerprints — the cheap Hamming-LSH alternative;
+    equal fingerprints ≈ near-dups."""
+    return D.simhash_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_embedding_top_neighbor",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cands AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    scored AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(p.e, c.e)
+                   / (sqrt(list_dot_product(p.e, p.e))
+                      * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+      FROM probes p JOIN cands c
+        ON p.label = c.label AND p.vec_id <> c.vec_id
+    )
+    SELECT probe_id, neighbor_id, cos_sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def dedup_embedding_top_neighbor(spark, sf_dir):
+    """Embedding-cosine near-dup: nearest same-label neighbor per probe
+    (every 100th vector). Label blocking is the IVF-style partition
+    pruning that keeps this linear-ish at scale: probes only score
+    their own block, never the full corpus."""
+    from oracle_to_cassandra_spark.functions.vector import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("p_label"),
+        F.col("embedding").alias("p_emb"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+    )
+    scored = (
+        probes.join(
+            cands,
+            (F.col("p_label") == F.col("c_label"))
+            & (F.col("probe_id") != F.col("neighbor_id")),
+        )
+        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+        .select("probe_id", "neighbor_id", "cos_sim")
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
