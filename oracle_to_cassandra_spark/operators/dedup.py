@@ -58,19 +58,30 @@ def exact_dedup_keepers(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def doc_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc."""
+def doc_shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, h31) exploded — shingles hashed to int64 INSIDE the
+    per-row array (one md5 per shingle, before the explode), distinct
+    per doc. Every downstream stage (signature mins, Jaccard
+    intersection joins) operates on 8-byte hashes, never on shingle
+    strings — at 100 TB the explode/shuffle carries longs, not
+    n-gram text. Set semantics are preserved modulo md5 collisions
+    (~2⁻⁶⁰ per pair), identically on both engines."""
     tok = tokens(F.col("text"))
+    hashed = F.array_distinct(
+        F.transform(shingles(tok, k), lambda sh: base31(sh))
+    )
     return (
         documents.filter(F.size(tok) >= k)
-        .select("doc_id", F.explode(F.array_distinct(shingles(tok, k))).alias("sh"))
+        .select("doc_id", F.explode(hashed).alias("h31"))
     )
 
 
-def doc_shingles_sql(k: int = 3) -> str:
-    """DuckDB CTE body matching ``doc_shingles``."""
+def doc_shingle_hashes_sql(k: int = 3) -> str:
+    """DuckDB CTE body matching ``doc_shingle_hashes``."""
     return f"""
-      SELECT doc_id, unnest(list_distinct({shingles_sql(_TOK_SQL, k)})) AS sh
+      SELECT doc_id,
+             unnest(list_distinct(list_transform({shingles_sql(_TOK_SQL, k)},
+                                                 sh -> {base31_sql('sh')}))) AS h31
       FROM documents
       WHERE len({_TOK_SQL}) >= {k}
     """
@@ -78,8 +89,10 @@ def doc_shingles_sql(k: int = 3) -> str:
 
 def minhash_signatures(documents: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     """Per-doc MinHash signature (sig0..sig{n-1}): one base hash per
-    shingle, n universal-hash permutations, min per doc."""
-    sh = doc_shingles(documents).withColumn("h31", base31(F.col("sh")))
+    shingle, n universal-hash permutations, min per doc (map-side
+    partial aggregation collapses each input partition to one row per
+    doc before the exchange)."""
+    sh = doc_shingle_hashes(documents)
     sig_cols = [
         F.min((F.col("h31") * MINHASH_A[i] + MINHASH_B[i]) % MERSENNE_P).alias(f"sig{i}")
         for i in range(n_perm)
@@ -88,13 +101,12 @@ def minhash_signatures(documents: DataFrame, n_perm: int = N_PERM) -> DataFrame:
 
 
 def minhash_signatures_sql(n_perm: int = N_PERM) -> str:
-    h31 = base31_sql("sh")
     sig_cols = ",\n           ".join(
-        f"min(({h31} * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P}) AS sig{i}"
+        f"min((h31 * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P}) AS sig{i}"
         for i in range(n_perm)
     )
     return f"""
-    WITH sh_tbl AS ({doc_shingles_sql()})
+    WITH sh_tbl AS ({doc_shingle_hashes_sql()})
     SELECT doc_id,
            {sig_cols}
     FROM sh_tbl GROUP BY doc_id
@@ -161,7 +173,7 @@ def jaccard_verified_pairs(
     """The full MinHash→LSH→exact-Jaccard pipeline: candidates from
     LSH, verified with exact shingle-set Jaccard, filtered at
     ``threshold``."""
-    sh = doc_shingles(documents)
+    sh = doc_shingle_hashes(documents)
     cands = lsh_candidate_pairs(minhash_signatures(documents))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -171,7 +183,7 @@ def jaccard_verified_pairs(
         cands.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .join(
             sb,
-            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.sh") == F.col("sa.sh")),
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.h31") == F.col("sa.h31")),
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
@@ -195,14 +207,14 @@ def jaccard_verified_pairs(
 
 def jaccard_verified_pairs_sql(threshold: float = 0.6) -> str:
     return f"""
-    WITH sh_tbl AS ({doc_shingles_sql()}),
+    WITH sh_tbl AS ({doc_shingle_hashes_sql()}),
     cands AS ({lsh_candidate_pairs_sql()}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_tbl GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter
       FROM cands c
       JOIN sh_tbl sa ON sa.doc_id = c.doc_a
-      JOIN sh_tbl sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+      JOIN sh_tbl sb ON sb.doc_id = c.doc_b AND sb.h31 = sa.h31
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b,
