@@ -1,0 +1,6 @@
+from oracle_to_cassandra_spark.plans.explain import (  # noqa: F401
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)

@@ -1,0 +1,49 @@
+"""Physical-plan inspection helpers (SURVEY.md §4).
+
+The engine adds no custom Catalyst rules — the reference surface needs
+none (§4: "Custom Catalyst rules needed: none"). What it DOES need is
+*verification* that the declarative plans hit the optimizer paths the
+100 TB design depends on: predicate pushdown into parquet scans,
+column pruning (ReadSchema), and broadcast joins for dimensions.
+These helpers parse ``explain("formatted")`` output so tests can
+assert plan shape, not just result values.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries of every scan in the plan."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(f.strip() for f in m.group(1).split(",") if f.strip())
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists of each scan's ReadSchema — the column-pruning
+    witness."""
+    plan = formatted_plan(df)
+    schemas: list[list[str]] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        schemas.append(cols)
+    return schemas
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)

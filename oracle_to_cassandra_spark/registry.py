@@ -38,6 +38,9 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.multimodal",
     "oracle_to_cassandra_spark.queries.pipelines",
     "oracle_to_cassandra_spark.queries.streaming",
+    "oracle_to_cassandra_spark.queries.udfs",
+    "oracle_to_cassandra_spark.queries.subqueries",
+    "oracle_to_cassandra_spark.queries.catalog",
 )
 
 _loaded = False

@@ -1,0 +1,58 @@
+"""Plan-shape assertions — the 100 TB design invariants (SURVEY.md §4):
+filters push into parquet scans, projections prune ReadSchema,
+dimension joins broadcast. These fail if a refactor silently degrades
+a plan even when results stay correct."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+from oracle_to_cassandra_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+)
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushes_down_to_scan(spark):
+    df = E.queries()["filter_eq_string"](spark, SF_DIR)
+    fs = pushed_filters(df)
+    assert any("event_type" in f for f in fs), f"no pushed filter on event_type: {fs}"
+
+
+def test_point_lookup_pushes_down(spark):
+    df = E.queries()["point_lookup_customer"](spark, SF_DIR)
+    fs = pushed_filters(df)
+    assert any("c_custkey" in f for f in fs), f"no pushed filter on c_custkey: {fs}"
+
+
+def test_projection_prunes_read_schema(spark):
+    df = E.queries()["projection_orders"](spark, SF_DIR)
+    schemas = read_schema_columns(df)
+    assert schemas, "no scan found in plan"
+    assert sorted(schemas[0]) == [
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+    ], f"scan reads more than the projection: {schemas[0]}"
+
+
+def test_denorm_join_broadcasts_dimension(spark):
+    df = E.queries()["denorm_orders_by_customer"](spark, SF_DIR)
+    assert has_broadcast_join(df), "dimension join did not broadcast"
+
+
+def test_fk_chain_broadcasts(spark):
+    df = E.queries()["fk_chain_walk"](spark, SF_DIR)
+    assert has_broadcast_join(df), "FK-chain dimension hops did not broadcast"
+
+
+def test_topk_uses_take_ordered(spark):
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["top_orders_limit"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in formatted_plan(df), (
+        "global top-k did not plan as TakeOrderedAndProject "
+        "(would global-sort at scale)"
+    )
