@@ -1,0 +1,124 @@
+"""Extended join surface: outer joins (absent from the reference —
+SURVEY.md §2.3 "equi-join only, inner only") and the as-of temporal
+join (custom operator, operators/asof.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators.asof import asof_join
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "left_outer_customer_orders",
+    oracle="""
+    SELECT c.c_custkey,
+           count(o.o_orderkey)::BIGINT            AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def left_outer_customer_orders(spark, sf_dir):
+    """LEFT OUTER join preserving order-less customers (count=0,
+    spend=0) — the null-extension semantics the reference never
+    exercises."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "full_outer_key_reconciliation",
+    oracle="""
+    SELECT coalesce(a.k, b.k) AS custkey,
+           (a.k IS NOT NULL)::INT AS in_building,
+           (b.k IS NOT NULL)::INT AS has_urgent
+    FROM (SELECT DISTINCT c_custkey AS k FROM customer
+          WHERE c_mktsegment = 'BUILDING') a
+    FULL OUTER JOIN (SELECT DISTINCT o_custkey AS k FROM orders
+                     WHERE o_orderpriority = '1-URGENT') b
+      ON a.k = b.k
+    """,
+)
+def full_outer_key_reconciliation(spark, sf_dir):
+    """FULL OUTER join as a key-reconciliation report — which keys
+    exist on each side (the classic data-quality diff)."""
+    a = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    b = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    joined = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full")
+    return joined.select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("custkey"),
+        F.col("a.k").isNotNull().cast("int").alias("in_building"),
+        F.col("b.k").isNotNull().cast("int").alias("has_urgent"),
+    )
+
+
+@query(
+    "asof_join_last_purchase",
+    oracle="""
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           (SELECT p.event_id FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_event_id,
+           (SELECT round(p.value, 2) FROM events p
+            WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+              AND p.ts <= e.ts
+            ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS asof_value
+    FROM events e
+    WHERE e.event_type = 'error'
+    """,
+)
+def asof_join_last_purchase(spark, sf_dir):
+    """As-of join: each error event matched to the user's most recent
+    purchase at-or-before it (NULL when none). Spark side uses the
+    linear union+window operator (operators/asof.py — one shuffle, no
+    range cross-join); the oracle states the semantics as correlated
+    argmax subqueries."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("p_value"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload_cols=["p_event_id", "p_value"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.col("asof_p_event_id").alias("asof_event_id"),
+        F.col("asof_p_value").alias("asof_value"),
+    )

@@ -1,0 +1,107 @@
+"""Deterministic sampling, binning, and ordered aggregation — corpus
+curation primitives (every one shuffle-light and hash-checkable; the
+random-seed ``df.sample`` exists too but RNGs differ across engines,
+so the checkable variant is hash-systematic sampling — which is also
+what you want at 100 TB: reproducible across reruns AND engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "hash_systematic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {base31_sql("doc_id::VARCHAR")} % 20 = 0
+    """,
+)
+def hash_systematic_sample(spark, sf_dir):
+    """~5% deterministic sample: keep rows whose key-hash ≡ 0 mod 20.
+    Reproducible across engines/reruns/partitionings — unlike
+    seed-based sampling; the standard trick for stable eval holdouts."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(
+        base31(F.col("doc_id").cast("string")) % 20 == 0
+    ).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "histogram_binning_prices",
+    oracle="""
+    SELECT (floor(o_totalprice / 50000) * 50000)::BIGINT AS bin_floor,
+           count(*)::BIGINT AS n_orders,
+           round(avg(o_totalprice), 6) AS avg_price
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_binning_prices(spark, sf_dir):
+    """Fixed-width histogram binning (floor-divide) — the scalable
+    histogram: one pass, one tiny shuffle of (bin, partial agg)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn(
+            "bin_floor",
+            (F.floor(F.col("o_totalprice") / 50000) * 50000).cast("long"),
+        )
+        .groupBy("bin_floor")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+        )
+    )
+
+
+@query(
+    "ordered_string_agg_nations",
+    oracle="""
+    SELECT r.r_name AS r_name,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def ordered_string_agg_nations(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG): collect → sort → join,
+    deterministic output regardless of row arrival order."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.groupBy("r_name").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@query(
+    "stratified_quota_sample",
+    oracle=f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY {base31_sql("doc_id::VARCHAR")}, doc_id)
+               ::BIGINT AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def stratified_quota_sample(spark, sf_dir):
+    """Stratified sampling: top-10 per language by key-hash order —
+    deterministic per-stratum quotas (corpus balancing across
+    languages/sources)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        base31(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 10)
+        .select("doc_id", "lang")
+    )

@@ -41,6 +41,9 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.udfs",
     "oracle_to_cassandra_spark.queries.subqueries",
     "oracle_to_cassandra_spark.queries.catalog",
+    "oracle_to_cassandra_spark.queries.joins_extended",
+    "oracle_to_cassandra_spark.queries.sampling",
+    "oracle_to_cassandra_spark.queries.dedup_clusters",
 )
 
 _loaded = False
