@@ -28,6 +28,11 @@ def connected_components(
     the minimum node id reachable through the undirected pair graph."""
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     bi = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # materialize the edge list ONCE: every propagation round (and its
+    # convergence count) would otherwise re-execute the full upstream
+    # DAG — for near-dup clustering that is the whole MinHash→LSH→
+    # Jaccard pipeline per iteration
+    bi = bi.localCheckpoint(eager=True)
     nodes = bi.select("u").distinct()
     labels = nodes.withColumn("label", F.col("u"))
 
