@@ -1,0 +1,115 @@
+"""Nested-type surface: structs, maps, JSON→map, explode of key/value
+pairs — the column shapes a multimodal/metadata-rich corpus uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "struct_pack_unpack",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus  AS status,
+           round(o_totalprice, 2) AS price
+    FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def struct_pack_unpack(spark, sf_dir):
+    """Struct round-trip: pack columns into a struct, operate on it,
+    unpack fields — nested projection pruning keeps only the accessed
+    fields in the scan."""
+    o = load_table(spark, sf_dir, "orders")
+    packed = o.select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("price"),
+        ).alias("info"),
+    )
+    return packed.filter(F.col("info.price") > 300000).select(
+        "o_orderkey",
+        F.col("info.status").alias("status"),
+        F.col("info.price").alias("price"),
+    )
+
+
+@query(
+    "json_to_map_explode",
+    oracle="""
+    SELECT event_id, 'k' AS prop_key,
+           json_extract_string(props, '$.k')::INT AS prop_value
+    FROM events
+    """,
+)
+def json_to_map_explode(spark, sf_dir):
+    """JSON → MapType → explode to (key, value) rows — the generic
+    property-bag flattening (schema-free JSON handled without a
+    per-field parse). The Spark side is fully generic (any key set);
+    the oracle exploits the fixture's known single-key props shape
+    because this DuckDB build lacks the json_each table function."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.withColumn("props_map", F.from_json("props", "map<string,int>"))
+    return m.select(
+        "event_id", F.explode("props_map").alias("prop_key", "prop_value")
+    )
+
+
+@query(
+    "map_construction_lookup",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE event_type WHEN 'purchase' THEN 10 WHEN 'signup' THEN 5
+                WHEN 'click' THEN 1 ELSE 0 END AS weight
+    FROM events
+    """,
+)
+def map_construction_lookup(spark, sf_dir):
+    """Literal map construction + element lookup with a default —
+    the broadcast-free dimension-lookup idiom for tiny static
+    mappings (the map literal ships inside the plan, no join)."""
+    ev = load_table(spark, sf_dir, "events")
+    weights = F.create_map(
+        F.lit("purchase"), F.lit(10),
+        F.lit("signup"), F.lit(5),
+        F.lit("click"), F.lit(1),
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.coalesce(weights.getItem(F.col("event_type")), F.lit(0)).alias("weight"),
+    )
+
+
+@query(
+    "unpivot_stack_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, round(value, 2) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+    )
+    """,
+)
+def unpivot_stack_measures(spark, sf_dir):
+    """Unpivot (wide→long) via stack — the inverse of pivot; plan is a
+    single scan exploded ×3, no shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, 'price', l_extendedprice,"
+            " 'discount', l_discount) AS (measure, raw)"
+        ),
+    ).select(
+        "l_orderkey", "l_linenumber", "measure", F.round("raw", 2).alias("value")
+    )

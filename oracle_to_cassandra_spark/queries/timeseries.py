@@ -1,0 +1,82 @@
+"""Time-series primitives over the events stream: forward-fill and
+inter-event gap statistics — the imputation/feature ops a telemetry or
+training-log pipeline runs before windowed aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "forward_fill_last_purchase_value",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS last_purchase_value
+    FROM events
+    """,
+)
+def forward_fill_last_purchase_value(spark, sf_dir):
+    """Forward-fill: carry each user's most recent purchase value onto
+    every subsequent event (NULL until the first purchase) — the
+    last-observation-carried-forward imputation, one shuffle on
+    user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.round(F.last(purchase_val, ignorenulls=True).over(w), 2).alias(
+            "last_purchase_value"
+        ),
+    )
+
+
+@query(
+    "inter_event_gap_stats",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_gaps,
+           round(avg(gap_s), 6) AS avg_gap_s,
+           max(gap_s)::BIGINT   AS max_gap_s
+    FROM (
+      SELECT user_id,
+             date_diff('second',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_s
+      FROM events
+    )
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def inter_event_gap_stats(spark, sf_dir):
+    """Inter-event gap statistics per user (lag + diff + aggregate) —
+    the cadence features behind sessionization thresholds and anomaly
+    flags."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.max("gap_s").alias("max_gap_s"),
+    )

@@ -44,6 +44,9 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.joins_extended",
     "oracle_to_cassandra_spark.queries.sampling",
     "oracle_to_cassandra_spark.queries.dedup_clusters",
+    "oracle_to_cassandra_spark.queries.tpch_shapes",
+    "oracle_to_cassandra_spark.queries.nested",
+    "oracle_to_cassandra_spark.queries.timeseries",
 )
 
 _loaded = False

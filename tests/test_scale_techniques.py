@@ -1,0 +1,64 @@
+"""Tests for the manual scale levers: bucketed co-located joins
+(no Exchange in the plan) and salted skew joins (result-identical to
+the plain join)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators.scale import (
+    bucketed_join,
+    salted_join,
+    write_bucketed_table,
+)
+from oracle_to_cassandra_spark.plans.explain import formatted_plan
+from oracle_to_cassandra_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    # saveAsTable writes to the default warehouse dir (./spark-warehouse,
+    # gitignored); the conf is static per session so we don't relocate it
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    write_bucketed_table(orders, "b_orders", "o_orderkey", 8)
+    write_bucketed_table(li, "b_lineitem", "o_orderkey", 8)
+    # disable broadcast so the co-location (not a broadcast) is what
+    # eliminates the exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, "bucketed join still shuffles:\n" + plan
+        # and it's correct
+        expected = (
+            load_table(spark, SF_DIR, "lineitem")
+            .join(
+                load_table(spark, SF_DIR, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_suppkey", "l_quantity")
+    # rename for the join-key contract
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = li.join(supp, "l_suppkey")
+    salted = salted_join(li, supp, "l_suppkey", salt_buckets=4)
+    assert salted.count() == plain.count()
+    a = plain.groupBy("l_suppkey").count().collect()
+    b = salted.groupBy("l_suppkey").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
