@@ -47,6 +47,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.tpch_shapes",
     "oracle_to_cassandra_spark.queries.nested",
     "oracle_to_cassandra_spark.queries.timeseries",
+    "oracle_to_cassandra_spark.queries.stats_funcs",
 )
 
 _loaded = False

@@ -76,6 +76,44 @@ def write_query_table(
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+def write_to_cassandra(
+    df: DataFrame, keyspace: str, table: str, mode: str = "append"
+) -> None:
+    """S8 proper (README.md:839,967): the real spark-cassandra
+    connector path — ``df.write.format("org.apache.spark.sql.
+    cassandra")`` with the same case-sensitive column validation the
+    connector enforces (README.md:705-709).
+
+    The test environment has no connector jar / cluster; the call
+    validates eagerly and fails with an actionable error instead of a
+    ClassNotFoundException mid-save. ``write_query_table`` is the
+    parquet stand-in with identical layout semantics."""
+    validate_sink_columns(df)
+    jvm_has_connector = False
+    try:
+        spark = df.sparkSession
+        # the connector registers this DataSource shortname
+        spark._jvm.java.lang.Class.forName(
+            "com.datastax.spark.connector.datasource.CassandraCatalog"
+        )
+        jvm_has_connector = True
+    except Exception:
+        pass
+    if not jvm_has_connector:
+        raise RuntimeError(
+            "spark-cassandra-connector not on the classpath; add "
+            "com.datastax.spark:spark-cassandra-connector_2.13 via "
+            "spark.jars.packages, or use write_query_table() for the "
+            "parquet stand-in sink"
+        )
+    (
+        df.write.format("org.apache.spark.sql.cassandra")
+        .options(keyspace=keyspace, table=table)
+        .mode(mode)
+        .save()
+    )
+
+
 def read_partition(
     spark: SparkSession, path: str, partition_col: str, key
 ) -> DataFrame:

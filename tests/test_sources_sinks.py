@@ -82,3 +82,12 @@ def test_register_views_exposes_sql(spark):
     register_views(spark, SF_DIR, ("region",))
     n = spark.sql("SELECT count(*) AS n FROM region").collect()[0].n
     assert n == 5
+
+
+def test_cassandra_sink_fails_actionably_without_connector(spark):
+    from oracle_to_cassandra_spark.sinks import write_to_cassandra
+
+    df = load_table(spark, SF_DIR, "customer")
+    df = df.toDF(*[c.lower() for c in df.columns])
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
+        write_to_cassandra(df, keyspace="hr", table="customer")
