@@ -1,0 +1,202 @@
+"""Corpus-curation queries: edit-distance near-dup refinement,
+calendar-spine densification, CDC latest-version dedup, null handling,
+and funnel conversion — the remaining everyday shapes of a
+training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators.dedup import lsh_candidate_pairs_sql
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+
+@query(
+    "levenshtein_candidate_pairs",
+    oracle=f"""
+    WITH cands AS ({lsh_candidate_pairs_sql()})
+    SELECT c.doc_a, c.doc_b,
+           levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))::INT
+             AS edit_distance_80
+    FROM cands c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    """,
+)
+def levenshtein_candidate_pairs(spark, sf_dir):
+    """Edit-distance refinement of LSH candidates — the character-level
+    second opinion next to token Jaccard. Bounded to 80-char prefixes:
+    Levenshtein is O(len²) per pair, so at scale it only ever runs on
+    candidate pairs and on clipped prefixes, never the full corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from oracle_to_cassandra_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb")
+    )
+    return (
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").alias("edit_distance_80"),
+        )
+    )
+
+
+@query(
+    "calendar_spine_daily_orders",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-01-31',
+                                    INTERVAL '1 day'))::DATE AS day
+    ),
+    daily AS (
+      SELECT o_orderdate::DATE AS day, count(*)::BIGINT AS n_orders
+      FROM orders
+      WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-02-01'
+      GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           coalesce(d.n_orders, 0)::BIGINT AS n_orders
+    FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+)
+def calendar_spine_daily_orders(spark, sf_dir):
+    """Time-series densification: generate a calendar spine
+    (``sequence`` of dates), left-join daily counts, zero-fill gaps —
+    so downstream window math sees every day, including empty ones.
+    The spine is generated in the plan (no source table) and is tiny —
+    broadcast side of the join."""
+    o = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-01-31").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1995-02-01").cast("date"))
+        )
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "cdc_latest_version_dedup",
+    oracle="""
+    SELECT user_id, event_id AS latest_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS latest_ts
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def cdc_latest_version_dedup(spark, sf_dir):
+    """CDC latest-version dedup: keep the newest record per key
+    (row_number over ts DESC) — the compaction step of every
+    change-capture ingest; one shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("latest_event_id"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+        )
+    )
+
+
+@query(
+    "null_handling_outer_join",
+    oracle="""
+    SELECT c.c_custkey,
+           coalesce(strftime(lo.last_order, '%Y-%m-%d'), 'never') AS last_order_day,
+           (lo.last_order IS NULL)::INT AS is_inactive
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, max(o_orderdate) AS last_order
+               FROM orders GROUP BY o_custkey) lo
+      ON lo.o_custkey = c.c_custkey
+    """,
+)
+def null_handling_outer_join(spark, sf_dir):
+    """Null semantics surface: outer-join nulls classified
+    (IS NULL flag) and defaulted (coalesce to a sentinel) — fillna/
+    drop-or-flag mechanics on real join-produced nulls."""
+    c = load_table(spark, sf_dir, "customer")
+    lo = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("last_order"))
+    )
+    return c.join(lo, c.c_custkey == lo.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce(
+            F.date_format("last_order", "yyyy-MM-dd"), F.lit("never")
+        ).alias("last_order_day"),
+        F.col("last_order").isNull().cast("int").alias("is_inactive"),
+    )
+
+
+@query(
+    "funnel_signup_to_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END)   AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*)::BIGINT AS n_users,
+           count(first_signup)::BIGINT AS n_signed_up,
+           count(CASE WHEN first_purchase > first_signup
+                      THEN 1 END)::BIGINT AS n_converted
+    FROM firsts
+    """,
+)
+def funnel_signup_to_purchase(spark, sf_dir):
+    """Funnel conversion: users whose first purchase follows their
+    first signup — conditional-min funnel stages in one grouped pass
+    (no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+        ).alias("n_converted"),
+    )

@@ -48,6 +48,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.nested",
     "oracle_to_cassandra_spark.queries.timeseries",
     "oracle_to_cassandra_spark.queries.stats_funcs",
+    "oracle_to_cassandra_spark.queries.curation",
 )
 
 _loaded = False
