@@ -58,6 +58,26 @@ def stream_sessionization_watermark(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete")
 
 
+@query("stream_static_enrichment_join")  # streaming: rows-only check
+def stream_static_enrichment_join(spark, sf_dir):
+    """Stream-static join: the event stream enriched against the
+    static customer dimension (broadcast per micro-batch) — the
+    standard streaming-ETL enrichment shape; aggregated per segment so
+    the memory-sink result is small."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = read_events_stream(spark, sf_dir)
+    customers = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(customers), "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
+
+
 @query("stream_stateful_user_profile")  # streaming: rows-only check
 def stream_stateful_user_profile(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user

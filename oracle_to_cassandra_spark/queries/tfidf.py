@@ -1,0 +1,107 @@
+"""Corpus statistics: TF-IDF weights and n-gram frequency — the
+feature-extraction stage between text cleaning and model training.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+_TOK = "string_split(lower(text), ' ')"
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest({_TOK}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokens GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tokens GROUP BY term
+    ),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term)::BIGINT AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """TF-IDF: term frequency × inverse document frequency, top-3
+    terms per document.
+
+    Scale: two grouped aggregates (tf by doc,term; df by term) + a
+    join on term — df is vocabulary-sized, broadcast when it fits;
+    no stage touches more than the exploded token stream once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "top_bigrams_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOK} AS t FROM documents),
+    bigrams AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT bigram, count(*)::BIGINT AS freq FROM bigrams
+    GROUP BY bigram HAVING count(*) >= 50
+    """,
+)
+def top_bigrams_corpus(spark, sf_dir):
+    """Corpus-wide bigram frequency (≥50 occurrences) — collocation
+    statistics for tokenizer/vocab construction. Map-side partial
+    counts keep the shuffle at vocabulary size, not token-stream
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.split(F.lower(F.col("text")), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - 1, F.lit(0)))
+    bigrams = docs.filter(F.size(tok) >= 2).select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tok, i.cast("int")),
+                    F.element_at(tok, (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 50)
+    )

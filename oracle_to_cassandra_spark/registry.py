@@ -49,6 +49,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.timeseries",
     "oracle_to_cassandra_spark.queries.stats_funcs",
     "oracle_to_cassandra_spark.queries.curation",
+    "oracle_to_cassandra_spark.queries.tfidf",
 )
 
 _loaded = False
