@@ -78,6 +78,22 @@ def stream_static_enrichment_join(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete")
 
 
+@query("stream_dedup_within_watermark")  # streaming: rows-only check
+def stream_dedup_within_watermark(spark, sf_dir):
+    """Streaming deduplication: dropDuplicatesWithinWatermark on
+    (user_id, event_type) — state for a key is held only until the
+    watermark passes, so the dedup store is bounded (the streaming
+    twin of exact dedup: at 100 TB/day the unbounded variant would
+    accumulate forever)."""
+    ev = read_events_stream(spark, sf_dir)
+    deduped = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    return run_stream_to_memory(deduped, output_mode="append")
+
+
 @query("stream_stateful_user_profile")  # streaming: rows-only check
 def stream_stateful_user_profile(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user

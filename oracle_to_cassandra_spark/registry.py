@@ -50,6 +50,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.stats_funcs",
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.tfidf",
+    "oracle_to_cassandra_spark.queries.custom_source",
 )
 
 _loaded = False
