@@ -28,8 +28,11 @@ def tokens(text: Column) -> Column:
 def shingles(tok: Column, k: int = 3) -> Column:
     """k-word shingles (1-based element_at, i ∈ [1, n-k+1]) — the
     n-gram unit for MinHash/Jaccard dedup. Empty when the doc has
-    fewer than k tokens."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (k - 1), F.lit(0)))
+    fewer than k tokens (guarded: Spark's ``sequence(1, 0)`` would
+    otherwise produce a DESCENDING [1,0] and index out of bounds)."""
+    idx = F.when(
+        F.size(tok) >= k, F.sequence(F.lit(1), F.size(tok) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx,
         lambda i: F.concat_ws(

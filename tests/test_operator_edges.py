@@ -1,0 +1,89 @@
+"""Edge-case unit tests on crafted mini-data — semantics the
+sf-differential can't isolate: as-of tie-breaks and no-match NULLs,
+shingle short-doc guards, connected-component chain convergence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators.asof import asof_join
+from oracle_to_cassandra_spark.operators.graph import connected_components
+from oracle_to_cassandra_spark.operators.text import shingles, tokens
+
+
+def _ts(spark, rows, schema):
+    df = spark.createDataFrame(rows, schema)
+    for c, t in [("ts", "timestamp"), ("p_ts", "timestamp")]:
+        if c in df.columns:
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def test_asof_no_match_yields_nulls(spark):
+    left = _ts(spark, [(1, 100, "2024-01-01 00:00:00")], "user_id int, event_id int, ts string")
+    right = _ts(
+        spark,
+        [(1, 7, "2024-01-02 00:00:00", 9.9)],  # AFTER the left row
+        "user_id int, p_event_id int, p_ts string, p_value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", "p_ts", ["p_event_id", "p_value"]).collect()
+    assert len(out) == 1
+    assert out[0]["asof_p_event_id"] is None
+
+
+def test_asof_exact_tie_right_visible(spark):
+    # right row at exactly the left timestamp IS matched (<= semantics)
+    left = _ts(spark, [(1, 100, "2024-01-01 12:00:00")], "user_id int, event_id int, ts string")
+    right = _ts(
+        spark,
+        [(1, 7, "2024-01-01 12:00:00", 1.0), (1, 5, "2024-01-01 11:00:00", 2.0)],
+        "user_id int, p_event_id int, p_ts string, p_value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", "p_ts", ["p_event_id", "p_value"]).collect()
+    assert out[0]["asof_p_event_id"] == 7
+
+
+def test_asof_equal_right_ts_picks_max_payload(spark):
+    # two right rows at the same ts: the max (p_event_id-ordered) struct wins
+    left = _ts(spark, [(1, 100, "2024-01-01 12:00:00")], "user_id int, event_id int, ts string")
+    right = _ts(
+        spark,
+        [(1, 3, "2024-01-01 11:00:00", 1.0), (1, 9, "2024-01-01 11:00:00", 2.0)],
+        "user_id int, p_event_id int, p_ts string, p_value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", "p_ts", ["p_event_id", "p_value"]).collect()
+    assert out[0]["asof_p_event_id"] == 9
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
+    out = df.select(F.size(shingles(tokens(F.col("text")))).alias("n")).collect()
+    assert [r.n for r in out] == [0, 2]
+
+
+def test_connected_components_chain_and_isolated_pair(spark):
+    # chain 1-2-3-4 plus pair 10-11: two clusters, min-label ids
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_session_window_strict_gap_boundary(spark):
+    # probed semantics pinned as a regression test: event at exactly
+    # prev+gap MERGES; strictly beyond starts a new session
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:30:00"),   # == gap → same session
+        (1, "2024-01-01 01:00:01"),   # > gap → new session
+    ]
+    df = spark.createDataFrame(rows, "user_id int, t string").select(
+        "user_id", F.col("t").cast("timestamp").alias("ts")
+    )
+    sessions = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in sessions) == [1, 2]
