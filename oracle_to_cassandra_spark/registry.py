@@ -51,6 +51,8 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.tfidf",
     "oracle_to_cassandra_spark.queries.custom_source",
+    "oracle_to_cassandra_spark.queries.cohorts",
+    "oracle_to_cassandra_spark.queries.similarity_eval",
 )
 
 _loaded = False
