@@ -69,6 +69,37 @@ LEFT JOIN inter i ON i.probe_id = p.probe_id
 
 
 @query(
+    "embedding_dimension_stats",
+    oracle="""
+    SELECT pos, round(avg(v), 6) AS mean_v,
+           round(stddev_samp(v), 6) AS sd_v,
+           round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+    FROM (
+      SELECT unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    )
+    GROUP BY pos
+    """,
+)
+def embedding_dimension_stats(spark, sf_dir):
+    """Per-dimension corpus statistics (mean/sd/min/max of each of the
+    64 components) via posexplode — the normalization/whitening audit
+    run before building a similarity index. Shuffle carries one partial
+    row per (partition × 64 dims)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
+    )
+    return exploded.groupBy("pos").agg(
+        F.round(F.avg("v"), 6).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
+        F.round(F.min("v"), 6).alias("min_v"),
+        F.round(F.max("v"), 6).alias("max_v"),
+    )
+
+
+@query(
     "dedup_minhash_winnowed",
     oracle=f"""
     WITH sh_tbl AS ({doc_shingle_hashes_sql()}),
