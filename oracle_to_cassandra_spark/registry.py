@@ -53,6 +53,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.custom_source",
     "oracle_to_cassandra_spark.queries.cohorts",
     "oracle_to_cassandra_spark.queries.similarity_eval",
+    "oracle_to_cassandra_spark.queries.sql_surface",
 )
 
 _loaded = False
