@@ -1,0 +1,135 @@
+"""Training-data preparation: token-budget sequence packing,
+hash-based train/val/test splits, and the multimodal resize stub —
+the last mile between a curated corpus and a training run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+_TOKENS = "len(string_split(lower(text), ' '))"
+PACK_BUDGET = 512
+
+
+@query(
+    "pack_documents_token_budget",
+    oracle=f"""
+    SELECT doc_id, lang, n_tokens,
+           floor((cum_tokens - n_tokens) / {PACK_BUDGET})::BIGINT AS chunk_id
+    FROM (
+      SELECT doc_id, lang, {_TOKENS}::BIGINT AS n_tokens,
+             sum({_TOKENS}) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+      FROM documents
+    )
+    """,
+)
+def pack_documents_token_budget(spark, sf_dir):
+    """Sequence packing: assign documents to ~512-token training chunks
+    by cumulative token count (contiguous packing; a doc straddling a
+    boundary starts in the chunk where its first token lands).
+
+    Scale: the running sum is windowed PER LANGUAGE so packing
+    parallelizes across partitions — a single global cumsum would
+    serialize onto one task at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = d.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens")
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+
+
+@query(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT split, count(*)::BIGINT AS n_docs,
+           sum({_TOKENS})::BIGINT AS n_tokens
+    FROM (
+      SELECT text,
+             CASE WHEN {base31_sql("doc_id::VARCHAR")} % 10 < 8 THEN 'train'
+                  WHEN {base31_sql("doc_id::VARCHAR")} % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split
+    """,
+)
+def train_val_test_split(spark, sf_dir):
+    """Hash-based 80/10/10 split on the document key — stable across
+    reruns, engines, and partitionings (the property random splits
+    lack), summarized per split. New documents never reshuffle old
+    assignments."""
+    d = load_table(spark, sf_dir, "documents")
+    h = base31(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split")
+    )
+    return (
+        d.select(split, F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+
+
+@query(
+    "multimodal_resize_stub",
+    oracle="""
+    SELECT doc_id,
+           (octet_length(encode(text)) % 640)::INT AS width,
+           (octet_length(encode(text)) % 480)::INT AS height,
+           least((octet_length(encode(text)) % 640), 224)::INT  AS resized_w,
+           least((octet_length(encode(text)) % 480), 224)::INT  AS resized_h
+    FROM documents
+    """,
+)
+def multimodal_resize_stub(spark, sf_dir):
+    """Resize stage of the multimodal pipeline: Arrow-batched
+    mapInPandas clamping each decoded frame to the model's input size
+    (STUB math — a real build calls PIL/opencv on the payload; the
+    batch plumbing, schema, and clamp semantics are the real thing)."""
+    import pandas as pd
+
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        attach_binary_payload,
+        decode_metadata,
+    )
+
+    decoded = decode_metadata(
+        attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    )
+
+    def _resize(batches):
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "resized_w": pdf["width"].clip(upper=224).astype("int32"),
+                    "resized_h": pdf["height"].clip(upper=224).astype("int32"),
+                }
+            )
+            yield out
+
+    return decoded.mapInPandas(
+        _resize,
+        schema="doc_id LONG, width INT, height INT, resized_w INT, resized_h INT",
+    )

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.cohorts",
     "oracle_to_cassandra_spark.queries.similarity_eval",
     "oracle_to_cassandra_spark.queries.sql_surface",
+    "oracle_to_cassandra_spark.queries.training_prep",
 )
 
 _loaded = False
