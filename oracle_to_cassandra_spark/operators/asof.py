@@ -55,10 +55,16 @@ def asof_join(
         )
     )
     # right rows (_side=0) sort before left rows at equal timestamps →
-    # an exactly-simultaneous right row IS visible to the left row
+    # an exactly-simultaneous right row IS visible to the left row.
+    # "_payload" is the final sort key: among right rows with EQUAL
+    # timestamps, struct ordering (lexicographic over payload_cols)
+    # makes F.last deterministically carry the max-payload row — the
+    # "largest id wins" tie rule, independent of partition input order
+    # (left rows all have NULL payload, which sorts first and never
+    # reorders them relative to each other's distinct output rows)
     w = (
         Window.partitionBy(key)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", "_payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(

@@ -56,8 +56,10 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count via regex runs — the cheap stand-in
-    for a real BPE tokenizer's token count."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_PATTERN), F.lit(0)))
+    for a real BPE tokenizer's token count. ``regexp_count`` counts
+    matches without materializing the match array (regexp_extract_all
+    built an ArrayData per row just to take its size)."""
+    return F.regexp_count(F.lower(text), F.lit(BPE_ISH_PATTERN)).cast("int")
 
 
 def stopword_ratio(tok: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

@@ -105,19 +105,6 @@ def count_distinct_custkeys(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct_custkeys")  # HLL sketch: no exact SQL oracle
-def approx_count_distinct_custkeys(spark, sf_dir):
-    """approx_count_distinct (HyperLogLog++) — the 100 TB distinct-count
-    path: constant memory per group, one pass, no distinct shuffle.
-    Sketch values are implementation-defined → rows-only driver check.
-    """
-    return A.grouped_summary(
-        load_table(spark, sf_dir, "orders"),
-        ["o_orderstatus"],
-        [F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_custs")],
-    )
-
-
 @query(
     "rollup_region_nation",
     oracle="""

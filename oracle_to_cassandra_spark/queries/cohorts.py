@@ -36,10 +36,14 @@ def cohort_weekly_retention(spark, sf_dir):
     """Weekly retention: users grouped by first-seen week, counted
     distinct in each subsequent week offset — first-touch assignment
     joined back to the activity stream, then conditional distinct
-    counts (one shuffle for firsts, one for the matrix)."""
+    counts (one shuffle for firsts, one for the matrix).
+
+    Scale: ``firsts`` is user-cardinality — NOT broadcastable at
+    100 TB, so no broadcast hint; the join shuffles on user_id (AQE
+    still broadcasts it at small SF where it fits)."""
     ev = load_table(spark, sf_dir, "events")
     firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-    activity = ev.join(F.broadcast(firsts), "user_id").select(
+    activity = ev.join(firsts, "user_id").select(
         "user_id",
         F.date_format(F.date_trunc("week", "first_ts"), "yyyy-MM-dd").alias("cohort_week"),
         (

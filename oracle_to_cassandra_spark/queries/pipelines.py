@@ -70,3 +70,47 @@ def sink_roundtrip_partition_lookup(spark, sf_dir):
     return read_partition(spark, path, "c_mktsegment", "BUILDING").select(
         "c_custkey", "c_name", "o_orderkey", "o_orderstatus", "o_totalprice"
     )
+
+
+@query(
+    "sink_ddl_roundtrip",
+    oracle="""
+    SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def sink_ddl_roundtrip(spark, sf_dir):
+    """S10 (README.md:668,683-694,902-909): the reference treats DDL as
+    first-class — CREATE TABLE … PARTITIONED BY through SQL, insert,
+    then a partition-pruned read back through the catalog table.
+
+    Scale: the WHERE on the partition column prunes to one partition
+    directory at planning time (metadata-only, no data scan of the
+    other status partitions)."""
+    import shutil
+
+    from oracle_to_cassandra_spark.sources import load_table
+
+    # explicit LOCATION + pre-wipe keeps the query idempotent across
+    # SESSIONS: the in-memory catalog forgets the table at JVM exit,
+    # so a managed-table CREATE would trip over the stale directory
+    loc = "/root/repo/.scratch/ddl_orders_roundtrip"
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS ddl_orders_roundtrip")
+    spark.sql(
+        f"""
+        CREATE TABLE ddl_orders_roundtrip (
+          o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING
+        ) USING parquet PARTITIONED BY (o_orderstatus)
+        LOCATION '{loc}'
+        """
+    )
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("append").insertInto("ddl_orders_roundtrip")
+    return spark.sql(
+        """
+        SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+        FROM ddl_orders_roundtrip WHERE o_orderstatus = 'F'
+        """
+    )

@@ -208,14 +208,20 @@ def case_when_coalesce_nullif(spark, sf_dir):
            len(embedding)::INT                                   AS dim,
            round(embedding[1]::DOUBLE, 6)                        AS first_component,
            round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6) AS self_dot,
-           list_transform(embedding[1:3], x -> round(x::DOUBLE, 4)) AS head3
+           array_to_string(list_transform(embedding[1:3],
+               x -> (round(x::DOUBLE, 4)::DECIMAL(14,4))::VARCHAR), ',') AS head3
     FROM embeddings
     """,
 )
 def array_functions_embeddings(spark, sf_dir):
     """Array surface over ArrayType(FloatType): size, element_at,
     slice, transform, and an aggregate fold (self dot product) — all
-    codegen'd higher-order functions, no UDF."""
+    codegen'd higher-order functions, no UDF.
+
+    ``head3`` is serialized to a comma-joined DECIMAL(14,4) string:
+    the driver's pandas-based hasher cannot hash list cells, and a
+    fixed-scale decimal renders identically in Spark and DuckDB
+    (trailing zeros kept, no scientific notation)."""
     from oracle_to_cassandra_spark.functions.vector import dot
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -224,8 +230,14 @@ def array_functions_embeddings(spark, sf_dir):
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
         F.round(dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
-        F.transform(
-            F.slice("embedding", 1, 3), lambda x: F.round(x.cast("double"), 4)
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice("embedding", 1, 3),
+                lambda x: F.round(x.cast("double"), 4)
+                .cast("decimal(14,4)")
+                .cast("string"),
+            ),
         ).alias("head3"),
     )
 

@@ -15,9 +15,19 @@ PROBE_IDS = [0, 100, 200, 300, 400]
 _PROBES_SQL = "(0, 100, 200, 300, 400)"
 
 
-@query(
-    "similarity_bruteforce_topk",
-    oracle=f"""
+def bruteforce_topk_sql() -> str:
+    """DuckDB oracle text for the brute-force top-k — exposed as a
+    helper so composite queries (similarity_eval) can embed it without
+    reaching into the registry (module-order independent)."""
+    return _BRUTEFORCE_SQL
+
+
+def ivf_topk_sql() -> str:
+    """DuckDB oracle text for the IVF top-k (see bruteforce_topk_sql)."""
+    return _IVF_SQL
+
+
+_BRUTEFORCE_SQL = f"""
     WITH probes AS (
       SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p
       FROM embeddings WHERE vec_id IN {_PROBES_SQL}
@@ -35,8 +45,10 @@ _PROBES_SQL = "(0, 100, 200, 300, 400)"
                                    ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rn
       FROM scored
     ) WHERE rn <= 10
-    """,
-)
+    """
+
+
+@query("similarity_bruteforce_topk", oracle=_BRUTEFORCE_SQL)
 def similarity_bruteforce_topk(spark, sf_dir):
     """Exact ANN baseline: top-10 cosine neighbors for 5 fixed probes
     against the whole corpus. Probes broadcast; corpus side stays
@@ -46,9 +58,7 @@ def similarity_bruteforce_topk(spark, sf_dir):
     )
 
 
-@query(
-    "similarity_ivf_topk",
-    oracle=f"""
+_IVF_SQL = f"""
     WITH cents AS (
       SELECT label, list(c ORDER BY pos) AS centroid FROM (
         SELECT label, pos, avg(v) AS c FROM (
@@ -88,8 +98,10 @@ def similarity_bruteforce_topk(spark, sf_dir):
                                    ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rn
       FROM scored
     ) WHERE rn <= 10
-    """,
-)
+    """
+
+
+@query("similarity_ivf_topk", oracle=_IVF_SQL)
 def similarity_ivf_topk(spark, sf_dir):
     """IVF-style ANN: label-mean centroids as the codebook; each probe
     scores only its nearest cell — the partition-pruned scale path

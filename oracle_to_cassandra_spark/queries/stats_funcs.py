@@ -77,34 +77,106 @@ def bitwise_aggregates(spark, sf_dir):
 @query(
     "argmax_latest_order",
     oracle="""
-    SELECT o_custkey,
-           max_by(o_orderkey, epoch(o_orderdate)::BIGINT * 10000000 + o_orderkey)
-             AS latest_orderkey,
-           min_by(o_orderkey, epoch(o_orderdate)::BIGINT * 10000000 + o_orderkey)
-             AS first_orderkey
-    FROM orders GROUP BY o_custkey
+    SELECT DISTINCT o_custkey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS latest_orderkey,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey)           AS first_orderkey
+    FROM orders
     """,
 )
 def argmax_latest_order(spark, sf_dir):
-    """max_by/min_by argmax selection with a composite (date, key)
-    integer ordering so ties on the date resolve deterministically —
-    'latest/first order per customer' without a window."""
+    """max_by/min_by argmax selection ordered by a (date, key) STRUCT —
+    lexicographic comparison, so date ties resolve on the key with no
+    domain assumption. (An earlier arithmetic packing
+    ``epoch*1e7 + key`` silently broke once o_orderkey ≥ 1e7, i.e.
+    TPC-H sf≥10 — struct ordering has no such cliff.)"""
     o = load_table(spark, sf_dir, "orders")
-    ordv = F.unix_timestamp("o_orderdate") * 10000000 + F.col("o_orderkey")
+    ordv = F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
     return o.groupBy("o_custkey").agg(
         F.max_by("o_orderkey", ordv).alias("latest_orderkey"),
         F.min_by("o_orderkey", ordv).alias("first_orderkey"),
     )
 
 
-@query("approx_quantiles_acctbal")  # sketch-based: no exact SQL oracle
+@query(
+    "approx_count_distinct_custkeys",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)::BIGINT AS n_custs_exact,
+           TRUE                              AS approx_within_tol
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def approx_count_distinct_custkeys(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) — the 100 TB distinct-count
+    path: constant memory per group, one pass, no distinct shuffle.
+
+    Sketch values are implementation-defined, so the hash-checkable
+    contract is: the exact distinct count PLUS a boolean asserting the
+    sketch landed within tolerance (rsd=0.02 → we allow 10%, 5 sigma).
+    The oracle emits the exact count and literal TRUE — a drifting
+    sketch flips the boolean and fails the driver's hash compare."""
+    base = load_table(spark, sf_dir, "orders").groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_custs_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("_approx"),
+    )
+    tol = F.greatest(F.col("n_custs_exact") * 0.1, F.lit(10.0))
+    return base.select(
+        "o_orderstatus",
+        "n_custs_exact",
+        (F.abs(F.col("_approx") - F.col("n_custs_exact")) <= tol).alias(
+            "approx_within_tol"
+        ),
+    )
+
+
+@query(
+    "approx_quantiles_acctbal",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 2) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 2) AS p50,
+           round(quantile_cont(c_acctbal, 0.75), 2) AS p75,
+           TRUE AS approx_within_tol
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
 def approx_quantiles_acctbal(spark, sf_dir):
     """percentile_approx (KLL-style sketch) — the one-pass bounded-
     memory quantile path for 100 TB (exact percentile sorts per
-    group). Sketch output is implementation-defined → rows-only
-    check; the exact twin ``stats_dispersion_per_segment`` carries
-    the DuckDB oracle."""
+    group).
+
+    Sketch output is implementation-defined, so the hash-checkable
+    contract mirrors ``approx_count_distinct_custkeys``: the EXACT
+    interpolated quartiles (Spark ``percentile`` == DuckDB
+    ``quantile_cont``) plus a boolean asserting every sketch quartile
+    landed within one group IQR of its exact twin. The sketch returns
+    an order statistic adjacent to the true quantile (accuracy=10000
+    → rank error ≤ max(1, 1e-4·n)), and exact interpolates between
+    adjacent order statistics — so the gap is at most a few adjacent-
+    value spacings, far inside the IQR at every SF (a fixed absolute
+    tolerance breaks at tiny SF where spacings are wide)."""
     c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10000).alias("quartiles")
+    base = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit([0.25, 0.5, 0.75])).alias("_exact"),
+        F.percentile_approx("c_acctbal", [0.25, 0.5, 0.75], 10000).alias("_approx"),
+    )
+    tol = F.greatest(
+        F.element_at("_exact", 3) - F.element_at("_exact", 1), F.lit(50.0)
+    )
+    within = F.forall(
+        F.zip_with(
+            F.col("_exact"),
+            F.col("_approx"),
+            lambda e, a: F.abs(e - a) <= tol,
+        ),
+        lambda ok: ok,
+    )
+    return base.select(
+        "c_mktsegment",
+        F.round(F.element_at("_exact", 1), 2).alias("p25"),
+        F.round(F.element_at("_exact", 2), 2).alias("p50"),
+        F.round(F.element_at("_exact", 3), 2).alias("p75"),
+        within.alias("approx_within_tol"),
     )

