@@ -47,3 +47,14 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
 
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan — the scale
+    cost driver. Excluded: broadcast exchanges (move only the small
+    side) and SinglePartition exchanges (the 1-row output of a global
+    aggregate, e.g. a corpus count feeding a broadcast)."""
+    plan = formatted_plan(df)
+    total = len(re.findall(r"\(\d+\) Exchange\b", plan))
+    single = len(re.findall(r"Arguments: SinglePartition", plan))
+    return total - single

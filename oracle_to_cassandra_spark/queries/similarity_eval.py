@@ -93,7 +93,9 @@ def similarity_ivf_recall_at_10(spark, sf_dir):
         .agg(F.count("*").alias("n_overlap"))
     )
     return (
-        best_cell.select("probe_id")
+        # probe list from the cheap filter scan, NOT best_cell — that
+        # would re-execute the whole centroid pipeline a second time
+        probes.select("probe_id")
         .join(overlap, "probe_id", "left")
         .select(
             "probe_id",

@@ -56,3 +56,34 @@ def test_topk_uses_take_ordered(spark):
         "global top-k did not plan as TakeOrderedAndProject "
         "(would global-sort at scale)"
     )
+
+
+def test_ivf_recall_fused_plan_bounds_exchanges(spark):
+    """The recall audit scores the corpus once and derives both ranks
+    from one window — the plan must stay ≤5 shuffle exchanges (it was
+    9 when the BF and IVF arms each rebuilt their own pipeline)."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["similarity_ivf_recall_at_10"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n <= 5, f"ivf recall plan regressed to {n} exchanges"
+
+
+def test_bigrams_single_shuffle(spark):
+    """Corpus bigram counting is explode → partial-agg → one exchange;
+    any extra shuffle means the zip_with rewrite regressed."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["top_bigrams_corpus"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n <= 1, f"bigram plan has {n} exchanges"
+
+
+def test_tfidf_bounded_exchanges(spark):
+    """tf groupBy + df window + top-k window — all on the compact
+    (doc, term) relation: ≤3 exchanges, no second token-stream pass."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["tfidf_top_terms"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n <= 3, f"tfidf plan has {n} exchanges"

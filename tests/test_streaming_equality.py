@@ -1,0 +1,97 @@
+"""Streaming ⇔ batch equality: every memory-sink streaming query must
+produce the SAME rows as its batch twin over the finite events input —
+a much stronger check than the driver's rows-only fallback (which only
+proves the stream runs).
+
+The file stream source + availableNow trigger processes the whole
+table, so complete/update-mode results are directly comparable to the
+batch aggregation; append-mode dedup is compared on its key set (the
+kept representative per key is processing-order dependent by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from oracle_to_cassandra_spark.sources import load_table
+from tests.conftest import SF_DIR
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_equals_batch(spark):
+    qs = E.queries()
+    stream = qs["stream_tumbling_event_counts"](spark, SF_DIR)
+    batch = qs["tumbling_daily_event_counts"](spark, SF_DIR)
+    cols = ["window_start", "event_type", "n_events", "total_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_sessionization_equals_batch(spark):
+    qs = E.queries()
+    stream = qs["stream_sessionization_watermark"](spark, SF_DIR)
+    batch = qs["session_windows_per_user"](spark, SF_DIR)
+    cols = ["user_id", "session_start", "n_events"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_enrichment_equals_batch_join(spark):
+    qs = E.queries()
+    stream = qs["stream_static_enrichment_join"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    customers = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch = (
+        ev.join(customers, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    cols = ["c_mktsegment", "n_events", "total_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_keys_equal_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark keeps ONE row per key (all input
+    arrives in a single availableNow batch, before any watermark
+    eviction); which event_id survives is processing-order dependent,
+    so equality is on the key set."""
+    qs = E.queries()
+    stream = qs["stream_dedup_within_watermark"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    batch_keys = ev.select("user_id", "event_type").distinct()
+    assert _rows(stream, ["user_id", "event_type"]) == _rows(
+        batch_keys, ["user_id", "event_type"]
+    )
+
+
+def test_stream_stateful_profile_equals_batch_agg(spark):
+    """update-mode applyInPandasWithState emits the final profile per
+    user once all input is processed — it must equal the plain batch
+    per-user aggregate."""
+    qs = E.queries()
+    stream = qs["stream_stateful_user_profile"](spark, SF_DIR)
+    # update mode re-emits a row per key per batch; keep each user's
+    # final (max n_events) emission
+    final = (
+        stream.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("last_ts").alias("last_ts"),
+        )
+    )
+    ev = load_table(spark, SF_DIR, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.max("ts").alias("last_ts"),
+    )
+    cols = ["user_id", "n_events", "total_value", "last_ts"]
+    assert _rows(final, cols) == _rows(batch, cols)
