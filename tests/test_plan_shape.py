@@ -79,6 +79,18 @@ def test_bigrams_single_shuffle(spark):
     assert n <= 1, f"bigram plan has {n} exchanges"
 
 
+def test_range_join_binned_not_nested_loop(spark):
+    """The interval join must plan as a month-bin BroadcastHashJoin —
+    a BroadcastNestedLoopJoin means the binning rewrite regressed to
+    the quadratic |orders| × |days| comparison."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["range_join_shipments_after_order"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_tfidf_bounded_exchanges(spark):
     """tf groupBy + df window + top-k window — all on the compact
     (doc, term) relation: ≤3 exchanges, no second token-stream pass."""
