@@ -44,13 +44,16 @@ def test_asof_exact_tie_right_visible(spark):
 
 
 def test_asof_equal_right_ts_picks_max_payload(spark):
-    # two right rows at the same ts: the max (p_event_id-ordered) struct wins
+    # two right rows at the same ts: the max (p_event_id-ordered) struct
+    # wins. The winner is listed FIRST and the input repartitioned, so a
+    # result that merely echoes arrival order (last row seen) returns 3 —
+    # only the deterministic _payload sort key yields 9.
     left = _ts(spark, [(1, 100, "2024-01-01 12:00:00")], "user_id int, event_id int, ts string")
     right = _ts(
         spark,
-        [(1, 3, "2024-01-01 11:00:00", 1.0), (1, 9, "2024-01-01 11:00:00", 2.0)],
+        [(1, 9, "2024-01-01 11:00:00", 2.0), (1, 3, "2024-01-01 11:00:00", 1.0)],
         "user_id int, p_event_id int, p_ts string, p_value double",
-    )
+    ).repartition(4)
     out = asof_join(left, right, "user_id", "ts", "p_ts", ["p_event_id", "p_value"]).collect()
     assert out[0]["asof_p_event_id"] == 9
 
