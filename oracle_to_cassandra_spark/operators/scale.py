@@ -10,20 +10,27 @@ from pyspark.sql import functions as F
 
 
 def write_bucketed_table(
-    df: DataFrame, name: str, bucket_col: str, n_buckets: int = 16
+    df: DataFrame,
+    name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
     """Persist a table bucketed (hash-partitioned + sorted) on its join
     key. Two tables bucketed the same way join with ZERO shuffle —
     the co-location contract Cassandra gets from token ranges, here
     from Spark bucketing. At 100 TB this converts the nightly
-    fact⋈fact shuffle into a local merge per bucket."""
-    (
+    fact⋈fact shuffle into a local merge per bucket. ``path`` makes
+    the table external (location-stable across sessions)."""
+    w = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, bucket_col)
         .sortBy(bucket_col)
         .format("parquet")
-        .saveAsTable(name)
     )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(name)
 
 
 def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:

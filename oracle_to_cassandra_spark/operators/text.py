@@ -26,18 +26,28 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(tok: Column, k: int = 3) -> Column:
-    """k-word shingles (1-based element_at, i ∈ [1, n-k+1]) — the
-    n-gram unit for MinHash/Jaccard dedup. Empty when the doc has
-    fewer than k tokens (guarded: Spark's ``sequence(1, 0)`` would
-    otherwise produce a DESCENDING [1,0] and index out of bounds)."""
-    idx = F.when(
-        F.size(tok) >= k, F.sequence(F.lit(1), F.size(tok) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(tok, (i + j).cast("int")) for j in range(k)]
-        ),
+    """k-word shingles — the n-gram unit for MinHash/Jaccard dedup.
+    Empty when the doc has fewer than k tokens.
+
+    Built by folding ``zip_with`` over k−1 shifted slices of the token
+    array: the token expression is evaluated a CONSTANT number of
+    times per row. The earlier ``transform(sequence(1, n−k+1),
+    i -> element_at(tok, i+j))`` form re-evaluated ``tok`` (a split)
+    per ELEMENT — higher-order functions are CodegenFallback with no
+    common-subexpression elimination, so that was O(n²) per document
+    (the same trap measured at 4× on bigrams). zip_with pads the
+    shorter slice with NULL; ``concat`` propagates the NULL and the
+    final slice to n−k+1 drops those tail elements."""
+    n = F.size(tok)
+    acc = tok
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc,
+            F.slice(tok, j + 1, F.greatest(n - j, F.lit(1))),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    return F.when(n >= k, F.slice(acc, 1, n - (k - 1))).otherwise(
+        F.array().cast("array<string>")
     )
 
 

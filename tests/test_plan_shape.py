@@ -79,6 +79,16 @@ def test_bigrams_single_shuffle(spark):
     assert n <= 1, f"bigram plan has {n} exchanges"
 
 
+def test_bucketed_join_zero_shuffle(spark):
+    """Same-bucketed tables must join with no Exchange on either side
+    — the whole point of paying the bucketing cost at write time."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["bucketed_join_orders_customers"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n == 0, f"bucketed join shuffled ({n} exchanges)"
+
+
 def test_range_join_binned_not_nested_loop(spark):
     """The interval join must plan as a month-bin BroadcastHashJoin —
     a BroadcastNestedLoopJoin means the binning rewrite regressed to
