@@ -200,3 +200,57 @@ def funnel_signup_to_purchase(spark, sf_dir):
             F.when(F.col("first_purchase") > F.col("first_signup"), 1)
         ).alias("n_converted"),
     )
+
+
+def _curation_pipeline_sql() -> str:
+    from oracle_to_cassandra_spark.queries.text_analysis import (
+        QUALITY_SQL,
+        STOP_RATIO_SQL,
+    )
+
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {QUALITY_SQL}    AS quality,
+             {STOP_RATIO_SQL} AS stop_ratio
+      FROM documents
+    ),
+    keepers AS (
+      SELECT min(doc_id) AS keeper_id FROM documents GROUP BY md5(text)
+    )
+    SELECT s.doc_id, round(s.quality, 6) AS quality
+    FROM scored s JOIN keepers k ON s.doc_id = k.keeper_id
+    WHERE s.stop_ratio > 0.05 AND s.quality >= 0.67
+    """
+
+
+@query("corpus_curation_pipeline", oracle=_curation_pipeline_sql())
+def corpus_curation_pipeline(spark, sf_dir):
+    """The end-to-end LLM-corpus curation filter, composed from the
+    verified primitives: quality scoring + stopword-density language
+    gate (operators/text.py) + exact-dedup keeper selection — keep
+    each document iff it is its duplicate-group's representative,
+    reads as English, and scores ≥0.67 (the corpus p25).
+
+    Scale/plan: one scan computes both text scores (codegen'd
+    higher-order functions); the keeper set is a groupBy on md5(text)
+    — 32-byte shuffle keys — joined back on doc_id. Two exchanges
+    total; no stage touches the corpus twice."""
+    from oracle_to_cassandra_spark.operators import text as TX
+    from oracle_to_cassandra_spark.operators.dedup import exact_dedup_keepers
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.stopword_ratio(tok).alias("stop_ratio"),
+    )
+    keepers = exact_dedup_keepers(d, "text", "doc_id").select(
+        F.col("keeper_id").alias("doc_id")
+    )
+    return (
+        scored.join(keepers, "doc_id")
+        .filter((F.col("stop_ratio") > 0.05) & (F.col("quality") >= 0.67))
+        .select("doc_id", F.round("quality", 6).alias("quality"))
+    )

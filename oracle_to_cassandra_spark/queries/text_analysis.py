@@ -16,6 +16,18 @@ from oracle_to_cassandra_spark.sources import load_table
 _SW = "('the', 'a', 'of', 'and', 'to')"  # EN_STOPWORDS as SQL literal
 _TOK = "string_split(lower(text), ' ')"
 
+#: shared DuckDB fragments mirroring operators/text.py — composite
+#: queries (corpus_curation_pipeline) embed these so the formulas
+#: exist once per engine
+STOP_RATIO_SQL = (
+    f"(len(list_filter({_TOK}, t -> t IN {_SW})) * 1.0 / greatest(len({_TOK}), 1))"
+)
+QUALITY_SQL = (
+    f"(0.4 * (len(list_distinct({_TOK})) * 1.0 / greatest(len({_TOK}), 1))"
+    f" + 0.4 * (1 - {STOP_RATIO_SQL})"
+    f" + 0.2 * least(len({_TOK}) / 100.0, 1.0))"
+)
+
 
 @query(
     "token_counts_documents",

@@ -47,9 +47,9 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.scalar_funcs",
     "oracle_to_cassandra_spark.queries.stats_funcs",
     "oracle_to_cassandra_spark.queries.jdbc_roundtrip",
+    "oracle_to_cassandra_spark.queries.pipelines",
     "oracle_to_cassandra_spark.queries.advanced_ops",
     "oracle_to_cassandra_spark.queries.scale_queries",
-    "oracle_to_cassandra_spark.queries.pipelines",
     "oracle_to_cassandra_spark.queries.sampling",
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.cohorts",

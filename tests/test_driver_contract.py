@@ -37,4 +37,15 @@ def test_query_matches_oracle(spark, duck, name):
         # rows-only check (non-SQL-expressible op)
         assert df.count() >= 0
         return
+    # the driver's pandas-based hasher cannot hash nested cells —
+    # an oracled query returning array/map/struct would pass the local
+    # tuple-izing compare but fail the real gate (bit us in round 1)
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    nested = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not nested, f"{name}: nested output columns {nested} break the driver hasher"
     compare_query(df, duck, oracles[name], name=name)
