@@ -49,3 +49,51 @@ def grouped_map_zscore(spark, sf_dir):
     return zscore_per_group(
         load_table(spark, sf_dir, "customer"), "c_mktsegment", "c_acctbal"
     )
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle="""
+    SELECT doc_id, s.i::INT AS chunk_idx,
+           array_to_string(t[s.i * 50 + 1 : s.i * 50 + 50], ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, t,
+             unnest(list_transform(range(0, greatest((len(t) + 49) // 50, 1)),
+                                   i -> struct_pack(i := i))) AS s
+      FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+    )
+    """,
+)
+def udtf_chunk_documents(spark, sf_dir):
+    """Python UDTF (Spark 4 user-defined TABLE function, Arrow path):
+    split each document into 50-token training chunks via LATERAL —
+    the sequence-chunking primitive of an LLM data pipeline, expressed
+    as a table function so one input row yields many output rows with
+    imperative chunking logic.
+
+    The DuckDB twin chunks by list slicing — equality puts the whole
+    UDTF execution path (Arrow batches, lateral join, Python iterator
+    protocol) under the hash check. Scale: the UDTF is a per-row map —
+    embarrassingly parallel, no shuffle; chunk explosion multiplies
+    rows ~(tokens/50)× which is why it runs AFTER curation filters in
+    a real pipeline."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="doc_id bigint, chunk_idx int, chunk_text string",
+        useArrow=True,
+    )
+    class ChunkDocs:
+        def eval(self, doc_id, text):
+            toks = text.lower().split(" ")
+            for i in range(0, len(toks), 50):
+                yield doc_id, i // 50, " ".join(toks[i : i + 50])
+
+    spark.udtf.register("chunk_docs", ChunkDocs)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs_v")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.chunk_text
+        FROM udtf_docs_v d, LATERAL chunk_docs(d.doc_id, d.text) c
+        """
+    )
