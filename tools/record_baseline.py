@@ -33,8 +33,10 @@ def main() -> None:
     lines.append(
         f"\n**Total: {payload['value']} s / {len(queries)} queries at "
         f"sf{payload['sf']}** — fresh JVM, `python bench.py` alone on the "
-        "machine (alphabetical order, noop sink, local[32], AQE on), the "
-        "same methodology the driver's per-round bench uses.\n"
+        "machine (alphabetical order, noop sink, local[32], AQE on, "
+        "per-query min of 2 passes), the same methodology the driver's "
+        "per-round bench uses — bench.py itself implements min-of-2, so "
+        "recorded baseline and graded bench stay comparable.\n"
     )
     with open(os.path.join(ROOT, "BASELINE.md"), "w") as fh:
         fh.write(head + "\n".join(lines))
