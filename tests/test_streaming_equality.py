@@ -95,3 +95,53 @@ def test_stream_stateful_profile_equals_batch_agg(spark):
     )
     cols = ["user_id", "n_events", "total_value", "last_ts"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
+    """foreachBatch: the escape hatch for sinks Spark lacks a native
+    streaming writer for (the Cassandra-connector path of the
+    reference would use exactly this shape). Micro-batches append to
+    parquet keyed by batch id; the materialized sink must equal the
+    batch aggregation."""
+    from oracle_to_cassandra_spark.streaming import read_events_stream
+
+    out_dir = str(tmp_path / "fb_sink")
+    ev = read_events_stream(spark, SF_DIR)
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+    def write_batch(batch_df, batch_id):
+        # complete mode: each emission is the full result — overwrite,
+        # so a replayed batch id is idempotent (exactly-once effect)
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out_dir)
+        .select("event_type", "n_events", "total_value")
+        .collect()
+    )
+    ev_b = load_table(spark, SF_DIR, "events")
+    want = sorted(
+        tuple(r)
+        for r in ev_b.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .collect()
+    )
+    assert got == want
