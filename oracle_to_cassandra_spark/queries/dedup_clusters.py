@@ -43,6 +43,48 @@ def dedup_cluster_assignment(spark, sf_dir):
 
 
 @query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({jaccard_verified_pairs_sql(threshold=0.6)}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT cluster_id, count(*)::BIGINT AS cluster_size
+      FROM labels GROUP BY cluster_id
+    )
+    SELECT cluster_size, count(*)::BIGINT AS n_clusters
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_size_histogram(spark, sf_dir):
+    """Cluster-size histogram — the summary every dedup pipeline
+    reports (how many pairs/triples/mega-clusters): CC labels →
+    per-cluster size → size frequency. A mega-cluster spike is the
+    canonical signal of an over-permissive LSH threshold; at 100 TB
+    this histogram is the cheap audit run before committing a
+    keeper-selection pass. Two tiny aggregates on top of the CC
+    output (cluster-count-sized, not corpus-sized)."""
+    from oracle_to_cassandra_spark.operators.dedup import jaccard_verified_pairs
+
+    pairs = jaccard_verified_pairs(load_table(spark, sf_dir, "documents"), 0.6)
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
+
+
+@query(
     "merge_scd_status_update",
     oracle="""
     SELECT o_orderkey,
