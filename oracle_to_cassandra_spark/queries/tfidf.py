@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from oracle_to_cassandra_spark.operators.text import shingles, tokens
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
@@ -81,37 +82,38 @@ def tfidf_top_terms(spark, sf_dir):
       FROM toks WHERE len(t) >= 2
     )
     SELECT bigram, count(*)::BIGINT AS freq FROM bigrams
-    GROUP BY bigram HAVING count(*) >= 50
+    GROUP BY bigram
+    HAVING count(*) >= greatest(5, (SELECT count(*) FROM documents) // 200)
     """,
 )
 def top_bigrams_corpus(spark, sf_dir):
-    """Corpus-wide bigram frequency (≥50 occurrences) — collocation
-    statistics for tokenizer/vocab construction. Map-side partial
-    counts keep the shuffle at vocabulary size, not token-stream
-    size.
+    """Corpus-wide bigram frequency above a scale-aware floor —
+    collocation statistics for tokenizer/vocab construction. Map-side
+    partial counts keep the shuffle at vocabulary size, not
+    token-stream size.
 
-    Plan note: bigrams are built with ``zip_with(t, slice(t, 2, n))``
-    — the split array is evaluated a constant number of times per ROW.
+    The floor is ``max(5, n_docs / 200)`` rather than a constant: a
+    fixed absolute count is vacuous at small SF (round 2's driver
+    check compared two empty results) and too permissive at 100 TB,
+    while a per-document rate holds the output at vocabulary scale
+    across any corpus size.
+
+    Plan note: bigrams are ``shingles(tok, k=2)`` — the zip_with fold
+    that evaluates the split array a constant number of times per ROW.
     The earlier ``transform(idx, i -> element_at(tok, i))`` form
     re-evaluated the split per ELEMENT (higher-order funcs are
     CodegenFallback with no subexpression elimination), i.e. O(n²)
     per document — measured 4× slower on the sf0.1 corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = F.split(F.lower(F.col("text")), " ")
-    # zip pads with NULL on the shorter side; concat propagates the
-    # NULL, and slice(…, 1, n-1) drops that trailing element
-    pairs = F.slice(
-        F.zip_with(
-            tok,
-            F.slice(tok, 2, F.greatest(F.size(tok) - 1, F.lit(1))),
-            lambda x, y: F.concat(x, F.lit(" "), y),
-        ),
-        1,
-        F.greatest(F.size(tok) - 1, F.lit(0)),
-    )
-    bigrams = docs.filter(F.size(tok) >= 2).select(F.explode(pairs).alias("bigram"))
+    tok = tokens(F.col("text"))
+    bigrams = docs.select(F.explode(shingles(tok, k=2)).alias("bigram"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     return (
         bigrams.groupBy("bigram")
         .agg(F.count("*").alias("freq"))
-        .filter(F.col("freq") >= 50)
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.col("freq") >= F.greatest(F.lit(5), F.floor(F.col("n_docs") / 200))
+        )
+        .select("bigram", "freq")
     )

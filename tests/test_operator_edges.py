@@ -90,3 +90,79 @@ def test_session_window_strict_gap_boundary(spark):
         .collect()
     )
     assert sorted(r["count"] for r in sessions) == [1, 2]
+
+
+def test_zipwith_bigrams_match_naive_python(spark):
+    # the zip_with(t, slice(t,2,n)) construction vs a character-level
+    # naive oracle — covers the rewrite ADVICE flagged as vacuously
+    # verified (round-2 driver compare was 0 rows on both engines)
+    corpus = [
+        "the quick brown fox jumps over the quick brown dog",
+        "one two",
+        "solo",
+        "",
+        "a a a a",
+    ]
+    expected = {}
+    for text in corpus:
+        toks = text.lower().split(" ")
+        if len(toks) < 2:
+            continue
+        for a, b in zip(toks, toks[1:]):
+            bg = f"{a} {b}"
+            expected[bg] = expected.get(bg, 0) + 1
+
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    got = {
+        r.bigram: r.freq
+        for r in df.select(
+            F.explode(shingles(tokens(F.col("text")), k=2)).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_connected_components_long_chain_converges(spark):
+    # 100-node chain: diameter 99. The round-2 min-label propagation
+    # needed O(diameter) rounds and RAISED here at max_iter=20; the
+    # two-phase large-star/small-star variant is O(log n).
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 100)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+    assert out == {i: 1 for i in range(1, 101)}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    # randomized graphs (seeded) vs a plain Python union-find oracle
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(3):
+        n = 60
+        pairs = [
+            (rng.randrange(1, n + 1), rng.randrange(1, n + 1)) for _ in range(45)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b]
+
+        parent = {x: x for ab in pairs for x in ab}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for x in parent:
+            groups.setdefault(find(x), []).append(x)
+        expected = {x: min(g) for g in groups.values() for x in g}
+
+        edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+        got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
+        assert got == expected, f"trial {trial} mismatch"
