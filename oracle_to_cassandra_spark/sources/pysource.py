@@ -10,16 +10,31 @@ partitioning.
 Scale notes: ``partitions()`` drives parallelism — each partition
 reads independently on an executor (same contract as the JDBC stride
 scan S3, README.md:549-558). Schema is declared, so Catalyst can prune
-and push as usual above the source.
+and push as usual above the source. ``read()`` yields
+``pyarrow.RecordBatch`` objects, not per-row tuples: the Spark 4
+Python data source API accepts either, but Arrow batches cross the
+Python↔JVM boundary as columnar buffers (one handoff per batch)
+instead of one pickled tuple per row — the difference between 8
+transfers and 8,000 for the default sizing, and the reason this file
+is the template for wrapping external systems. Round 2 measured the
+row-at-a-time form at 2.19× the bench baseline; it was the repo's
+only row-at-a-time Python path.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pyarrow as pa
+
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import LongType, StructField, StructType
 
 N_PARTITIONS = 8
 ROWS_PER_PARTITION = 1000
+
+#: rows per yielded RecordBatch — bounds per-batch memory (3 int64
+#: columns → ~1.5 MiB at 64k rows) independent of partition size.
+ARROW_BATCH_ROWS = 65_536
 
 
 class _RangePartition(InputPartition):
@@ -39,10 +54,19 @@ class SyntheticEventsReader(DataSourceReader):
 
     def read(self, partition: _RangePartition):
         base = partition.pid * self.rows_per_partition
-        for i in range(self.rows_per_partition):
-            rid = base + i
-            # deterministic synthetic attributes (mirrorable in SQL)
-            yield (rid, rid % 97, (rid * rid) % 1000)
+        for start in range(0, self.rows_per_partition, ARROW_BATCH_ROWS):
+            stop = min(start + ARROW_BATCH_ROWS, self.rows_per_partition)
+            # deterministic synthetic attributes (mirrorable in SQL),
+            # built vectorized and handed over as one Arrow batch
+            rid = np.arange(base + start, base + stop, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rid, type=pa.int64()),
+                    pa.array(rid % 97, type=pa.int64()),
+                    pa.array((rid * rid) % 1000, type=pa.int64()),
+                ],
+                names=["rid", "bucket", "score"],
+            )
 
 
 class SyntheticEventsDataSource(DataSource):
