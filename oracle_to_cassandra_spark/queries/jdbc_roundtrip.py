@@ -19,20 +19,22 @@ import os
 
 from pyspark.sql import functions as F
 
+from oracle_to_cassandra_spark import scratch
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 from oracle_to_cassandra_spark.sources.jdbc import read_jdbc_table
 
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
-_SCRATCH = "/root/repo/.scratch"
 
 
 def _derby_url(sf_dir: str) -> str:
-    """One Derby database per SF dir (Derby embedded allows a single
-    booting JVM per database directory — separate paths keep test and
-    bench SFs from fighting over the boot lock)."""
+    """One Derby database per (session, SF dir): Derby embedded allows
+    a SINGLE booting JVM per database directory, so the path carries
+    both the session token (concurrent pytest/bench/driver JVMs never
+    contend for the boot lock) and the SF name (one session probing
+    several SFs keeps separate databases)."""
     name = os.path.basename(os.path.normpath(sf_dir)) or "default"
-    return f"jdbc:derby:{_SCRATCH}/derby_{name};create=true"
+    return f"jdbc:derby:{scratch.session_path(f'derby_{name}')};create=true"
 
 
 @query(
@@ -53,10 +55,9 @@ def jdbc_partitioned_roundtrip(spark, sf_dir):
     The single driver-side ``max(c_custkey)`` fetch is the standard
     bounds-metadata query every partitioned JDBC load starts with —
     one scalar, not a data collect."""
-    os.makedirs(_SCRATCH, exist_ok=True)
     # keep Derby's boot log out of the repo root
     spark._jvm.java.lang.System.setProperty(
-        "derby.stream.error.file", f"{_SCRATCH}/derby.log"
+        "derby.stream.error.file", scratch.session_path("derby.log")
     )
     url = _derby_url(sf_dir)
     cust = load_table(spark, sf_dir, "customer").select(

@@ -4,9 +4,8 @@ queries, plus the sink round-trip (S8/S9/S10 + P7).
 
 from __future__ import annotations
 
-import os
-
 from oracle_to_cassandra_spark import pipelines as P
+from oracle_to_cassandra_spark import scratch
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sinks import read_partition, write_query_table
 
@@ -60,9 +59,7 @@ def sink_roundtrip_partition_lookup(spark, sf_dir):
     Scale: the read-back predicate prunes partition directories at
     planning time; only the matching segment's files are scanned.
     """
-    scratch = "/root/repo/.scratch"
-    os.makedirs(scratch, exist_ok=True)
-    path = os.path.join(scratch, "orders_by_customer")
+    path = scratch.session_path("orders_by_customer")
     df = P.denorm_orders_by_customer(spark, sf_dir)
     write_query_table(
         df, path, partition_by=["c_mktsegment"], cluster_by=["c_custkey", "o_orderkey"]
@@ -91,15 +88,16 @@ def sink_ddl_roundtrip(spark, sf_dir):
 
     from oracle_to_cassandra_spark.sources import load_table
 
-    # explicit LOCATION + pre-wipe keeps the query idempotent across
-    # SESSIONS: the in-memory catalog forgets the table at JVM exit,
-    # so a managed-table CREATE would trip over the stale directory
-    loc = "/root/repo/.scratch/ddl_orders_roundtrip"
+    # session-token name + LOCATION: idempotent within the session
+    # (DROP+rmtree re-create) and collision-free across concurrent
+    # sessions sharing the metastore or the scratch tree
+    tbl = scratch.session_table("ddl_orders_roundtrip")
+    loc = scratch.session_path(tbl)
     shutil.rmtree(loc, ignore_errors=True)
-    spark.sql("DROP TABLE IF EXISTS ddl_orders_roundtrip")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(
         f"""
-        CREATE TABLE ddl_orders_roundtrip (
+        CREATE TABLE {tbl} (
           o_orderkey BIGINT, o_totalprice DOUBLE, o_orderstatus STRING
         ) USING parquet PARTITIONED BY (o_orderstatus)
         LOCATION '{loc}'
@@ -107,10 +105,10 @@ def sink_ddl_roundtrip(spark, sf_dir):
     )
     load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
-    ).write.mode("append").insertInto("ddl_orders_roundtrip")
+    ).write.mode("append").insertInto(tbl)
     return spark.sql(
-        """
+        f"""
         SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
-        FROM ddl_orders_roundtrip WHERE o_orderstatus = 'F'
+        FROM {tbl} WHERE o_orderstatus = 'F'
         """
     )
