@@ -1,12 +1,14 @@
-"""Rewrite the per-query baseline table in BASELINE.md from
+"""Append post-freeze baseline rows to BASELINE.md from
 BENCH_LOCAL.json (the full record bench.py persists).
 
-Usage: python bench.py && python tools/record_baseline.py
+BASELINE.md is FROZEN (round 3): existing per-query rows are the
+permanent regression anchor and are NEVER rewritten — a self-refreshed
+baseline would make the 2× bar self-referential. This tool now only
+APPENDS rows for queries that have no baseline entry yet (new operators
+added after the freeze), taking each new query's number from its first
+green bench run.
 
-Methodology note recorded alongside: the baseline MUST come from a
-fresh JVM running bench.py alone (alphabetical order, noop sink) —
-the same way the grading driver runs it — or the 2× regression bar
-compares warm-cache numbers against cold ones.
+Usage: python bench.py && python tools/record_baseline.py
 """
 
 from __future__ import annotations
@@ -17,30 +19,34 @@ import re
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MARK = "| query | sec/query @ sf0.1 |"
+ADDENDUM_MARK = "## Post-freeze additions"
 
 
 def main() -> None:
     with open(os.path.join(ROOT, "BENCH_LOCAL.json")) as fh:
         payload = json.load(fh)
     queries = payload["queries"]
-    with open(os.path.join(ROOT, "BASELINE.md")) as fh:
+    path = os.path.join(ROOT, "BASELINE.md")
+    with open(path) as fh:
         text = fh.read()
 
-    head = text.split(MARK)[0]
-    lines = [MARK, "|---|---|"]
-    for name in sorted(queries):
-        lines.append(f"| {name} | {queries[name]} |")
-    lines.append(
-        f"\n**Total: {payload['value']} s / {len(queries)} queries at "
-        f"sf{payload['sf']}** — fresh JVM, `python bench.py` alone on the "
-        "machine (alphabetical order, noop sink, local[32], AQE on, "
-        "per-query min of 2 passes), the same methodology the driver's "
-        "per-round bench uses — bench.py itself implements min-of-2, so "
-        "recorded baseline and graded bench stay comparable.\n"
-    )
-    with open(os.path.join(ROOT, "BASELINE.md"), "w") as fh:
-        fh.write(head + "\n".join(lines))
-    print(f"recorded {len(queries)} queries, total {payload['value']}s")
+    existing = set(re.findall(r"^\| (\w+) \| [\d.]+ \|$", text, re.M))
+    new = sorted(set(queries) - existing)
+    if not new:
+        print(f"baseline frozen; all {len(queries)} benched queries already "
+              "have rows — nothing to append")
+        return
+
+    if ADDENDUM_MARK not in text:
+        text = text.rstrip("\n") + (
+            f"\n\n{ADDENDUM_MARK}\n\nQueries added after the round-3 freeze; "
+            "each row records the query's FIRST green bench run and then "
+            "never changes.\n\n" + MARK + "\n|---|---|\n"
+        )
+    rows = "".join(f"| {name} | {queries[name]} |\n" for name in new)
+    with open(path, "w") as fh:
+        fh.write(text.rstrip("\n") + "\n" + rows)
+    print(f"appended {len(new)} post-freeze rows: {', '.join(new)}")
 
 
 if __name__ == "__main__":
