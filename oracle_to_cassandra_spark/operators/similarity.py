@@ -26,6 +26,25 @@ from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.vector import cosine, dot
 
+#: hard cap on the probe set. Both paths BROADCAST the probes (that is
+#: what keeps the corpus side distributed and shuffle-free), so the
+#: probe set must fit in every executor's memory — and for brute force
+#: the scoring cost is |probes| · |corpus|. The 100 TB contract is
+#: "bounded probes against an unbounded corpus"; this enforces it in
+#: code rather than in a docstring. Raise deliberately, per call site,
+#: if a larger bound is truly intended.
+MAX_PROBES = 4096
+
+
+def _check_probe_count(probe_ids: list[int]) -> None:
+    if len(probe_ids) > MAX_PROBES:
+        raise ValueError(
+            f"{len(probe_ids)} probe ids exceed MAX_PROBES={MAX_PROBES}; "
+            "the probe set is broadcast and pair-scored — for bulk "
+            "all-vs-all similarity use the LSH/IVF bucketed paths, or "
+            "chunk the probes"
+        )
+
 
 def _scored_pairs(probes: DataFrame, cands: DataFrame) -> DataFrame:
     """Broadcast probes against candidate vectors; cosine per pair."""
@@ -40,6 +59,7 @@ def brute_force_topk(
     embeddings: DataFrame, probe_ids: list[int], k: int = 10
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each probe id."""
+    _check_probe_count(probe_ids)
     probes = embeddings.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
@@ -76,6 +96,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 def ivf_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 10) -> DataFrame:
     """IVF-style ANN: assign each probe to its nearest label centroid,
     then brute-force only within that cell."""
+    _check_probe_count(probe_ids)
     cents = label_centroids(embeddings)
     probes = embeddings.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")

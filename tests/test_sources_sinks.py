@@ -91,3 +91,30 @@ def test_cassandra_sink_fails_actionably_without_connector(spark):
     df = df.toDF(*[c.lower() for c in df.columns])
     with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
         write_to_cassandra(df, keyspace="hr", table="customer")
+
+
+def test_cassandra_sink_validates_case_before_classpath(spark):
+    # the case check must fire BEFORE the connector-classpath gate:
+    # a user with the connector installed still gets the documented
+    # README.md:705-709 failure mode, and a user without it learns
+    # about the schema problem first
+    from oracle_to_cassandra_spark.sinks import write_to_cassandra
+
+    df = spark.range(3).select(F.col("id").alias("MixedCase"))
+    with pytest.raises(CaseMismatchError):
+        write_to_cassandra(df, keyspace="hr", table="customer")
+
+
+def test_brute_force_topk_probe_cap(spark):
+    from oracle_to_cassandra_spark.operators.similarity import (
+        MAX_PROBES,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    too_many = list(range(MAX_PROBES + 1))
+    with pytest.raises(ValueError, match="MAX_PROBES"):
+        brute_force_topk(emb, too_many)
+    with pytest.raises(ValueError, match="MAX_PROBES"):
+        ivf_topk(emb, too_many)
