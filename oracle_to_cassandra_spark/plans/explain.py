@@ -53,8 +53,22 @@ def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     cost driver. Excluded: broadcast exchanges (move only the small
     side) and SinglePartition exchanges (the 1-row output of a global
-    aggregate, e.g. a corpus count feeding a broadcast)."""
+    aggregate, e.g. a corpus count feeding a broadcast).
+
+    Parsed from each Exchange node's own detail block (header
+    ``(N) Exchange`` + its ``Arguments:`` line), keyed by node id —
+    NOT by subtracting a global ``SinglePartition`` regex count from a
+    global node count, which silently skews whenever a SinglePartition
+    line belongs to some other node or a detail block is printed twice
+    (AQE initial+final plan output repeats blocks with the same id)."""
     plan = formatted_plan(df)
-    total = len(re.findall(r"\(\d+\) Exchange\b", plan))
-    single = len(re.findall(r"Arguments: SinglePartition", plan))
-    return total - single
+    is_shuffle_by_id: dict[str, bool] = {}
+    for block in re.split(r"\n\s*\n", plan):
+        m = re.match(r"\((\d+)\) Exchange\b", block.strip())
+        if not m:
+            continue
+        args = re.search(r"^Arguments: (.*)$", block, re.M)
+        is_shuffle_by_id[m.group(1)] = not (
+            args and args.group(1).startswith("SinglePartition")
+        )
+    return sum(is_shuffle_by_id.values())

@@ -78,14 +78,17 @@ def test_stream_stateful_profile_equals_batch_agg(spark):
     qs = E.queries()
     stream = qs["stream_stateful_user_profile"](spark, SF_DIR)
     # update mode re-emits a row per key per batch; keep each user's
-    # final (max n_events) emission
-    final = (
-        stream.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
-            F.max("last_ts").alias("last_ts"),
-        )
+    # final emission ATOMICALLY via max_by on n_events (monotone per
+    # key). Independent per-column max() would stitch together a row
+    # that matches no actual emission whenever availableNow splits the
+    # input into several micro-batches and values can be negative
+    # (max(total_value) from a non-final emission).
+    final = stream.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_events", "total_value", "last_ts"), "n_events"
+        ).alias("f")
+    ).select(
+        "user_id", F.col("f.n_events"), F.col("f.total_value"), F.col("f.last_ts")
     )
     ev = load_table(spark, SF_DIR, "events")
     batch = ev.groupBy("user_id").agg(
