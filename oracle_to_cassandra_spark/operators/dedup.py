@@ -262,3 +262,138 @@ def simhash_fingerprints_sql(bits: int = SIMHASH_BITS) -> str:
     sums AS (SELECT doc_id, {sum_cols} FROM tok_tbl GROUP BY doc_id)
     SELECT doc_id, ({fp})::BIGINT AS simhash FROM sums
     """
+
+
+# ---------------------------------------------------------------- #
+# SimHash Hamming-banded near-dup detection                         #
+# ---------------------------------------------------------------- #
+
+#: the wide fingerprint used for BANDED Hamming search (the 16-bit
+#: fingerprint above is the compact bucket-equality form). 48 bits in
+#: 2 bands of 24: by pigeonhole, two fingerprints within Hamming
+#: distance 1 (< number of bands) must agree on at least one whole
+#: band, so the band-bucket self-join has NO false negatives at the
+#: max_hamming=1 contract — and a 24-bit band keeps random collisions
+#: at 2^-24, so the candidate join stays bucket-sized at 100 TB.
+SIMHASH_WIDE_BITS = 48
+SIMHASH_BANDS = 2
+SIMHASH_MAX_HAMMING = 1
+
+
+def simhash_near_dup_stats(
+    documents: DataFrame,
+    bits: int = SIMHASH_WIDE_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Per-doc near-dup degree + single-pass keeper decision from
+    banded SimHash: (doc_id, n_near, is_keeper).
+
+    Stages: wide fingerprint (one agg) → band explode (carrying the
+    fingerprint, so no join-back) → band-bucket self-join → distinct
+    pairs → exact Hamming verify (``bit_count(xor)``) → per-doc
+    degree. Keeper policy is the greedy single-pass rule — drop any
+    doc with a near-neighbor of smaller id; transitive chains are the
+    clustering pipeline's job (connected_components over MinHash
+    pairs), not this operator's.
+
+    Scale: output is corpus-sized (one row per doc), never
+    pair-sized; the only pair-sized relation is the verified-candidate
+    set, which banding bounds to true near-dups plus 2^-band_width
+    random collisions."""
+    assert bands > max_hamming, "pigeonhole guarantee needs bands > max_hamming"
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    fp = simhash_fingerprints(documents, bits=bits)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("simhash", band_width * j).bitwiseAND(mask)
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
+        "band_id", "band_val",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
+        "band_id", "band_val",
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_hamming
+        )
+    )
+    # undirected degree + smallest neighbor per doc
+    directed = pairs.select(
+        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
+    ).union(pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")))
+    degrees = directed.groupBy("doc_id").agg(
+        F.count("*").alias("n_near"), F.min("nbr").alias("_min_nbr")
+    )
+    # the full doc list comes from the RAW table, not fp: a DataFrame
+    # referenced on two plan branches re-executes its subtree, and fp
+    # is the expensive 48-sum aggregate
+    return (
+        documents.select("doc_id")
+        .join(degrees, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),
+            (F.col("_min_nbr").isNull() | (F.col("_min_nbr") > F.col("doc_id"))).alias(
+                "is_keeper"
+            ),
+        )
+    )
+
+
+def simhash_near_dup_stats_sql(
+    bits: int = SIMHASH_WIDE_BITS,
+    bands: int = SIMHASH_BANDS,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    band_width = bits // bands
+    mask = (1 << band_width) - 1
+    return f"""
+    WITH fp AS ({simhash_fingerprints_sql(bits=bits)}),
+    banded AS (
+      SELECT doc_id, simhash, j AS band_id,
+             (simhash >> ({band_width} * j)) & {mask} AS band_val
+      FROM fp, (SELECT unnest(range(0, {bands})) AS j)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                      a.simhash AS fp_a, b.simhash AS fp_b
+      FROM banded a
+      JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+                   AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT doc_a, doc_b FROM pairs
+      WHERE bit_count(xor(fp_a, fp_b)) <= {max_hamming}
+    ),
+    directed AS (
+      SELECT doc_a AS doc_id, doc_b AS nbr FROM near
+      UNION ALL
+      SELECT doc_b AS doc_id, doc_a AS nbr FROM near
+    ),
+    degrees AS (
+      SELECT doc_id, count(*)::BIGINT AS n_near, min(nbr) AS min_nbr
+      FROM directed GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(degrees.n_near, 0)::BIGINT AS n_near,
+           (degrees.min_nbr IS NULL OR degrees.min_nbr > d.doc_id) AS is_keeper
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN degrees ON d.doc_id = degrees.doc_id
+    """

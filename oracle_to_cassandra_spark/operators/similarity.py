@@ -131,3 +131,98 @@ def ivf_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 10) -> DataFr
         .filter(F.col("rn") <= k)
         .select("probe_id", F.col("cell"), "neighbor_id", "cos_sim", "rn")
     )
+
+
+# ---------------------------------------------------------------- #
+# Random-hyperplane LSH ANN                                         #
+# ---------------------------------------------------------------- #
+
+#: hyperplane count for the signature. 4 planes → 16 buckets sized for
+#: the test corpus (≥23 vectors/bucket at sf0.01, so top-10 retrieval
+#: is never starved); at 100 TB raise to 16-24 planes and add
+#: multi-probe (flip each signature bit in turn) — the operator shape
+#: is unchanged, buckets become parquet partitions.
+N_HYPERPLANES = 4
+EMBEDDING_DIM = 64
+
+
+def hyperplane_signs(n_planes: int = N_HYPERPLANES, dim: int = EMBEDDING_DIM):
+    """±1 hyperplane components, derived deterministically from md5 so
+    the Spark expressions and the DuckDB oracle inline the IDENTICAL
+    constants (same pattern as the MinHash permutation constants)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"hp:{j}:{i}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(emb, signs) -> "F.Column":
+    """LSH signature: bit j = sign of ⟨emb, hyperplane_j⟩. The dot is
+    a sequential double fold (zip_with + aggregate, JVM codegen) —
+    identical element order to the oracle's list_dot_product, and the
+    corpus's worst |dot| margin (2·10⁻⁵) is 10 orders above any
+    cross-engine float-accumulation drift, so the sign never flips
+    between engines."""
+    sig = F.lit(0)
+    for j, row in enumerate(signs):
+        dotj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(s) for s in row]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dotj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("long")
+
+
+def hyperplane_ann_topk(
+    embeddings: DataFrame,
+    probe_ids: list[int],
+    k: int = 10,
+    n_planes: int = N_HYPERPLANES,
+) -> DataFrame:
+    """LSH-bucketed ANN: score each probe ONLY against vectors sharing
+    its hyperplane-signature bucket — the equi-join form of ANN. At
+    100 TB the bucket column is the table's hash-partition key, so the
+    join is co-located and the scan per probe is one bucket, not the
+    corpus. Recall < 1 by construction (cosine-similar vectors agree
+    on each plane with P = 1 − θ/π); the brute-force twin measures it."""
+    _check_probe_count(probe_ids)
+    signs = hyperplane_signs(n_planes)
+    sigd = embeddings.select(
+        "vec_id",
+        "embedding",
+        hyperplane_bucket(F.col("embedding"), signs).alias("bucket"),
+    )
+    probes = sigd.filter(F.col("vec_id").isin(probe_ids)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        "bucket",
+    )
+    cands = sigd.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, ["bucket"])
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= k)
+        .select("probe_id", "bucket", "neighbor_id", "cos_sim", "rn")
+    )

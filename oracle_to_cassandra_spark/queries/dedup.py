@@ -131,3 +131,17 @@ def dedup_embedding_top_neighbor(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "dedup_simhash_near_stats",
+    oracle=D.simhash_near_dup_stats_sql(),
+)
+def dedup_simhash_near_stats(spark, sf_dir):
+    """Banded SimHash near-dup detection, aggregated to per-doc degree
+    + greedy keeper decision (48-bit fingerprint, 2×24-bit bands,
+    Hamming ≤ 1 — the band self-join has no false negatives by
+    pigeonhole). Complements the MinHash/Jaccard stack: one md5 per
+    token instead of per shingle, Hamming instead of set overlap —
+    the cheaper first-pass filter at 100 TB."""
+    return D.simhash_near_dup_stats(load_table(spark, sf_dir, "documents"))

@@ -137,3 +137,54 @@ def similarity_lsh_bucket_sizes(spark, sf_dir):
         .groupBy("bucket")
         .agg(F.count("*").alias("n_vecs"))
     )
+
+
+def _hyperplane_bucket_sql(col: str = "embedding") -> str:
+    """DuckDB twin of operators.similarity.hyperplane_bucket — inlines
+    the IDENTICAL md5-derived ±1 constants."""
+    terms = []
+    for j, row in enumerate(S.hyperplane_signs()):
+        arr = ",".join(str(s) for s in row)
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}::DOUBLE[], [{arr}]::DOUBLE[]) > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")::BIGINT"
+
+
+_HYPERPLANE_SQL = f"""
+    WITH sigd AS (
+      SELECT vec_id, embedding, {_hyperplane_bucket_sql()} AS bucket
+      FROM embeddings
+    ),
+    probes AS (
+      SELECT vec_id AS probe_id, embedding::DOUBLE[] AS p, bucket
+      FROM sigd WHERE vec_id IN {_PROBES_SQL}
+    ),
+    scored AS (
+      SELECT probes.probe_id, probes.bucket, e.vec_id AS neighbor_id,
+             round(list_dot_product(p, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(p, p))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6) AS cos_sim
+      FROM probes JOIN sigd e ON probes.bucket = e.bucket
+                             AND probes.probe_id <> e.vec_id
+    )
+    SELECT probe_id, bucket, neighbor_id, cos_sim, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY probe_id
+                                   ORDER BY cos_sim DESC, neighbor_id)::BIGINT AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """
+
+
+@query("similarity_hyperplane_ann_topk", oracle=_HYPERPLANE_SQL)
+def similarity_hyperplane_ann_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN: md5-derived ±1 hyperplanes → sign
+    signature → bucket equi-join → exact cosine top-10 within the
+    bucket. The LSH-bucketed scale path the north-star names alongside
+    IVF: the bucket column becomes the hash-partition key at 100 TB,
+    making ANN a co-located join instead of a corpus scan."""
+    return S.hyperplane_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), PROBE_IDS, k=10
+    )

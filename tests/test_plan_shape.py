@@ -109,3 +109,29 @@ def test_tfidf_bounded_exchanges(spark):
     df = E.queries()["tfidf_top_terms"](spark, SF_DIR)
     n = exchange_count(df)
     assert n <= 3, f"tfidf plan has {n} exchanges"
+
+
+def test_hyperplane_ann_single_shuffle(spark):
+    """LSH-bucketed ANN is signature projection → bucket broadcast
+    join → one top-k window exchange; more means the bucket equi-join
+    degraded toward a corpus scan."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["similarity_hyperplane_ann_topk"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n <= 1, f"hyperplane ANN plan has {n} exchanges"
+
+
+def test_simhash_near_stats_bounded_exchanges(spark):
+    """Banded SimHash dedup: fingerprint agg, band self-join, pair
+    distinct, degree agg, doc-list join — ≤6 exchanges, and the
+    48-sum fingerprint aggregate must appear ONCE (the doc list joins
+    back from the raw table, not from the fingerprint relation)."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["dedup_simhash_near_stats"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n <= 6, f"simhash near-dup plan has {n} exchanges"
+    plan = formatted_plan(df)
+    # the fingerprint agg is the only place s0 sign-sums appear
+    assert plan.count("s0#") <= 60, "fingerprint aggregate appears duplicated"
