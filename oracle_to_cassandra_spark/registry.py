@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.cohorts",
     "oracle_to_cassandra_spark.queries.tpch_shapes",
+    "oracle_to_cassandra_spark.queries.tpch_suite",
     "oracle_to_cassandra_spark.queries.joins_extended",
     "oracle_to_cassandra_spark.queries.subqueries",
     "oracle_to_cassandra_spark.queries.nested",

@@ -135,3 +135,48 @@ def test_simhash_near_stats_bounded_exchanges(spark):
     plan = formatted_plan(df)
     # the fingerprint agg is the only place s0 sign-sums appear
     assert plan.count("s0#") <= 60, "fingerprint aggregate appears duplicated"
+
+
+def test_tpch_q19_no_shuffle_equi_join(spark):
+    """Q19's disjunctive predicates must ride a broadcast equi-join on
+    partkey as a residual — a BroadcastNestedLoopJoin (or any shuffle)
+    means the OR broke the equi-key extraction."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["tpch_q19_disjunctive_predicates"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert exchange_count(df) == 0, "Q19 should be broadcast-join + global agg"
+
+
+def test_tpch_q5_single_shuffle(spark):
+    """Q5's 6-way join: one lineitem⋈orders shuffle; every dimension
+    edge (customer at test scale, supplier, nation, region) broadcasts."""
+    from oracle_to_cassandra_spark.plans import exchange_count, has_broadcast_join
+
+    df = E.queries()["tpch_q5_local_supplier_volume"](spark, SF_DIR)
+    assert has_broadcast_join(df)
+    n = exchange_count(df)
+    assert n <= 2, f"Q5 plan has {n} exchanges"
+
+
+def test_tpch_q21_bounded_exchanges(spark):
+    """Q21's EXISTS/NOT-EXISTS pair is one per-order aggregate joined
+    back — bounded exchanges, no correlated re-scan of lineitem."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["tpch_q21_waiting_suppliers"](spark, SF_DIR)
+    n = exchange_count(df)
+    assert n <= 4, f"Q21 plan has {n} exchanges"
+
+
+def test_tpch_scalar_subqueries_broadcast_single_row(spark):
+    """Q11/Q22 scalar thresholds cross-join a ONE-ROW aggregate — the
+    BroadcastNestedLoopJoin in these plans is benign iff the build side
+    is a global agg, and the rest of the plan stays exchange-bounded."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    for name in ("tpch_q11_important_stock", "tpch_q22_global_sales_opportunity"):
+        df = E.queries()[name](spark, SF_DIR)
+        n = exchange_count(df)
+        assert n <= 2, f"{name} plan has {n} exchanges"
