@@ -19,10 +19,14 @@ from pyspark.sql import DataFrame
 
 
 def formatted_plan(df: DataFrame) -> str:
+    """``explain("formatted")`` output, truncated to the CURRENT plan:
+    once a DataFrame has executed, AQE appends an ``== Initial Plan ==``
+    section that repeats every node block with DIFFERENT ids — any
+    regex over the full text would then double-count nodes."""
     buf = io.StringIO()
     with redirect_stdout(buf):
         df.explain("formatted")
-    return buf.getvalue()
+    return buf.getvalue().split("== Initial Plan ==")[0]
 
 
 def pushed_filters(df: DataFrame) -> list[str]:

@@ -208,3 +208,61 @@ def approx_quantiles_acctbal(spark, sf_dir):
         F.round(F.element_at("_g", 8), 2).alias("p75"),
         within.alias("approx_within_tol"),
     )
+
+
+@query(
+    "hll_sketch_union_rollup",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT c_custkey)::BIGINT AS n_exact,
+           TRUE AS sketch_within_tol
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT '__TOTAL__', count(DISTINCT c_custkey)::BIGINT, TRUE
+    FROM customer
+    """,
+)
+def hll_sketch_union_rollup(spark, sf_dir):
+    """Mergeable Apache DataSketches HLL: per-segment sketches built in
+    one pass, then the GLOBAL distinct count derived by ``hll_union_agg``
+    over the per-segment sketches — never re-scanning the input.
+
+    This is the additive-rollup property ``approx_count_distinct``
+    cannot give you (its sketch is consumed inside the aggregate):
+    at 100 TB you materialize one sketch per (day, segment) partition,
+    and any coarser distinct count — per segment, per day, grand
+    total — is a union of stored sketches, a few KB each, instead of
+    a fresh scan. The hash-checkable contract mirrors
+    ``approx_count_distinct_custkeys``: exact counts plus a boolean
+    asserting the estimate sits inside 6× the sketch's published rsd
+    (lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.63%, 6σ ≈ 9.8%, floor 10) —
+    a flip means broken, not unlucky."""
+    lg_k = 12
+    tol_rel = 6 * 1.04 / (2 ** (lg_k / 2.0))
+    c = load_table(spark, sf_dir, "customer")
+    # c_custkey is the table PK, so count(*) IS the exact distinct
+    # count — mixing count_distinct into the sketch aggregate would
+    # trigger Spark's multi-stage distinct planning (6 exchanges vs 2)
+    # for a number the key constraint already gives us.
+    seg = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("_n_exact"),
+        F.hll_sketch_agg("c_custkey", F.lit(lg_k)).alias("_sk"),
+    )
+    # ROLLUP over the 5 aggregated sketch rows — NOT over customer —
+    # so the detail rows pass through unions-of-one and the grand
+    # total is genuinely hll_union_agg over the segment sketches,
+    # all in a single plan branch (a naive seg_rows ∪ seg.agg(...)
+    # re-executes the customer scan+agg twice: no CSE across plan
+    # branches).
+    rolled = seg.rollup("c_mktsegment").agg(
+        F.sum("_n_exact").alias("n_exact"),  # segments partition customers
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        F.grouping("c_mktsegment").alias("_g"),
+    )
+    tol = F.greatest(F.col("n_exact") * tol_rel, F.lit(10.0))
+    return rolled.select(
+        F.when(F.col("_g") == 1, F.lit("__TOTAL__"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        "n_exact",
+        (F.abs(F.col("_est") - F.col("n_exact")) <= tol).alias("sketch_within_tol"),
+    )

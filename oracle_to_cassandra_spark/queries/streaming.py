@@ -94,6 +94,59 @@ def stream_dedup_within_watermark(spark, sf_dir):
     return run_stream_to_memory(deduped, output_mode="append")
 
 
+@query("stream_stream_interval_join")  # streaming: rows-only check
+def stream_stream_interval_join(spark, sf_dir):
+    """Stream-stream inner join with watermarks + event-time range:
+    view events matched to the same user's purchases within 30
+    minutes — the attribution-join shape (reference analog: the FK
+    join `/root/reference/README.md:792-812`, lifted to two unbounded
+    inputs).
+
+    Both sides carry watermarks and the join condition bounds
+    purchase_ts to [view_ts, view_ts + 30 min], so Spark derives a
+    state-eviction bound for BOTH join buffers — without the time
+    bound, stream-stream join state grows forever; with it, each
+    side's buffer holds at most watermark-delay + range worth of
+    rows per key. That bounded buffer is the whole 100 TB/day story:
+    state is O(rate × window), not O(history)."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """user_id = p_user_id
+               AND purchase_ts >= view_ts
+               AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"""
+        ),
+        "inner",
+    ).select(
+        "user_id",
+        "view_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_time"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_time"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    )
+    return run_stream_to_memory(joined, output_mode="append", state_partitions=8)
+
+
 @query("stream_stateful_user_profile")  # streaming: rows-only check
 def stream_stateful_user_profile(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user

@@ -50,22 +50,38 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    result: DataFrame, output_mode: str = "complete"
+    result: DataFrame, output_mode: str = "complete", state_partitions: int | None = None
 ) -> DataFrame:
     """Execute a streaming plan to completion against the memory sink
     (synchronous: availableNow trigger + processAllAvailable) and
-    return the materialized result as a batch DataFrame."""
+    return the materialized result as a batch DataFrame.
+
+    ``state_partitions`` narrows ``spark.sql.shuffle.partitions`` for
+    the duration of the stream start — a streaming query pins its
+    state-partition count at first start, and a stream-stream join
+    opens FOUR state stores per partition, so the right width is set
+    by state SIZE, not by the session's batch-shuffle default (on a
+    cluster you'd size it once per checkpoint; here each run is a
+    fresh checkpoint)."""
+    spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        result.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            result.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
         q.awaitTermination()
-    return result.sparkSession.table(name)
+    return spark.table(name)

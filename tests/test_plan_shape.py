@@ -180,3 +180,21 @@ def test_tpch_scalar_subqueries_broadcast_single_row(spark):
         df = E.queries()[name](spark, SF_DIR)
         n = exchange_count(df)
         assert n <= 2, f"{name} plan has {n} exchanges"
+
+
+def test_hll_union_rollup_single_branch(spark):
+    """The sketch rollup must aggregate customer ONCE and derive the
+    grand total from unioned segment sketches — a detail∪total union
+    of two branches re-executes the scan+agg (no CSE across plan
+    branches) and a count_distinct mixed into the sketch agg triggers
+    multi-stage distinct planning (6 exchanges instead of 2)."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["hll_sketch_union_rollup"](spark, SF_DIR)
+    assert exchange_count(df) <= 2
+    plan = formatted_plan(df)
+    import re
+
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, "customer scanned more than once"
+    assert "hll_union_agg" in plan

@@ -148,3 +148,43 @@ def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """The watermarked stream-stream interval join must emit exactly
+    the batch join's matches: with availableNow consuming the whole
+    input, the initial watermark (epoch 0) evicts nothing before the
+    matches are produced, so append mode carries every pair."""
+    stream = E.queries()["stream_stream_interval_join"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = (
+        views.join(
+            purchases,
+            F.expr(
+                """user_id = p_user_id AND purchase_ts >= view_ts
+                   AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"""
+            ),
+        )
+        .select(
+            "user_id",
+            "view_id",
+            F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_time"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                "purchase_time"
+            ),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+    )
+    cols = ["user_id", "view_id", "view_time", "purchase_time", "purchase_value"]
+    assert _rows(stream, cols) == _rows(batch, cols)
+    assert stream.count() > 0
