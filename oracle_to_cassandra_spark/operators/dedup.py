@@ -290,12 +290,22 @@ def simhash_near_dup_stats(
     banded SimHash: (doc_id, n_near, is_keeper).
 
     Stages: wide fingerprint (one agg) → band explode (carrying the
-    fingerprint, so no join-back) → band-bucket self-join → distinct
-    pairs → exact Hamming verify (``bit_count(xor)``) → per-doc
-    degree. Keeper policy is the greedy single-pass rule — drop any
-    doc with a near-neighbor of smaller id; transitive chains are the
-    clustering pipeline's job (connected_components over MinHash
-    pairs), not this operator's.
+    fingerprint, so no join-back) → shuffle to band buckets →
+    IN-BUCKET pair enumeration (collect the bucket, lambda-filter
+    j>i) → distinct pairs → exact Hamming verify (``bit_count(xor)``)
+    → per-doc degree. Keeper policy is the greedy single-pass rule —
+    drop any doc with a near-neighbor of smaller id; transitive chains
+    are the clustering pipeline's job (connected_components over
+    MinHash pairs), not this operator's.
+
+    Plan discipline (the first cut was 4× slower): a band self-join
+    (``a.join(b, bucket_keys)``) re-executes the fingerprint aggregate
+    on BOTH branches, and a ``pairs ∪ pairs.swapped`` direction-union
+    doubles that again — Spark has no CSE across plan branches. Pair
+    enumeration inside the collected bucket needs ONE fingerprint
+    pass, and both pair directions come from one explode over the
+    4-struct array. Bucket collect is safe by construction: a
+    band_width-bit band bounds random bucket fan-in to n·2^-band_width.
 
     Scale: output is corpus-sized (one row per doc), never
     pair-sized; the only pair-sized relation is the verified-candidate
@@ -317,27 +327,40 @@ def simhash_near_dup_stats(
             )
         ).alias("band_id", "band_val"),
     )
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"),
-        "band_id", "band_val",
-    )
-    b = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"),
-        "band_id", "band_val",
+    buckets = (
+        banded.groupBy("band_id", "band_val")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"))
+        .filter(F.size("xs") >= 2)
     )
     pairs = (
-        a.join(b, ["band_id", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        buckets.select(F.explode("xs").alias("x"), "xs")
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("x.simhash").alias("fp_a"),
+            F.explode(
+                F.expr("filter(xs, y -> y.doc_id > x.doc_id)")
+            ).alias("y"),
+        )
+        .select(
+            "doc_a",
+            F.col("y.doc_id").alias("doc_b"),
+            "fp_a",
+            F.col("y.simhash").alias("fp_b"),
+        )
         .distinct()
         .filter(
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_hamming
         )
     )
-    # undirected degree + smallest neighbor per doc
+    # both directions from ONE explode (not pairs ∪ pairs.swapped)
     directed = pairs.select(
-        F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")
-    ).union(pairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")))
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")),
+                F.struct(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")),
+            )
+        ).alias("e")
+    ).select("e.doc_id", "e.nbr")
     degrees = directed.groupBy("doc_id").agg(
         F.count("*").alias("n_near"), F.min("nbr").alias("_min_nbr")
     )

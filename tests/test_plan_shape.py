@@ -123,16 +123,22 @@ def test_hyperplane_ann_single_shuffle(spark):
 
 
 def test_simhash_near_stats_bounded_exchanges(spark):
-    """Banded SimHash dedup: fingerprint agg, band self-join, pair
-    distinct, degree agg, doc-list join — ≤6 exchanges, and the
-    48-sum fingerprint aggregate must appear ONCE (the doc list joins
-    back from the raw table, not from the fingerprint relation)."""
+    """Banded SimHash dedup: fingerprint agg, band-bucket shuffle,
+    in-bucket pair explode, pair distinct, degree agg, doc-list join —
+    ≤4 exchanges, documents scanned exactly TWICE (fingerprints + the
+    final doc list), and the 48-sum fingerprint aggregate appears once
+    (a band self-join or a pairs∪swapped union would re-execute it —
+    no CSE across plan branches)."""
+    import re
+
     from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
 
     df = E.queries()["dedup_simhash_near_stats"](spark, SF_DIR)
     n = exchange_count(df)
-    assert n <= 6, f"simhash near-dup plan has {n} exchanges"
+    assert n <= 4, f"simhash near-dup plan has {n} exchanges"
     plan = formatted_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 2, f"documents scanned {n_scans}x"
     # the fingerprint agg is the only place s0 sign-sums appear
     assert plan.count("s0#") <= 60, "fingerprint aggregate appears duplicated"
 
