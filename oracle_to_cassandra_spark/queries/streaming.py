@@ -156,3 +156,64 @@ def stream_stateful_user_profile(spark, sf_dir):
 
     ev = read_events_stream(spark, sf_dir)
     return run_stream_to_memory(user_profile_stream(ev), output_mode="update")
+
+
+@query(
+    "stream_ingest_sink_roundtrip",
+    oracle="""
+    SELECT user_id, count(*)::BIGINT AS n_purchases,
+           round(sum(value), 2) AS total_value
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    """,
+)
+def stream_ingest_sink_roundtrip(spark, sf_dir):
+    """The reference's ETL loop (`/root/reference/README.md:839-889`)
+    run as STREAMING ingest: readStream over events → foreachBatch
+    writes each micro-batch into the Cassandra-style partitioned sink
+    layout → partition-pruned read-back → per-user aggregate.
+
+    foreachBatch is the connector escape hatch: the real
+    spark-cassandra-connector write would sit in the same callback.
+    Each batch appends under partition directories keyed by
+    event_type; the read-back predicate prunes to ONE partition at
+    planning time. Exactly-once at scale comes from the checkpoint +
+    idempotent per-batch-id writes; here each run uses a fresh
+    scratch namespace so reruns never double-count (hash-checkable
+    against the batch oracle — availableNow processes the whole input
+    exactly once)."""
+    import uuid as _uuid
+
+    from oracle_to_cassandra_spark import scratch
+    from oracle_to_cassandra_spark.sinks.cassandra_style import read_partition
+
+    run_id = _uuid.uuid4().hex[:8]
+    out_dir = scratch.session_path("stream_ingest", run_id, "table")
+    ckpt = scratch.session_path("stream_ingest", run_id, "ckpt")
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+    def write_batch(batch_df, batch_id):
+        batch_df.write.mode("append").partitionBy("event_type").parquet(out_dir)
+
+    q = (
+        ev.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    return (
+        read_partition(spark, out_dir, "event_type", "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -166,3 +166,53 @@ def test_connected_components_random_vs_union_find(spark):
         edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
         got = {r.doc_id: r.cluster_id for r in connected_components(edges).collect()}
         assert got == expected, f"trial {trial} mismatch"
+
+
+def test_simhash_bucket_pairs_match_naive_all_pairs(spark):
+    """The in-bucket pair enumeration (collect_list + lambda-filtered
+    explode) must find exactly the pairs a naive all-pairs Hamming
+    scan finds — banding guarantees no false negatives at
+    max_hamming < bands (pigeonhole), and the distinct() must collapse
+    pairs that collide in both bands."""
+    from oracle_to_cassandra_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        SIMHASH_WIDE_BITS,
+        simhash_fingerprints,
+        simhash_near_dup_stats,
+    )
+
+    corpus = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma delta epsilon eta"),    # near dup of 1/2
+        (4, "completely different words entirely here now"),
+        (5, "unrelated text about some other topic"),
+        (6, "alpha beta gamma delta epsilon zeta theta"),  # near of 1/2
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    fps = {
+        r.doc_id: r.simhash
+        for r in simhash_fingerprints(docs, bits=SIMHASH_WIDE_BITS).collect()
+    }
+    naive_pairs = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= SIMHASH_MAX_HAMMING
+    }
+    got = {
+        r.doc_id: (r.n_near, r.is_keeper)
+        for r in simhash_near_dup_stats(docs).collect()
+    }
+    naive_degree = {d: 0 for d in fps}
+    for a, b in naive_pairs:
+        naive_degree[a] += 1
+        naive_degree[b] += 1
+    for d in fps:
+        min_nbr = min(
+            [x for p in naive_pairs for x in p if d in p and x != d],
+            default=None,
+        )
+        keeper = min_nbr is None or min_nbr > d
+        assert got[d] == (naive_degree[d], keeper), f"doc {d}: {got[d]}"
+    assert naive_pairs, "fixture produced no near pairs — test is vacuous"
