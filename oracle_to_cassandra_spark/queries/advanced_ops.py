@@ -167,3 +167,66 @@ def embedding_int8_quantization(spark, sf_dir):
         F.round(s / 127, 6).alias("qscale"),
         F.when(s == 0, F.lit(0.0)).otherwise(F.round(err, 6)).alias("max_abs_err"),
     )
+
+
+@query(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value,
+           round(sum(value) / count(*), 4) AS avg_value
+    FROM events GROUP BY 1
+    """,
+)
+def incremental_rollup_merge(spark, sf_dir):
+    """Incremental materialized-rollup maintenance: a daily aggregate
+    'state table' (events before the cutoff) merged with a
+    late-arriving delta (events at/after the cutoff) by re-aggregating
+    the PARTIAL states — sum-of-sums, sum-of-counts — never the raw
+    history. The oracle aggregates all raw events in one pass;
+    equality proves the merge is lossless.
+
+    The decomposition rule this demonstrates: only keep MERGEABLE
+    partials in the state table (count, sum — and sketches, see
+    hll_sketch_union_rollup). avg is NOT mergeable, so it is derived
+    from sum/count at read time, never stored.
+
+    Scale: the nightly job re-aggregates |days| state rows plus one
+    day of delta instead of re-scanning the 100 TB history; the
+    cutoff predicate pushes into both scans so each side reads only
+    its partition range."""
+    # the cutoff is applied to the RAW nanosecond column BEFORE the
+    # ts conversion: a predicate on the derived timestamp
+    # (timestamp_micros(ts DIV 1000)) cannot push into the parquet
+    # scan, a predicate on the stored long can (PushedFilters —
+    # plan-asserted). Any cutoff partitions the data disjointly, so
+    # the oracle (one full-scan aggregate) stays exact regardless of
+    # the boundary's timezone reading.
+    import datetime as _dt
+
+    cutoff_ns = int(
+        _dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000_000
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def daily_partial(df):
+        ev = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+            F.count("*").alias("n_events"), F.sum("value").alias("sv")
+        )
+
+    state = daily_partial(raw.filter(F.col("ts") < cutoff_ns))
+    delta = daily_partial(raw.filter(F.col("ts") >= cutoff_ns))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("day")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        F.round("sv", 2).alias("total_value"),
+        F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
+    )

@@ -204,3 +204,28 @@ def test_hll_union_rollup_single_branch(spark):
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans == 1, "customer scanned more than once"
     assert "hll_union_agg" in plan
+
+
+def test_incremental_rollup_cutoff_pushes_down(spark):
+    """The incremental-merge cutoff must reach the parquet scans as a
+    pushed predicate on the RAW nanosecond column — filtering on the
+    derived timestamp (timestamp_micros(ts DIV 1000)) silently turns
+    the partition-range read into a full history scan."""
+    df = E.queries()["incremental_rollup_merge"](spark, SF_DIR)
+    fs = pushed_filters(df)
+    assert any("LessThan(ts" in f for f in fs), f"no pushed cutoff: {fs}"
+    assert any("GreaterThanOrEqual(ts" in f for f in fs), f"no pushed cutoff: {fs}"
+
+
+def test_decontamination_join_is_broadcast(spark):
+    """The benchmark shingle set must broadcast: a sort-merge plan
+    would shuffle the full train-side shingle stream (the 100 TB
+    scan) on h31 just to meet a tiny eval set."""
+    import re
+
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["decontamination_overlap"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    joins = set(re.findall(r"\(\d+\) (\w*Join\w*)", plan))
+    assert joins == {"BroadcastHashJoin"}, f"unexpected join strategy: {joins}"
