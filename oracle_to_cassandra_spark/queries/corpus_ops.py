@@ -1,0 +1,294 @@
+"""Corpus-curation operators for a training-data pipeline: intra-doc
+repetition quality signals, train/benchmark decontamination,
+deterministic global shuffle, per-domain quota capping, and mixture
+reweighting.
+
+These extend the reference's relational surface
+(`/root/reference/README.md:877` works a static HR schema; a corpus
+pipeline needs the same declarative style over documents) with the
+ops a 100 TB pretraining-data build runs nightly. Everything is
+JVM-side built-ins; the only shuffles are keyed aggregations on
+int64 hashes or doc ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql
+from oracle_to_cassandra_spark.operators.dedup import (
+    doc_shingle_hashes,
+    doc_shingle_hashes_sql,
+)
+from oracle_to_cassandra_spark.operators.text import shingles, shingles_sql, tokens
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+_TOK_SQL = "string_split(lower(text), ' ')"
+
+#: per-domain document cap for quota_cap_per_source
+DOMAIN_CAP = 40
+
+#: contamination shingle width (token 4-grams; 13-grams in production
+#: decontamination — the test corpus' docs are too short for that)
+DECON_K = 4
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             len({_TOK_SQL})::BIGINT AS n_tokens,
+             len(list_distinct({_TOK_SQL}))::BIGINT AS n_distinct
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, unnest({shingles_sql(_TOK_SQL, 2)}) AS bigram
+      FROM documents WHERE len({_TOK_SQL}) >= 2
+    ),
+    bg_counts AS (
+      SELECT doc_id, bigram, count(*)::BIGINT AS c
+      FROM bg GROUP BY doc_id, bigram
+    ),
+    bg_stats AS (
+      SELECT doc_id, max(c) AS top_c, sum(c) AS total_c
+      FROM bg_counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           round(1.0 - t.n_distinct / t.n_tokens, 6) AS dup_word_frac,
+           round(b.top_c / b.total_c, 6) AS top_bigram_frac
+    FROM tok t JOIN bg_stats b ON t.doc_id = b.doc_id
+    """,
+)
+def doc_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: duplicate-word
+    fraction (1 − distinct/total) and the fraction of all bigrams
+    taken by the single most frequent bigram — the two cheapest
+    filters for boilerplate / keyword-stuffed / degenerate documents.
+
+    Scale: one scan; bigram mode is computed DISTRIBUTED (explode →
+    two keyed aggregations with map-side combine), not per-row with a
+    quadratic higher-order lambda — a 100k-token document costs
+    O(n log n) across the cluster, not O(n²) in one task. Both
+    aggregations and the final join share hash-partitioning on
+    doc_id, so AQE collapses them onto one exchange of the exploded
+    bigrams."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    word_stats = d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
+    )
+    bg = d.select(
+        "doc_id", F.explode(shingles(tok, 2)).alias("bigram")
+    )
+    bg_stats = (
+        bg.groupBy("doc_id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("total_c"))
+    )
+    return word_stats.join(bg_stats, "doc_id").select(
+        "doc_id",
+        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_frac"),
+    )
+
+
+def _split_expr_sql() -> str:
+    """The 80/10/10 hash split shared with train_val_test_split."""
+    return f"({base31_sql('doc_id::VARCHAR')} % 10)"
+
+
+@query(
+    "decontamination_overlap",
+    oracle=f"""
+    WITH sh AS ({doc_shingle_hashes_sql(DECON_K)}),
+    split AS (
+      SELECT doc_id, {_split_expr_sql()} AS h FROM documents
+    ),
+    train_sh AS (
+      SELECT s.doc_id, s.h31 FROM sh s JOIN split p ON s.doc_id = p.doc_id
+      WHERE p.h < 8
+    ),
+    bench_sh AS (
+      SELECT DISTINCT s.h31 FROM sh s JOIN split p ON s.doc_id = p.doc_id
+      WHERE p.h = 9
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_contaminated_shingles
+    FROM train_sh t JOIN bench_sh b ON t.h31 = b.h31
+    GROUP BY t.doc_id
+    ORDER BY n_contaminated_shingles DESC, doc_id
+    LIMIT 20
+    """,
+)
+def decontamination_overlap(spark, sf_dir):
+    """Benchmark decontamination: which TRAIN documents share token
+    {DECON_K}-grams with the held-out TEST split (the 'benchmark')?
+    Production pipelines drop or redact these before pretraining.
+
+    Scale: shingles are hashed to int64 inside the row array before
+    the explode, so the contamination join moves 8-byte keys. The
+    benchmark side (distinct shingle hashes of the eval set — tiny
+    relative to the corpus) is explicitly broadcast: the train-side
+    100 TB scan streams map-side against it with NO shuffle; the only
+    exchange is the final per-doc count."""
+    d = load_table(spark, sf_dir, "documents")
+    split_h = base31(F.col("doc_id").cast("string")) % 10
+    membership = d.select("doc_id", split_h.alias("h"))
+    sh = doc_shingle_hashes(d, k=DECON_K)
+    train_sh = sh.join(membership.filter(F.col("h") < 8), "doc_id").select(
+        "doc_id", "h31"
+    )
+    bench_sh = (
+        sh.join(membership.filter(F.col("h") == 9), "doc_id")
+        .select("h31")
+        .distinct()
+    )
+    hits = train_sh.join(F.broadcast(bench_sh), "h31")
+    return (
+        hits.groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .orderBy(F.desc("n_contaminated_shingles"), "doc_id")
+        .limit(20)
+    )
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle=f"""
+    SELECT shuffle_pos, doc_id FROM (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5('seed42:' || doc_id::VARCHAR), doc_id
+             )::BIGINT AS shuffle_pos
+      FROM documents
+    )
+    ORDER BY shuffle_pos LIMIT 100
+    """,
+)
+def corpus_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle for training-example order: sort
+    by md5(seed ‖ doc_id). Reproducible across engines, partitionings
+    and reruns — the property rand() lacks — and re-seedable per
+    epoch by changing the literal.
+
+    Scale: a global sort range-partitions on sampled hash boundaries
+    (uniform by construction, so no skewed ranges) and each partition
+    sorts locally — the standard total-order shuffle. The first-100
+    probe here keeps the driver compare small; a real run writes the
+    full sorted output straight to the sink."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos"))
+        .select("shuffle_pos", "doc_id")
+        .orderBy("shuffle_pos")
+        .limit(100)
+    )
+
+
+@query(
+    "quota_cap_per_source",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap:' || doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_total,
+           sum(CASE WHEN rk <= {DOMAIN_CAP} THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM ranked
+    GROUP BY source ORDER BY source
+    """,
+)
+def quota_cap_per_source(spark, sf_dir):
+    """Per-domain quota capping (keep at most {DOMAIN_CAP} docs per
+    source, chosen by deterministic hash priority) — the standard
+    guard against one crawl domain dominating the mixture. The
+    hash-ranked choice is stable under re-runs and insensitive to
+    input order.
+
+    Scale: one window over hash-partitioned sources; map-side partial
+    aggregation collapses the kept/total counts. A skewed mega-domain
+    concentrates its rank scan in one partition — acceptable because
+    the window emits only a rank (no buffering of rows beyond the
+    frame), and the cap could be pre-filtered with an approximate
+    per-source count to short-circuit domains far over quota."""
+    d = load_table(spark, sf_dir, "documents")
+    pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(pri, "doc_id")
+    ranked = d.select("source", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.when(F.col("rk") <= DOMAIN_CAP, 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "corpus_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             count(*)::BIGINT AS n_docs,
+             sum(len({_TOK_SQL}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS all_tokens, count(*) AS n_sources
+            FROM per_source)
+    SELECT p.source, p.n_docs, p.n_tokens,
+           round(p.n_tokens / t.all_tokens, 6) AS actual_frac,
+           round((1.0 / t.n_sources)
+                 / (p.n_tokens / t.all_tokens), 6) AS sample_weight
+    FROM per_source p CROSS JOIN tot t
+    ORDER BY p.source
+    """,
+)
+def corpus_mixture_weights(spark, sf_dir):
+    """Mixture reweighting: per-source sampling weights that reshape
+    the corpus' natural token distribution into a target mixture
+    (uniform-over-sources here; production targets come from a
+    config). weight = target_frac / actual_frac — the multiplier a
+    weighted sampler applies per document of that source.
+
+    Scale: one keyed aggregation to source granularity (tiny), then a
+    broadcast of the 1-row total — the 100 TB scan is touched exactly
+    once."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(n_tok).alias("n_tokens")
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("all_tokens"), F.count("*").alias("n_sources")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("all_tokens"), 6).alias("actual_frac"),
+            F.round(
+                (1.0 / F.col("n_sources"))
+                / (F.col("n_tokens") / F.col("all_tokens")),
+                6,
+            ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
