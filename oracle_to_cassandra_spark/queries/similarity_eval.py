@@ -162,3 +162,128 @@ def dedup_minhash_winnowed(spark, sf_dir):
         F.min((F.col("h31") * MINHASH_A[1] + MINHASH_B[1]) % MERSENNE_P).alias("sig1"),
         F.count("*").alias("n_kept_shingles"),
     )
+
+
+_CENTS_SQL = """
+  SELECT label, list(c ORDER BY pos) AS centroid FROM (
+    SELECT label, pos, avg(v) AS c FROM (
+      SELECT label, unnest(embedding::DOUBLE[]) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ) GROUP BY label, pos
+  ) GROUP BY label
+"""
+
+_REFINE_SQL = f"""
+WITH cents AS ({_CENTS_SQL}),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.label AS cell,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_dot_product(e.embedding::DOUBLE[], c.centroid)
+                      / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[]))
+                         * sqrt(list_dot_product(c.centroid, c.centroid))) DESC,
+                      c.label) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT cell, count(*)::BIGINT AS n_vectors FROM assigned GROUP BY cell
+),
+newc AS (
+  SELECT cell, list(c ORDER BY pos) AS centroid FROM (
+    SELECT cell, pos, avg(v) AS c FROM (
+      SELECT a.cell, unnest(e.embedding::DOUBLE[]) AS v,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM assigned a JOIN embeddings e USING (vec_id)
+    ) GROUP BY cell, pos
+  ) GROUP BY cell
+)
+SELECT n.cell, ct.n_vectors,
+       round(sqrt(list_dot_product(n.centroid, n.centroid)), 6) AS centroid_l2,
+       round(list_dot_product(n.centroid, o.centroid)
+             / (sqrt(list_dot_product(n.centroid, n.centroid))
+                * sqrt(list_dot_product(o.centroid, o.centroid))), 6)
+         AS shift_cos
+FROM newc n
+JOIN cents o ON o.label = n.cell
+JOIN counts ct ON ct.cell = n.cell
+ORDER BY n.cell
+"""
+
+
+@query("ivf_centroid_refinement", oracle=_REFINE_SQL)
+def ivf_centroid_refinement(spark, sf_dir):
+    """One Lloyd (k-means) iteration over the IVF codebook: reassign
+    every vector to its nearest centroid by cosine, recompute the
+    cell means, and report per refined cell its population, its new
+    centroid's L2 norm, and how far it moved (cosine between old and
+    new centroid — the convergence signal an iterative driver loop
+    tests against a threshold).
+
+    Scale: the assignment step is the canonical map-side pattern —
+    the 10×64 codebook broadcasts, each corpus vector scores all
+    cells in its own task, and ``max_by`` over a (sim, −label) struct
+    picks the argmax WITH map-side partial aggregation (a window
+    would buffer and sort the 10× exploded rows). The recompute step
+    is posexplode → per-(cell, dim) avg — the same mergeable-partials
+    shape as label_centroids. Per iteration the corpus is scanned
+    once and shuffled only at vec_id (argmax) and (cell, dim) (means)
+    granularity; state between iterations is the 10-row codebook.
+
+    Reference analog: README.md:792-812's denormalizing join, lifted
+    to an iterative refinement the reference engine cannot express
+    without a driver-side loop — here the loop body itself is one
+    declarative plan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    # rename the codebook key up front: `embeddings` itself carries a
+    # `label` column, and the crossJoin would make it ambiguous.
+    # The codebook feeds TWO branches (assignment + shift); without
+    # materialization each branch re-runs the full centroid pipeline
+    # (scan + posexplode + two aggs — measured: 12 exchanges). The
+    # 10-row localCheckpoint is the iterative-algorithm state handoff,
+    # same as the connected-components loop (operators/graph.py).
+    cents = (
+        label_centroids(e)
+        .select(F.col("label").alias("cand_cell"), "centroid")
+        .localCheckpoint(eager=True)
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cand_cell",
+        cosine(F.col("embedding"), F.col("centroid")).alias("c_sim"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cand_cell", F.struct(F.col("c_sim"), (-F.col("cand_cell")).alias("nl"))
+        ).alias("cell")
+    )
+    members = assigned.join(e.select("vec_id", "embedding"), "vec_id")
+    dims = members.select(
+        "cell", F.posexplode("embedding").alias("pos", "v")
+    ).groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    newc = (
+        dims.groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select(
+            "cell", F.transform("pc", lambda s: s.getField("c")).alias("new_centroid")
+        )
+    )
+    counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
+    from oracle_to_cassandra_spark.functions.vector import norm
+
+    return (
+        newc.join(counts, "cell")
+        .join(F.broadcast(cents), F.col("cell") == F.col("cand_cell"))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(norm(F.col("new_centroid")), 6).alias("centroid_l2"),
+            F.round(cosine(F.col("new_centroid"), F.col("centroid")), 6).alias(
+                "shift_cos"
+            ),
+        )
+        .orderBy("cell")
+    )

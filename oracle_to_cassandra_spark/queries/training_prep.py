@@ -133,3 +133,50 @@ def multimodal_resize_stub(spark, sf_dir):
         _resize,
         schema="doc_id LONG, width INT, height INT, resized_w INT, resized_h INT",
     )
+
+
+N_ID_BLOCKS = 32
+
+
+@query(
+    "dense_global_ids",
+    oracle=f"""
+    SELECT doc_id,
+           (row_number() OVER (
+              ORDER BY {base31_sql("doc_id::VARCHAR")} % {N_ID_BLOCKS}, doc_id
+            ) - 1)::BIGINT AS global_id
+    FROM documents
+    """,
+)
+def dense_global_ids(spark, sf_dir):
+    """Dense, contiguous global IDs (0..N−1) WITHOUT a global sort:
+    the classic two-pass block-offset pattern. Rows hash into
+    {N_ID_BLOCKS} blocks; pass 1 counts each block (tiny aggregate);
+    a running sum over the {N_ID_BLOCKS}-row count table yields each
+    block's starting offset (broadcast); pass 2 ranks rows WITHIN
+    their block and adds the offset.
+
+    Scale: a naive ``row_number() OVER (ORDER BY …)`` funnels 100 B
+    rows through one task. Here the only row-scale wide op is the
+    per-block window — {N_ID_BLOCKS} independent partitions (set
+    blocks ≈ executor count in production; hash blocks are uniform by
+    construction so no skew) — and the offset table is O(blocks).
+    The oracle is the single-sort formulation: global order by
+    (block, doc_id) ≡ block offset + in-block rank, which is exactly
+    the equivalence the pattern relies on."""
+    d = load_table(spark, sf_dir, "documents")
+    block = (base31(F.col("doc_id").cast("string")) % N_ID_BLOCKS).alias("block")
+    rows = d.select("doc_id", block)
+    counts = rows.groupBy("block").agg(F.count("*").alias("n"))
+    w_off = (
+        Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "block", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("block").orderBy("doc_id")
+    ranked = rows.withColumn("lrank", F.row_number().over(w_local))
+    return ranked.join(F.broadcast(offsets), "block").select(
+        "doc_id",
+        (F.col("offset") + F.col("lrank") - 1).cast("long").alias("global_id"),
+    )
