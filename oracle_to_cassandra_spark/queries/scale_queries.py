@@ -131,3 +131,72 @@ def salted_skew_aggregate(spark, sf_dir):
         F.sum("pn").alias("n_orders"),
         F.round(F.sum("ps"), 0).alias("total_price"),
     )
+
+
+def _bloom_join_plan(spark, sf_dir):
+    """The lazily-planned join the runtime bloom filter targets:
+    lineitem (fact, shuffle side) ⋈ selectively-filtered orders.
+    Planned under confs the caller sets; split out so the plan test
+    can assert injection on the UN-materialized plan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_BLOOM_CONFS = {
+    # at 100 TB the fact-side scan exceeds the 10 GiB default and the
+    # filter injects on its own; locally the thresholds are forced so
+    # the plan under test IS the at-scale plan
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    # broadcast would bypass the bloom path entirely (a broadcast join
+    # already prunes map-side); the technique matters exactly when the
+    # dim side is too big to broadcast, which -1 simulates
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+@query(
+    "runtime_bloom_filtered_join",
+    oracle="""
+    SELECT l.l_returnflag, count(*)::BIGINT AS n_items,
+           round(sum(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """,
+)
+def runtime_bloom_filtered_join(spark, sf_dir):
+    """Runtime bloom-filter join pruning: Catalyst's InjectRuntimeFilter
+    builds a bloom filter from the FILTERED dim side (urgent orders)
+    and applies ``might_contain`` to the fact side BEFORE its shuffle —
+    at 100 TB the ~75% of lineitem rows whose order is not urgent are
+    dropped at the scan instead of being shuffled for the sort-merge
+    join. The technique is declarative (a conf, not a rewrite): the
+    result is proven identical to the naive join by the oracle.
+
+    The confs are scoped to the eager materialization and restored
+    before returning — leaving autoBroadcastJoinThreshold=-1 set would
+    silently degrade every later plan in the session (and the bench).
+    The returned frame is the localCheckpoint of the tiny (3-row)
+    aggregate; tests/test_plan_shape.py asserts might_contain on the
+    pre-materialization plan."""
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _bloom_join_plan(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

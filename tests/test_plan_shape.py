@@ -229,3 +229,24 @@ def test_decontamination_join_is_broadcast(spark):
     plan = formatted_plan(df)
     joins = set(re.findall(r"\(\d+\) (\w*Join\w*)", plan))
     assert joins == {"BroadcastHashJoin"}, f"unexpected join strategy: {joins}"
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """Under the at-scale confs, InjectRuntimeFilter must add a
+    might_contain predicate on the fact side before its shuffle —
+    the whole point of runtime_bloom_filtered_join."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+    from oracle_to_cassandra_spark.queries.scale_queries import (
+        _BLOOM_CONFS,
+        _bloom_join_plan,
+    )
+
+    prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        plan = formatted_plan(_bloom_join_plan(spark, SF_DIR))
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan.lower(), "no runtime bloom filter in plan"
