@@ -186,13 +186,14 @@ def corpus_global_shuffle(spark, sf_dir):
     full sorted output straight to the sink."""
     d = load_table(spark, sf_dir, "documents")
     key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
-    w = Window.orderBy(key, "doc_id")
-    return (
-        d.select("doc_id", F.row_number().over(w).cast("long").alias("shuffle_pos"))
-        .select("shuffle_pos", "doc_id")
-        .orderBy("shuffle_pos")
-        .limit(100)
-    )
+    # sort+limit first (TakeOrderedAndProject — the distributed
+    # top-k), then number the 100 survivors; a global row_number
+    # window before the limit would single-partition the corpus
+    top = d.select("doc_id", key.alias("k")).orderBy("k", "doc_id").limit(100)
+    w = Window.orderBy("k", "doc_id")
+    return top.select(
+        F.row_number().over(w).cast("long").alias("shuffle_pos"), "doc_id"
+    ).orderBy("shuffle_pos")
 
 
 @query(
@@ -289,6 +290,75 @@ def corpus_mixture_weights(spark, sf_dir):
                 / (F.col("n_tokens") / F.col("all_tokens")),
                 6,
             ).alias("sample_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "mixture_weighted_sample",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, sum(len({_TOK_SQL}))::DOUBLE AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens) AS all_tokens,
+                   count(*)::DOUBLE AS n_sources FROM per_source),
+    w AS (
+      SELECT p.source,
+             (1.0 / t.n_sources) / (p.n_tokens / t.all_tokens) AS weight
+      FROM per_source p CROSS JOIN tot t
+    ),
+    m AS (SELECT max(weight) AS max_w FROM w)
+    SELECT d.source,
+           count(*)::BIGINT AS n_candidates,
+           sum(CASE WHEN ({base31_sql("'mix:' || doc_id::VARCHAR")} % 1000000)
+                         / 1000000.0 < w.weight / m.max_w
+                    THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+    FROM documents d
+    JOIN w ON w.source = d.source CROSS JOIN m
+    GROUP BY d.source ORDER BY d.source
+    """,
+)
+def mixture_weighted_sample(spark, sf_dir):
+    """Applies the mixture weights: deterministic per-document
+    acceptance sampling that reshapes the corpus toward the target
+    (uniform-over-sources) token distribution. Rates are normalized
+    so the scarcest source keeps everything (rate 1.0) and abundant
+    sources are thinned proportionally; acceptance is a pure hash of
+    the doc key — reproducible, partition-independent, and stable
+    when the corpus grows (old keep/drop decisions never flip unless
+    the weights move).
+
+    Scale: pass 1 aggregates to a |sources|-row weight table (tiny);
+    pass 2 streams the corpus once against the broadcast weights —
+    accept/reject is map-side, no shuffle until the audit counts."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("double")
+    per_source = d.groupBy("source").agg(F.sum(n_tok).alias("n_tokens"))
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("all_tokens"),
+        F.count("*").cast("double").alias("n_sources"),
+    )
+    w = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        ((1.0 / F.col("n_sources")) / (F.col("n_tokens") / F.col("all_tokens"))).alias(
+            "weight"
+        ),
+    )
+    m = w.agg(F.max("weight").alias("max_w"))
+    u = (
+        base31(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000
+    ) / 1000000.0
+    return (
+        d.join(F.broadcast(w), "source")
+        .crossJoin(F.broadcast(m))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(
+                F.when(u < F.col("weight") / F.col("max_w"), 1).otherwise(0)
+            ).alias("n_sampled"),
         )
         .orderBy("source")
     )

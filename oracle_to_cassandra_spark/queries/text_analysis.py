@@ -6,6 +6,7 @@ literally into the DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import MERSENNE_P, base31_sql
@@ -150,3 +151,137 @@ def regexp_extraction_documents(spark, sf_dir):
         F.size(F.regexp_extract_all("text", F.lit("data"), F.lit(0))).alias("n_data_mentions"),
         F.regexp_replace("text", " +", "_").alias("underscored"),
     )
+
+
+@query(
+    "inverted_index_postings",
+    oracle="""
+    SELECT t AS token,
+           count(DISTINCT doc_id)::BIGINT AS df,
+           count(*)::BIGINT AS total_tf
+    FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    )
+    GROUP BY t
+    ORDER BY df DESC, token
+    LIMIT 30
+    """,
+)
+def inverted_index_postings(spark, sf_dir):
+    """Inverted-index vocabulary statistics: per token its document
+    frequency and total term frequency — the dictionary half of a
+    search index build (the postings themselves are this same plan
+    minus the final aggregate, written partitioned by token hash).
+
+    Scale: explode → one keyed aggregation with map-side combine;
+    token skew ('the') is absorbed by the partial aggregates — each
+    map task emits one row per distinct token, so the shuffle carries
+    vocabulary-sized data, not corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count_distinct("doc_id").alias("df"),
+            F.count("*").alias("total_tf"),
+        )
+        .orderBy(F.desc("df"), "token")
+        .limit(30)
+    )
+
+
+#: fixed retrieval query for the BM25 demo (terms chosen to hit the
+#: synthetic corpus vocabulary)
+BM25_QUERY_TERMS = ("data", "stream", "query")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+@query(
+    "bm25_retrieval_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avg_dl FROM doclen
+    ),
+    tf AS (
+      SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok
+      WHERE t IN ('data', 'stream', 'query')
+      GROUP BY doc_id, t
+    ),
+    df AS (
+      SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t
+    )
+    SELECT doc_id, score, row_number() OVER (
+             ORDER BY score DESC, doc_id)::BIGINT AS rnk
+    FROM (
+      SELECT tf.doc_id,
+             round(sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avg_dl))
+             ), 6) AS score
+      FROM tf
+      JOIN df ON df.t = tf.t
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id, dl.dl, s.n_docs, s.avg_dl
+    )
+    ORDER BY rnk LIMIT 20
+    """,
+)
+def bm25_retrieval_topk(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term set — the classic
+    sparse-retrieval scorer, composed entirely from declarative
+    aggregations: term frequencies for the query terms, document
+    frequencies, document-length normalization, and the Robertson
+    idf. Rank ties are broken on doc_id AFTER rounding the score to
+    6 digits so both engines rank identical values.
+
+    Scale: the only corpus-sized shuffles are the doc-length and
+    per-(doc, term) tf aggregations (map-side combined); df and the
+    corpus stats are term-count- and 1-row-sized broadcasts. At
+    100 TB doclen comes precomputed from the index build rather than
+    a second pass — here both derive from one cached explode."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    doclen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avg_dl")
+    )
+    tf = (
+        tok.filter(F.col("t").isin(*BM25_QUERY_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    df = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term_score = idf * F.col("tf") * (BM25_K1 + 1.0) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "t")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+    )
+    # sort+limit FIRST (TakeOrderedAndProject — distributed top-k),
+    # then rank only the 20 survivors: a global row_number window
+    # before the limit would move every scored document to one task
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score"), "doc_id")
+    return top.select(
+        "doc_id", "score", F.row_number().over(w).cast("long").alias("rnk")
+    ).orderBy("rnk")

@@ -216,3 +216,16 @@ def test_simhash_bucket_pairs_match_naive_all_pairs(spark):
         keeper = min_nbr is None or min_nbr > d
         assert got[d] == (naive_degree[d], keeper), f"doc {d}: {got[d]}"
     assert naive_pairs, "fixture produced no near pairs — test is vacuous"
+
+
+def test_dense_global_ids_bijective_and_contiguous(spark):
+    """The block-offset ID assignment must produce exactly 0..N-1,
+    each id once — the property the two-pass decomposition exists to
+    preserve."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    rows = E.queries()["dense_global_ids"](spark, SF_DIR).collect()
+    ids = sorted(r.global_id for r in rows)
+    assert ids == list(range(len(rows)))
+    assert len({r.doc_id for r in rows}) == len(rows)
