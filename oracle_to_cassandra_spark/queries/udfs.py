@@ -97,3 +97,48 @@ def udtf_chunk_documents(spark, sf_dir):
         FROM udtf_docs_v d, LATERAL chunk_docs(d.doc_id, d.text) c
         """
     )
+
+
+@query(
+    "map_in_arrow_token_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           len(string_split(text, ' '))::BIGINT AS n_ws_tokens
+    FROM documents
+    """,
+)
+def map_in_arrow_token_stats(spark, sf_dir):
+    """``mapInArrow``: the zero-copy end of the Python surface — the
+    UDF receives raw ``pyarrow.RecordBatch``es and answers with
+    batches, no pandas materialization at all. The right tier when
+    the Python side is itself Arrow-native (tokenizers, parquet
+    re-writers, Arrow-IPC shippers): pandas conversion would only add
+    a copy. Here each batch's text column is byte- and token-counted
+    with pyarrow compute kernels.
+
+    Completes the Python tiering alongside pandas_udf (scalar),
+    applyInPandas (grouped), mapInPandas (stream-of-frames), and the
+    row-UDTF — every tier under the same exact SQL twin discipline."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batch_stats(batches):
+        for b in batches:
+            text = b.column("text")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(
+                        pc.list_value_length(pc.split_pattern(text, " ")), pa.int64()
+                    ),
+                ],
+                ["doc_id", "n_bytes", "n_ws_tokens"],
+            )
+
+    return d.mapInArrow(
+        batch_stats, "doc_id long, n_bytes long, n_ws_tokens long"
+    )
