@@ -200,3 +200,51 @@ def runtime_bloom_filtered_join(spark, sf_dir):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+@query(
+    "quantile_cutpoint_bucketing",
+    oracle="""
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75]) AS cs FROM orders
+    )
+    SELECT (1 + len(list_filter(c.cs, x -> x < o.o_totalprice)))::BIGINT AS bucket,
+           count(*)::BIGINT AS n_orders,
+           round(min(o.o_totalprice), 2) AS lo,
+           round(max(o.o_totalprice), 2) AS hi
+    FROM orders o CROSS JOIN cuts c
+    GROUP BY 1 ORDER BY bucket
+    """,
+)
+def quantile_cutpoint_bucketing(spark, sf_dir):
+    """The scale-safe alternative to a global ntile window (the trap
+    ntile_quartiles documents): compute the quartile CUTPOINTS once
+    (an aggregate — map-side partials, no row buffering), broadcast
+    the 3-element array, and bucket each row map-side by counting
+    cutpoints below it. The corpus is never globally sorted and never
+    funnels through one task; per-bucket stats verify the assignment.
+
+    Exact `percentile` keeps the oracle deterministic (Spark's linear
+    interpolation matches DuckDB quantile_cont bit-for-bit here); at
+    100 TB swap in approx_percentile(..., accuracy) — same plan shape,
+    sketch-mergeable, with bucket-boundary tolerance instead of
+    equality."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    cuts = o.agg(
+        F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("cs")
+    )
+    v = F.col("o_totalprice")
+    bucket = (
+        1 + F.size(F.filter("cs", lambda x: x < v))
+    ).cast("long").alias("bucket")
+    return (
+        o.crossJoin(F.broadcast(cuts))
+        .select(bucket, v)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min(v), 2).alias("lo"),
+            F.round(F.max(v), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
