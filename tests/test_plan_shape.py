@@ -250,3 +250,22 @@ def test_runtime_bloom_filter_injected(spark):
         for k, v in prev.items():
             spark.conf.set(k, v)
     assert "might_contain" in plan.lower(), "no runtime bloom filter in plan"
+
+
+def test_pii_redaction_is_shuffle_free(spark):
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["pii_redaction_stats"](spark, SF_DIR)
+    assert exchange_count(df) == 0, (
+        "redaction must stay a per-row scan pass (regexp inside "
+        "whole-stage codegen) — any exchange means a refactor added "
+        "a corpus-sized shuffle to a map-only op"
+    )
+
+
+def test_oov_vocab_join_broadcasts(spark):
+    df = E.queries()["oov_rate_top_vocab"](spark, SF_DIR)
+    assert has_broadcast_join(df), (
+        "top-K vocab must broadcast — a shuffle join here carries "
+        "every token occurrence twice at 100 TB"
+    )
