@@ -145,3 +145,64 @@ def dedup_simhash_near_stats(spark, sf_dir):
     token instead of per shingle, Hamming instead of set overlap —
     the cheaper first-pass filter at 100 TB."""
     return D.simhash_near_dup_stats(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "incremental_lsh_dedup",
+    oracle=f"""
+    WITH sigs AS ({D.minhash_signatures_sql()}),
+    bands_tbl AS (
+      SELECT doc_id, 0 AS band_id,
+             sig0::VARCHAR || '_' || sig1::VARCHAR || '_' ||
+             sig2::VARCHAR || '_' || sig3::VARCHAR AS band_val
+      FROM sigs
+      UNION ALL
+      SELECT doc_id, 1 AS band_id,
+             sig4::VARCHAR || '_' || sig5::VARCHAR || '_' ||
+             sig6::VARCHAR || '_' || sig7::VARCHAR AS band_val
+      FROM sigs
+    ),
+    snap AS (SELECT * FROM bands_tbl WHERE doc_id % 2 = 0),
+    batch AS (SELECT * FROM bands_tbl WHERE doc_id % 2 = 1)
+    SELECT b.doc_id,
+           count(DISTINCT b.band_id)::BIGINT AS n_hit_bands,
+           count(DISTINCT s.doc_id)::BIGINT AS n_snapshot_partners
+    FROM batch b JOIN snap s
+      ON b.band_id = s.band_id AND b.band_val = s.band_val
+    GROUP BY b.doc_id
+    """,
+)
+def incremental_lsh_dedup(spark, sf_dir):
+    """Incremental-ingest near-dup check: a new BATCH of documents
+    (doc_id odd here) is screened against the frozen LSH band index
+    of the existing corpus SNAPSHOT (doc_id even) — the nightly-ingest
+    shape, where the snapshot index is precomputed once and only the
+    day's new documents are hashed and probed. Emits, per new doc
+    that collides, how many of its bands hit the index and how many
+    distinct snapshot docs it must be Jaccard-verified against.
+
+    Scale: the snapshot index is stored partitioned by
+    (band_id, band_val); the batch — orders of magnitude smaller —
+    shuffles to that same partitioning (or broadcasts when a day's
+    intake fits), so the join is bucket-equi on band keys and never
+    touches snapshot text. Signature computation happens once per
+    document EVER (at ingest), which is the entire point of keeping
+    the index incremental instead of re-running pairwise dedup over
+    100 TB nightly."""
+    docs = load_table(spark, sf_dir, "documents")
+    bands = D.lsh_bands(D.minhash_signatures(docs))
+    snap = bands.filter(F.col("doc_id") % 2 == 0)
+    batch = bands.filter(F.col("doc_id") % 2 == 1)
+    return (
+        batch.alias("b")
+        .join(
+            snap.alias("s"),
+            (F.col("b.band_id") == F.col("s.band_id"))
+            & (F.col("b.band_val") == F.col("s.band_val")),
+        )
+        .groupBy(F.col("b.doc_id").alias("doc_id"))
+        .agg(
+            F.count_distinct("b.band_id").alias("n_hit_bands"),
+            F.count_distinct("s.doc_id").alias("n_snapshot_partners"),
+        )
+    )

@@ -248,3 +248,102 @@ def quantile_cutpoint_bucketing(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "skew_diagnostics_orders_custkey",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, count(*)::BIGINT AS c FROM orders GROUP BY o_custkey
+    )
+    SELECT count(*)::BIGINT AS n_keys,
+           max(c) AS max_per_key,
+           round(avg(c), 6) AS avg_per_key,
+           round(quantile_cont(c, 0.5), 6) AS p50,
+           round(quantile_cont(c, 0.99), 6) AS p99,
+           round(max(c) / sum(c), 9) AS top1_share
+    FROM per_key
+    """,
+)
+def skew_diagnostics_orders_custkey(spark, sf_dir):
+    """Pre-join skew audit on a join key: per-key row counts reduced
+    to the distribution stats (max, p50/p99, heaviest key's share of
+    all rows) that decide whether the downstream join needs salting,
+    AQE skew splitting, or nothing. Run this BEFORE burning a cluster
+    on a skewed shuffle — it is the cheap probe behind the salting
+    factor chosen in salted_skew_aggregate.
+
+    Scale: first aggregation is map-side combined so the shuffle
+    carries one row per distinct key; the second collapses key counts
+    (already small) to a single stats row. Nothing is collected until
+    the final 1-row result. Exact percentiles over the key-count
+    table are fine at any corpus scale — the table is |keys|-sized,
+    not |rows|-sized; if even that is too wide, swap approx_percentile
+    (same plan shape, mergeable sketch)."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    per_key = o.groupBy("o_custkey").agg(F.count("*").alias("c"))
+    return per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_per_key"),
+        F.round(F.avg("c"), 6).alias("avg_per_key"),
+        F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99"),
+        F.round(F.max("c") / F.sum("c"), 9).alias("top1_share"),
+    )
+
+
+#: compaction target: characters per output bin (the small-files
+#: knob; in production this is bytes per output file, e.g. 512 MB)
+COMPACT_TARGET_CHARS = 4000
+
+
+@query(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH placed AS (
+      SELECT source, n_chars,
+             (sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_chars)
+               // {COMPACT_TARGET_CHARS} AS bin
+      FROM documents
+    )
+    SELECT source, bin::BIGINT AS bin,
+           count(*)::BIGINT AS n_docs,
+           sum(n_chars)::BIGINT AS total_chars
+    FROM placed GROUP BY source, bin
+    """,
+)
+def compaction_bin_packing(spark, sf_dir):
+    """Small-files compaction planner: assign each document to an
+    output bin by running-size within its source partition — bin =
+    floor(preceding cumulative size / target) — then report per-bin
+    doc counts and sizes. This is the planning half of the nightly
+    compaction job that rewrites a day's millions of tiny files into
+    ~target-sized ones; the execution half is a repartition on
+    (source, bin) followed by a partitioned write.
+
+    Scale: ONE window, partitioned by source and ordered by doc_id —
+    per-source sequential packing is exactly what a per-prefix
+    compactor wants, and no global order exists anywhere (the trap
+    ntile_quartiles documents). Deterministic: doc_id is a total
+    order within source, so bin assignment is reproducible run to
+    run — a compaction plan you can diff before executing."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = d.select(
+        "source",
+        "n_chars",
+        F.floor(
+            (F.sum("n_chars").over(w) - F.col("n_chars")) / COMPACT_TARGET_CHARS
+        ).alias("bin"),
+    )
+    return placed.groupBy("source", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
