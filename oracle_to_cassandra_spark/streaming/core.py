@@ -19,34 +19,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-#: the events schema as the stream source sees it — ts arrives as
-#: nanosecond longs (parquet TIMESTAMP(NANOS) read under the
-#: nanosAsLong conf) and is normalized to TimestampType here.
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet — the file-source analog
-    of a Kafka topic; schema must be declared (no streaming
-    inference)."""
+    of a Kafka topic; schema must be declared (no streaming inference).
+
+    The declared schema is taken from a batch read of the SAME files so
+    the stream reads whatever physical type the testdata generation
+    shipped (int64 nanos under ``nanosAsLong``, or native
+    timestamp[us]); ``ts`` is then normalized to TimestampType with the
+    same dispatch as ``sources.parquet.load_table``. Declaring a stale
+    Long schema against timestamp[us] files would silently reinterpret
+    the microsecond int64 and land every event in 1970 — deriving the
+    schema from the files makes that class of drift impossible.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source lists a DIRECTORY (a Kafka-topic analog);
     # pathGlobFilter narrows it to the events table
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    if not isinstance(ts_type, T.TimestampType):
+        raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def run_stream_to_memory(

@@ -208,9 +208,10 @@ def test_hll_union_rollup_single_branch(spark):
 
 def test_incremental_rollup_cutoff_pushes_down(spark):
     """The incremental-merge cutoff must reach the parquet scans as a
-    pushed predicate on the RAW nanosecond column — filtering on the
-    derived timestamp (timestamp_micros(ts DIV 1000)) silently turns
-    the partition-range read into a full history scan."""
+    pushed predicate on the stored ts column (a typed timestamp
+    literal against the native timestamp[us] column) — a filter on a
+    derived expression cannot push, silently turning the
+    partition-range read into a full history scan."""
     df = E.queries()["incremental_rollup_merge"](spark, SF_DIR)
     fs = pushed_filters(df)
     assert any("LessThan(ts" in f for f in fs), f"no pushed cutoff: {fs}"
