@@ -29,7 +29,7 @@ functions/hashing.py) so every stage is driver-hash-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import (
@@ -304,20 +304,50 @@ def simhash_near_dup_stats(
     doubles that again — Spark has no CSE across plan branches. Pair
     enumeration inside the collected bucket needs ONE fingerprint
     pass, and both pair directions come from one explode over the
-    4-struct array. Bucket collect is safe by construction: a
-    band_width-bit band bounds random bucket fan-in to n·2^-band_width.
+    2-struct array.
 
-    Scale: output is corpus-sized (one row per doc), never
-    pair-sized; the only pair-sized relation is the verified-candidate
-    set, which banding bounds to true near-dups plus 2^-band_width
-    random collisions."""
+    Scale — fingerprint contraction: pair enumeration runs over
+    DISTINCT fingerprints with multiplicities, never over docs. An
+    exact-dup mega-cluster (every copy shares every band) contracts to
+    ONE bucket element, so the earlier failure mode — a 500k-copy
+    cluster collected into a single task and pair-enumerated O(m²) —
+    cannot occur; its degree contribution is the closed form m-1.
+    The in-bucket collect is then safe by construction at the fp
+    level: a hamming≤max_hamming neighborhood holds at most bits+1
+    distinct fingerprints (each differs from the center in one of
+    ``bits`` positions), and random band collisions add
+    n_distinct·2^-band_width. Output stays corpus-sized (one row per
+    doc); the only pair-sized relation is between distinct
+    fingerprints."""
     assert bands > max_hamming, "pigeonhole guarantee needs bands > max_hamming"
     band_width = bits // bands
     mask = (1 << band_width) - 1
     fp = simhash_fingerprints(documents, bits=bits)
-    banded = fp.select(
+
+    # Contract identical fingerprints: per doc, its group's size m,
+    # smallest member gmin, and second-smallest gmin2 (the min doc's
+    # own nearest within-group neighbor). Two chained window selects
+    # over the same partitioning key cost ONE exchange; the lazy
+    # localCheckpoint lets the group-level and doc-level branches
+    # below share one execution of the expensive 48-sum fingerprint
+    # aggregate instead of re-deriving it per branch (no CSE across
+    # plan branches).
+    w = Window.partitionBy("simhash")
+    fpx = fp.select(
         "doc_id",
         "simhash",
+        F.count("*").over(w).alias("m"),
+        F.min("doc_id").over(w).alias("gmin"),
+    ).withColumn(
+        "gmin2",
+        F.min(F.when(F.col("doc_id") != F.col("gmin"), F.col("doc_id"))).over(w),
+    ).localCheckpoint(eager=False)
+
+    groups = fpx.select("simhash", "m", "gmin").distinct()
+    banded = groups.select(
+        "simhash",
+        "m",
+        "gmin",
         F.posexplode(
             F.array(
                 *[
@@ -329,47 +359,76 @@ def simhash_near_dup_stats(
     )
     buckets = (
         banded.groupBy("band_id", "band_val")
-        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("xs"))
+        .agg(F.collect_list(F.struct("simhash", "m", "gmin")).alias("xs"))
         .filter(F.size("xs") >= 2)
     )
-    pairs = (
+    # fingerprint-level candidate pairs (j>i by fp value, distinct
+    # across bands), Hamming-verified
+    fp_pairs = (
         buckets.select(F.explode("xs").alias("x"), "xs")
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("x.simhash").alias("fp_a"),
-            F.explode(
-                F.expr("filter(xs, y -> y.doc_id > x.doc_id)")
-            ).alias("y"),
+            F.col("x").alias("x"),
+            F.explode(F.expr("filter(xs, y -> y.simhash > x.simhash)")).alias("y"),
         )
         .select(
-            "doc_a",
-            F.col("y.doc_id").alias("doc_b"),
-            "fp_a",
+            F.col("x.simhash").alias("fp_a"),
+            F.col("x.m").alias("m_a"),
+            F.col("x.gmin").alias("gmin_a"),
             F.col("y.simhash").alias("fp_b"),
+            F.col("y.m").alias("m_b"),
+            F.col("y.gmin").alias("gmin_b"),
         )
         .distinct()
         .filter(
             F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))) <= max_hamming
         )
     )
-    # both directions from ONE explode (not pairs ∪ pairs.swapped)
-    directed = pairs.select(
+    # both directions from ONE explode (not pairs ∪ pairs.swapped):
+    # every doc in group(fp) is near every doc of each neighbor group,
+    # so the degree contribution is the neighbor's multiplicity and
+    # the smallest cross-group neighbor is the neighbor's gmin
+    directed = fp_pairs.select(
         F.explode(
             F.array(
-                F.struct(F.col("doc_a").alias("doc_id"), F.col("doc_b").alias("nbr")),
-                F.struct(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("nbr")),
+                F.struct(
+                    F.col("fp_a").alias("fp"),
+                    F.col("m_b").alias("nbr_m"),
+                    F.col("gmin_b").alias("nbr_min"),
+                ),
+                F.struct(
+                    F.col("fp_b").alias("fp"),
+                    F.col("m_a").alias("nbr_m"),
+                    F.col("gmin_a").alias("nbr_min"),
+                ),
             )
         ).alias("e")
-    ).select("e.doc_id", "e.nbr")
-    degrees = directed.groupBy("doc_id").agg(
-        F.count("*").alias("n_near"), F.min("nbr").alias("_min_nbr")
+    ).select("e.fp", "e.nbr_m", "e.nbr_min")
+    cross = directed.groupBy("fp").agg(
+        F.sum("nbr_m").alias("cross_n"), F.min("nbr_min").alias("cross_min")
     )
-    # the full doc list comes from the RAW table, not fp: a DataFrame
-    # referenced on two plan branches re-executes its subtree, and fp
-    # is the expensive 48-sum aggregate
+    # per-doc degree = within-group (m-1) + Σ neighbor-group sizes;
+    # smallest near neighbor = least of the within-group candidate
+    # (gmin, or gmin2 for the min doc itself) and the cross-group min
+    # (least() skips NULLs)
+    within_min = F.when(
+        F.col("m") > 1,
+        F.when(F.col("doc_id") == F.col("gmin"), F.col("gmin2")).otherwise(
+            F.col("gmin")
+        ),
+    )
+    per_doc = fpx.join(cross, fpx["simhash"] == cross["fp"], "left").select(
+        "doc_id",
+        ((F.col("m") - 1) + F.coalesce("cross_n", F.lit(0)))
+        .cast("long")
+        .alias("n_near"),
+        F.least(within_min, F.col("cross_min")).alias("_min_nbr"),
+    )
+    # the full doc list comes from the RAW table: docs with no tokens
+    # never enter the fingerprint aggregate but must still report
+    # (n_near=0, keeper)
     return (
         documents.select("doc_id")
-        .join(degrees, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_near", F.lit(0)).cast("long").alias("n_near"),

@@ -86,6 +86,13 @@ def connected_components(
         # long-chain pathology, which the jump then collapses in
         # O(log diameter) rounds.
         if rnd >= 3:
+            # the self-join references `propagated` on BOTH branches;
+            # without a checkpoint the union+groupBy propagation
+            # subtree executes twice per jump round (no CSE across
+            # plan branches). Lazy checkpoint: materialized inside
+            # this round's single job, then both branches read the
+            # cached partitions — job count per round is unchanged.
+            propagated = propagated.localCheckpoint(eager=False)
             jump_src = propagated.select(
                 F.col("u").alias("ju"), F.col("new_label").alias("jlabel")
             )

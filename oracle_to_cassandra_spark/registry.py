@@ -76,83 +76,79 @@ _QUERY_MODULES = (
 #: Query-level registration order for the driver's correctness window.
 #:
 #: The driver verifies the FIRST 50 entries of ``queries()`` per round.
-#: Rounds 1-2 proved 90 of 139 queries green; the 49 below never had a
-#: driver CORRECTNESS row (they pass the local DuckDB-diff replica in
-#: ``tests/test_driver_contract.py``, but that is the builder's own
-#: harness). They are promoted to the head of the dict so round 3's
-#: window covers them all, bringing ever-driver-verified to 139/139.
-#: Slot 50 re-checks ``top_bigrams_corpus``, whose round-2 row was
-#: vacuously green (0 rows on both engines at sf0.01 — see ADVICE);
-#: its frequency threshold is now scale-aware so the re-check compares
-#: real values. Module import order alone can't express this: the 49
-#: span 16 modules that also contain 3 already-green queries, which
-#: would overflow the window.
+#: After rounds 1-4, 43 registered queries still have no driver
+#: CORRECTNESS row (the round-3 window froze before they were added):
+#: 42 oracle-able + 1 rows-only stream. All 43 are promoted below,
+#: which brings ever-driver-verified to 182/182. The remaining 7 slots
+#: re-check the queries the round-4 events.ts drift invalidated: the
+#: 5 watermark streams whose rows-only r4 rows were computed from
+#: misread timestamps (silently landing in 1970 — their batch-equality
+#: tests were red), plus 2 representatives of the 13 batch queries
+#: that erred, exercising the fixed loader dispatch end-to-end.
+#: Module import order alone can't express this — the 43 span modules
+#: that also contain already-green queries, which would overflow the
+#: window.
 _PRIORITY: tuple[str, ...] = (
-    # streaming (rows-only by contract — no oracle twin)
+    # --- never driver-verified: TPC-H completion (18) ---
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_excess_shipping",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    # --- never driver-verified: corpus curation / hygiene (9) ---
+    "doc_repetition_stats",
+    "decontamination_overlap",
+    "corpus_global_shuffle",
+    "quota_cap_per_source",
+    "corpus_mixture_weights",
+    "mixture_weighted_sample",
+    "pii_redaction_stats",
+    "duplicate_span_stats",
+    "oov_rate_top_vocab",
+    # --- never driver-verified: dedup / similarity (5) ---
+    "dedup_simhash_near_stats",
+    "incremental_lsh_dedup",
+    "similarity_hyperplane_ann_topk",
+    "ivf_centroid_refinement",
+    "dense_global_ids",
+    # --- never driver-verified: retrieval (2) ---
+    "inverted_index_postings",
+    "bm25_retrieval_topk",
+    # --- never driver-verified: scale / ops tooling (7) ---
+    "hll_sketch_union_rollup",
+    "incremental_rollup_merge",
+    "runtime_bloom_filtered_join",
+    "quantile_cutpoint_bucketing",
+    "skew_diagnostics_orders_custkey",
+    "compaction_bin_packing",
+    "map_in_arrow_token_stats",
+    # --- never driver-verified: streaming (2; interval join is
+    #     rows-only by contract) ---
+    "stream_stream_interval_join",
+    "stream_ingest_sink_roundtrip",
+    # --- re-checks after the events.ts timestamp[us] fix: the 5
+    #     watermark streams r4 recorded with misread event times ---
     "stream_tumbling_event_counts",
     "stream_sessionization_watermark",
     "stream_static_enrichment_join",
     "stream_dedup_within_watermark",
     "stream_stateful_user_profile",
-    # UDF surface
-    "pandas_udf_scalar_score",
-    "grouped_map_zscore",
-    "udtf_chunk_documents",
-    # catalog / metadata
-    "catalog_list_tables",
-    "catalog_describe_customer",
-    # subqueries
-    "scalar_subquery_above_avg",
-    "in_subquery_customers",
-    "correlated_exists_orders",
-    "not_exists_anti_join",
-    "derived_table_top_segment",
-    # extended joins
-    "left_outer_customer_orders",
-    "full_outer_key_reconciliation",
+    # --- re-checks: batch representatives of the fixed loader path ---
     "asof_join_last_purchase",
-    # event-time windows
     "tumbling_6h_windows",
-    "sliding_2d_1d_windows",
-    "session_windows_per_user",
-    "late_data_watermark_semantics",
-    # TPC-H shapes
-    "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_change",
-    "tpch_q10_returned_items",
-    # sampling / stats
-    "hash_systematic_sample",
-    "stratified_quota_sample",
-    "histogram_binning_prices",
-    "ordered_string_agg_nations",
-    # cohorts / timeseries
-    "cohort_weekly_retention",
-    "forward_fill_last_purchase_value",
-    "inter_event_gap_stats",
-    # scale demos
-    "bucketed_join_orders_customers",
-    "salted_skew_aggregate",
-    # curation
-    "levenshtein_candidate_pairs",
-    "calendar_spine_daily_orders",
-    "cdc_latest_version_dedup",
-    "null_handling_outer_join",
-    "funnel_signup_to_purchase",
-    "corpus_curation_pipeline",
-    # custom source / SQL-text surface
-    "custom_pysource_aggregate",
-    "variant_json_extraction",
-    "cte_sql_text_pipeline",
-    "na_fill_drop_imputation",
-    # nested / semi-structured
-    "struct_pack_unpack",
-    "json_to_map_explode",
-    "map_construction_lookup",
-    "unpivot_stack_measures",
-    # remaining advanced op
-    "embedding_int8_quantization",
-    # slot 50: round-2 row was vacuous (0-row compare) — re-verify
-    "top_bigrams_corpus",
 )
 
 _loaded = False

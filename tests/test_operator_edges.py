@@ -218,6 +218,33 @@ def test_simhash_bucket_pairs_match_naive_all_pairs(spark):
     assert naive_pairs, "fixture produced no near pairs — test is vacuous"
 
 
+def test_simhash_mega_cluster_contracts(spark):
+    """A planted 500-copy exact-dup cluster must contract to ONE
+    fingerprint-level bucket element (the old doc-level bucket collect
+    pair-enumerated it O(m²) in a single task). Degrees come from the
+    closed form: each copy has 499 within-group neighbors plus any
+    cross-fingerprint near-dups; only the smallest doc_id is keeper."""
+    from oracle_to_cassandra_spark.operators.dedup import simhash_near_dup_stats
+
+    text = "alpha beta gamma delta epsilon zeta"
+    corpus = [(i, text) for i in range(500)] + [
+        (1000, "completely different words entirely here now"),
+        (1001, "unrelated text about some other topic"),
+    ]
+    docs = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_near, r.is_keeper)
+        for r in simhash_near_dup_stats(docs).collect()
+    }
+    assert len(got) == 502
+    # the two distinct singletons may or may not be near the cluster's
+    # fingerprint; read the cluster's cross-degree off doc 0's result
+    cluster_cross = got[0][0] - 499
+    assert cluster_cross >= 0
+    for i in range(500):
+        assert got[i] == (499 + cluster_cross, i == 0), f"doc {i}: {got[i]}"
+
+
 def test_dense_global_ids_bijective_and_contiguous(spark):
     """The block-offset ID assignment must produce exactly 0..N-1,
     each id once — the property the two-pass decomposition exists to
