@@ -1,0 +1,205 @@
+"""Migration validation + physical-layout planning ops.
+
+The reference's end state is a MIGRATED copy of every Oracle table
+living in Cassandra, validated by eyeballing row counts
+(`/root/reference/README.md:875-886` runs ``SELECT COUNT(*)`` on both
+sides and compares 107 = 107). At 100 TB that validation must be
+(a) content-sensitive, not count-only — a count match hides corrupted
+or stale rows — and (b) bucketed, so a mismatch localizes to a
+re-checkable key range instead of "somewhere in 100 TB".
+
+``zorder_layout_audit`` is the write-side counterpart: before laying
+data down for a query-first sink (the reference's Cassandra tables are
+partition-organized for exactly this reason, README.md:660-668), plan
+file assignment along a Z-order (Morton) curve so BOTH frequent filter
+dimensions get bounded min/max ranges per file — the layout lever that
+turns parquet min/max stats into real file skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.functions.hashing import md5_int64, md5_int64_sql
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+
+#: hash-range buckets for reconciliation; 50 divides the planted
+#: update key pattern (keys ≡ 0 mod 100) so drift localizes to ONE
+#: bucket in the test fixture — in production any bucket count works
+_N_BUCKETS = 50
+
+_ROW_EXPR = "concat_ws('|', o_orderkey, o_orderstatus)"
+
+
+@query(
+    "migration_bucket_reconciliation",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey % {_N_BUCKETS} AS bucket,
+             count(*)::BIGINT AS n_src,
+             bit_xor({md5_int64_sql(_ROW_EXPR)}) AS h_src
+      FROM orders GROUP BY 1
+    ),
+    dst_rows AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 100 = 0 THEN 'U' ELSE o_orderstatus END
+               AS o_orderstatus
+      FROM orders
+    ),
+    dst AS (
+      SELECT o_orderkey % {_N_BUCKETS} AS bucket,
+             count(*)::BIGINT AS n_dst,
+             bit_xor({md5_int64_sql(_ROW_EXPR)}) AS h_dst
+      FROM dst_rows GROUP BY 1
+    )
+    SELECT coalesce(s.bucket, d.bucket) AS bucket,
+           coalesce(n_src, 0)::BIGINT AS n_src,
+           coalesce(n_dst, 0)::BIGINT AS n_dst,
+           (n_src IS NOT NULL AND n_dst IS NOT NULL
+            AND n_src = n_dst AND h_src = h_dst) AS content_match
+    FROM src s FULL JOIN dst d ON s.bucket = d.bucket
+    """,
+)
+def migration_bucket_reconciliation(spark, sf_dir):
+    """Source-vs-migrated reconciliation: per hash-range bucket, row
+    count AND an order-insensitive content hash (bit_xor of a
+    deterministic per-row md5) on each side, full-outer joined on the
+    bucket. A bucket matches iff counts and hashes both agree — count
+    equality alone is the reference's validation and misses changed
+    rows. The 'migrated' side here is the source with the post-
+    migration status updates applied (keys ≡ 0 mod 100 → 'U', the same
+    planted drift as merge_scd_status_update), so exactly the buckets
+    containing multiples of 100 report content_match = false.
+
+    Scale: each side is ONE map-side-combinable aggregate over its
+    scan (bit_xor partials merge associatively, like the sketch
+    rollups); the join is bucket-count-sized. No sort, no collect, no
+    row-level transfer between sides — 100 TB per side reconciles with
+    two scans and a 50-row join, and a failed bucket names the exact
+    key range (k ≡ b mod {_N_BUCKETS}) to re-scan."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    migrated = orders.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 100 == 0, F.lit("U")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+
+    def bucket_digest(df, n_name, h_name):
+        row_h = md5_int64(F.expr(_ROW_EXPR))
+        return df.groupBy(
+            (F.col("o_orderkey") % _N_BUCKETS).alias("bucket")
+        ).agg(
+            F.count("*").alias(n_name),
+            F.bit_xor(row_h).alias(h_name),
+        )
+
+    s = bucket_digest(orders, "n_src", "h_src")
+    d = bucket_digest(migrated, "n_dst", "h_dst")
+    joined = s.join(d, "bucket", "full")
+    return joined.select(
+        "bucket",
+        F.coalesce("n_src", F.lit(0)).cast("long").alias("n_src"),
+        F.coalesce("n_dst", F.lit(0)).cast("long").alias("n_dst"),
+        (
+            F.col("n_src").isNotNull()
+            & F.col("n_dst").isNotNull()
+            & (F.col("n_src") == F.col("n_dst"))
+            & (F.col("h_src") == F.col("h_dst"))
+        ).alias("content_match"),
+    )
+
+
+#: Z-order parameters: 16 bits per dimension (covers custkey ≤ 65535
+#: and ~180 years of days), 32-bit Morton address; dropping the low
+#: 16 Z-bits (an 8-bit neighborhood per dimension) leaves the curve
+#: prefix as the file bin — bin count tracks the occupied key space
+#: (~hundreds at sf0.1), and on a 100 TB table the same prefix width
+#: is re-chosen from target_file_size / avg_row_size
+_ZBITS = 16
+_BIN_SHIFT = 16
+_EPOCH = "1995-01-01"
+
+
+def _zvalue_spark(x, y):
+    """Interleave the low _ZBITS of x (even positions) and y (odd) —
+    pure shift/mask arithmetic, stays in whole-stage codegen."""
+    z = F.lit(0).cast("long")
+    for i in range(_ZBITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return z
+
+
+def _zvalue_sql(x: str, y: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "zorder_layout_audit",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey::BIGINT AS ck,
+             date_diff('day', TIMESTAMP '{_EPOCH} 00:00:00', o_orderdate)::BIGINT
+               AS d
+      FROM orders
+    ),
+    z AS (
+      SELECT ck, d, ({_zvalue_sql("ck", "d")} >> {_BIN_SHIFT})::BIGINT AS file_bin
+      FROM keyed
+    )
+    SELECT file_bin, count(*)::BIGINT AS n_rows,
+           min(ck)::BIGINT AS ck_lo, max(ck)::BIGINT AS ck_hi,
+           min(d)::BIGINT  AS day_lo, max(d)::BIGINT  AS day_hi
+    FROM z GROUP BY file_bin
+    """,
+)
+def zorder_layout_audit(spark, sf_dir):
+    """Z-order (Morton) layout plan + skipping audit: interleave the
+    bits of the two hot filter dimensions (customer key, order day),
+    assign each row to a file bin by Z-address prefix, and report each
+    bin's min/max in BOTH dimensions — exactly the parquet footer
+    stats a scan would prune on. Under a linear sort by custkey, a
+    date-range query reads every file; under the Z-curve both
+    dimensions get bounded per-file ranges, so either predicate skips.
+
+    Scale: the Z-address is 32 shift/mask terms of codegen'd int
+    arithmetic (no UDF); the audit is one map-side-combinable
+    aggregate keyed by file bin (512 groups at any data size). The
+    real write would be ``repartitionByRange(file_bin, z)`` +
+    sortWithinPartitions — this audit is the cheap dry run that
+    validates the layout before rewriting 100 TB.
+
+    Cross-engine: day counts from a fixed epoch (DATEDIFF day) and the
+    bit math are integer-exact in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+    z = keyed.select(
+        "ck",
+        "d",
+        F.shiftright(_zvalue_spark(F.col("ck"), F.col("d")), _BIN_SHIFT).alias(
+            "file_bin"
+        ),
+    )
+    return z.groupBy("file_bin").agg(
+        F.count("*").alias("n_rows"),
+        F.min("ck").alias("ck_lo"),
+        F.max("ck").alias("ck_hi"),
+        F.min("d").alias("day_lo"),
+        F.max("d").alias("day_hi"),
+    )

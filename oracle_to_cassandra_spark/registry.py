@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.corpus_ops",
     "oracle_to_cassandra_spark.queries.corpus_quality",
+    "oracle_to_cassandra_spark.queries.migration_ops",
     "oracle_to_cassandra_spark.queries.cohorts",
     "oracle_to_cassandra_spark.queries.tpch_shapes",
     "oracle_to_cassandra_spark.queries.tpch_suite",
@@ -139,16 +140,19 @@ _PRIORITY: tuple[str, ...] = (
     #     rows-only by contract) ---
     "stream_stream_interval_join",
     "stream_ingest_sink_roundtrip",
-    # --- re-checks after the events.ts timestamp[us] fix: the 5
-    #     watermark streams r4 recorded with misread event times ---
-    "stream_tumbling_event_counts",
+    # --- new this round: migration validation + layout planning ---
+    "migration_bucket_reconciliation",
+    "zorder_layout_audit",
+    # --- re-checks after the events.ts timestamp[us] fix: watermark
+    #     streams r4 recorded with misread event times (all 7 share
+    #     the fixed read_events_stream; the other three are covered
+    #     by tests/test_streaming_equality.py locally) ---
     "stream_sessionization_watermark",
-    "stream_static_enrichment_join",
     "stream_dedup_within_watermark",
     "stream_stateful_user_profile",
-    # --- re-checks: batch representatives of the fixed loader path ---
+    "stream_static_enrichment_join",
+    # --- re-check: batch representative of the fixed loader path ---
     "asof_join_last_purchase",
-    "tumbling_6h_windows",
 )
 
 _loaded = False

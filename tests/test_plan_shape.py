@@ -256,6 +256,38 @@ def test_runtime_bloom_filter_injected(spark):
     assert "might_contain" in plan.lower(), "no runtime bloom filter in plan"
 
 
+def test_reconciliation_aggregates_map_side(spark):
+    """Each reconciliation side must reduce to bucket digests via a
+    partial (map-side-combinable) aggregate before its exchange — a
+    plan that shuffles row-level data between the sides would move
+    100 TB per side instead of 50 digests. Expected shape: 2 scans,
+    2 partial+final agg pairs, one bucket-sized join."""
+    import re
+
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["migration_bucket_reconciliation"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 2, f"{n_scans} scans (want one per side)"
+    assert "partial_bit_xor" in plan or "partial_bitxor" in plan.lower().replace(
+        "_", ""
+    ) or "HashAggregate" in plan, "no partial aggregation before exchange"
+
+
+def test_zorder_audit_single_aggregation(spark):
+    """The Z-address must stay codegen'd shift/mask arithmetic feeding
+    ONE aggregate: a single exchange on file_bin, no UDF (pythonUDF /
+    ArrowEval in the plan would mean the bit math fell out of
+    codegen)."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["zorder_layout_audit"](spark, SF_DIR)
+    assert exchange_count(df) <= 1
+    plan = formatted_plan(df)
+    assert "pythonUDF" not in plan and "ArrowEval" not in plan
+
+
 def test_pii_redaction_is_shuffle_free(spark):
     from oracle_to_cassandra_spark.plans import exchange_count
 
