@@ -180,3 +180,75 @@ def dense_global_ids(spark, sf_dir):
         "doc_id",
         (F.col("offset") + F.col("lrank") - 1).cast("long").alias("global_id"),
     )
+
+
+def _leakage_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.dedup import (
+        jaccard_verified_pairs_sql,
+    )
+
+    split_case = (
+        f"CASE WHEN {base31_sql('doc_id::VARCHAR')} % 10 < 8 THEN 'train' "
+        f"WHEN {base31_sql('doc_id::VARCHAR')} % 10 = 8 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+    WITH pairs AS ({jaccard_verified_pairs_sql(threshold=0.6)}),
+    sp AS (SELECT doc_id, {split_case} AS split FROM documents)
+    SELECT least(sa.split, sb.split)    AS split_lo,
+           greatest(sa.split, sb.split) AS split_hi,
+           count(*)::BIGINT             AS n_pairs,
+           round(avg(p.jaccard), 6)     AS avg_jaccard,
+           (least(sa.split, sb.split) <> greatest(sa.split, sb.split))
+             AS is_leakage
+    FROM pairs p
+    JOIN sp sa ON sa.doc_id = p.doc_a
+    JOIN sp sb ON sb.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """
+
+
+@query("split_leakage_audit", oracle=_leakage_oracle())
+def split_leakage_audit(spark, sf_dir):
+    """Train/val/test leakage audit: LSH-verified near-dup pairs
+    grouped by the (unordered) pair of split assignments. Rows with
+    ``is_leakage`` true are near-duplicates STRADDLING a split
+    boundary — eval examples the model effectively saw in training,
+    the contamination hash-splitting alone cannot prevent (near-dups
+    hash independently). Within-split rows are the residual dedup
+    backlog. This is the audit run between dedup and training; a
+    non-zero train/val or train/test row blocks the split.
+
+    Scale: the pair set is LSH-bounded (never all-pairs); the split
+    relation is corpus-sized but the two attachment joins shuffle
+    only (pair-key, split) columns, and the final aggregate has at
+    most 6 groups. No collect, no global sort."""
+    from oracle_to_cassandra_spark.operators.dedup import jaccard_verified_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_verified_pairs(docs, 0.6)
+    h = base31(F.col("doc_id").cast("string")) % 10
+    sp = docs.select(
+        "doc_id",
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split"),
+    )
+    attached = (
+        pairs.join(sp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .withColumnRenamed("split", "split_a")
+        .join(
+            sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "split_b"
+            ),
+            "doc_b",
+        )
+    )
+    lo = F.least("split_a", "split_b")
+    hi = F.greatest("split_a", "split_b")
+    return (
+        attached.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+        )
+        .withColumn("is_leakage", F.col("split_lo") != F.col("split_hi"))
+    )

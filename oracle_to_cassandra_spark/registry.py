@@ -140,15 +140,16 @@ _PRIORITY: tuple[str, ...] = (
     #     rows-only by contract) ---
     "stream_stream_interval_join",
     "stream_ingest_sink_roundtrip",
-    # --- new this round: migration validation + layout planning ---
+    # --- new this round: migration validation, layout planning,
+    #     quality-aware dedup keepers, split-leakage audit ---
     "migration_bucket_reconciliation",
     "zorder_layout_audit",
-    # --- re-checks after the events.ts timestamp[us] fix: watermark
-    #     streams r4 recorded with misread event times (all 7 share
-    #     the fixed read_events_stream; the other three are covered
-    #     by tests/test_streaming_equality.py locally) ---
-    "stream_sessionization_watermark",
-    "stream_dedup_within_watermark",
+    "dedup_keep_best_quality",
+    "split_leakage_audit",
+    # --- re-checks after the events.ts timestamp[us] fix: the two
+    #     heaviest-state watermark streams r4 recorded with misread
+    #     event times (all 7 share the fixed read_events_stream; the
+    #     rest are covered by tests/test_streaming_equality.py) ---
     "stream_stateful_user_profile",
     "stream_static_enrichment_join",
     # --- re-check: batch representative of the fixed loader path ---
