@@ -266,3 +266,129 @@ def hll_sketch_union_rollup(spark, sf_dir):
         "n_exact",
         (F.abs(F.col("_est") - F.col("n_exact")) <= tol).alias("sketch_within_tol"),
     )
+
+
+def _cms_oracle() -> str:
+    from oracle_to_cassandra_spark.functions.hashing import (
+        base31_sql,
+        perm_hash_sql,
+    )
+
+    h = base31_sql("o_custkey::VARCHAR")
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {i} AS i, ({perm_hash_sql('h31', i)}) % {_CMS_W} AS b, h31 FROM hashed"
+        for i in range(_CMS_D)
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT {h} AS h31, o_custkey FROM orders
+    ),
+    cells AS ({cell_rows}),
+    sketch AS (
+      SELECT i, b, count(*)::BIGINT AS c FROM cells GROUP BY i, b
+    ),
+    top_keys AS (
+      SELECT o_custkey, count(*)::BIGINT AS n_exact,
+             {base31_sql("o_custkey::VARCHAR")} AS h31
+      FROM orders GROUP BY o_custkey
+      ORDER BY count(*) DESC, o_custkey LIMIT {_CMS_TOPK}
+    ),
+    probes AS (
+      {" UNION ALL ".join(
+          f"SELECT o_custkey, n_exact, {i} AS i, "
+          f"({perm_hash_sql('h31', i)}) % {_CMS_W} AS b FROM top_keys"
+          for i in range(_CMS_D)
+      )}
+    )
+    SELECT p.o_custkey, any_value(p.n_exact)::BIGINT AS n_exact,
+           min(s.c)::BIGINT AS cms_est,
+           (min(s.c) >= any_value(p.n_exact)) AS overestimate_ok
+    FROM probes p JOIN sketch s ON s.i = p.i AND s.b = p.b
+    GROUP BY p.o_custkey
+    """
+
+
+#: count-min geometry: d=4 independent universal-hash rows × w=1024
+#: buckets — ε = e/w ≈ 0.27% of stream length per estimate, δ = e^-4
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_TOPK = 10
+
+
+@query("cms_heavy_hitters", oracle=_cms_oracle())
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters, built from the repo's
+    cross-engine universal-hash family — unlike the opaque JVM
+    ``count_min_sketch`` binary, every cell is a deterministic
+    (row, bucket, count) triple DuckDB reproduces exactly, so the
+    ESTIMATES hash-match, not just a tolerance boolean. Completes the
+    mergeable-sketch family: HLL (distinct), KLL-style quantiles,
+    CMS (frequency).
+
+    Shape: stream → d×w cell counts (one explode to d rows per
+    record, then a map-side-combinable groupBy — the sketch build is
+    one mergeable aggregate, the property that lets 1000 executors
+    each build a partial sketch and union them); point queries probe
+    d cells and take the min. ``overestimate_ok`` states the CMS
+    guarantee (min over rows ≥ true count, always).
+
+    Scale: the sketch is 4×1024 cells regardless of input size and is
+    broadcast to the probe join; the exact top-k side uses
+    sort+limit (TakeOrderedAndProject), never a global sort."""
+    from oracle_to_cassandra_spark.functions.hashing import base31, perm_hash
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = base31(F.col("o_custkey").cast("string"))
+    cells = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (perm_hash(h, i) % _CMS_W).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb")
+    )
+    sketch = cells.groupBy(
+        F.col("rb.i").alias("i"), F.col("rb.b").alias("b")
+    ).agg(F.count("*").alias("c"))
+
+    top = (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("o_custkey"))
+        .limit(_CMS_TOPK)
+    )
+    th = base31(F.col("o_custkey").cast("string"))
+    probes = top.select(
+        "o_custkey",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (perm_hash(th, i) % _CMS_W).alias("b"),
+                    )
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("o_custkey", "n_exact", "rb.i", "rb.b")
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "b"])
+        .groupBy("o_custkey")
+        .agg(
+            F.any_value("n_exact").alias("n_exact"),
+            F.min("c").alias("cms_est"),
+        )
+    )
+    return est.select(
+        "o_custkey",
+        "n_exact",
+        "cms_est",
+        (F.col("cms_est") >= F.col("n_exact")).alias("overestimate_ok"),
+    )

@@ -146,12 +146,12 @@ _PRIORITY: tuple[str, ...] = (
     "zorder_layout_audit",
     "dedup_keep_best_quality",
     "split_leakage_audit",
-    # --- re-checks after the events.ts timestamp[us] fix: the two
-    #     heaviest-state watermark streams r4 recorded with misread
+    "cms_heavy_hitters",
+    # --- re-check after the events.ts timestamp[us] fix: the
+    #     heaviest-state watermark stream r4 recorded with misread
     #     event times (all 7 share the fixed read_events_stream; the
     #     rest are covered by tests/test_streaming_equality.py) ---
     "stream_stateful_user_profile",
-    "stream_static_enrichment_join",
     # --- re-check: batch representative of the fixed loader path ---
     "asof_join_last_purchase",
 )
