@@ -87,12 +87,17 @@ def doc_shingle_hashes_sql(k: int = 3) -> str:
     """
 
 
-def minhash_signatures(documents: DataFrame, n_perm: int = N_PERM) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame,
+    n_perm: int = N_PERM,
+    shingle_hashes: DataFrame | None = None,
+) -> DataFrame:
     """Per-doc MinHash signature (sig0..sig{n-1}): one base hash per
     shingle, n universal-hash permutations, min per doc (map-side
     partial aggregation collapses each input partition to one row per
-    doc before the exchange)."""
-    sh = doc_shingle_hashes(documents)
+    doc before the exchange). Pass ``shingle_hashes`` to share an
+    already-staged shingle table with other pipeline stages."""
+    sh = shingle_hashes if shingle_hashes is not None else doc_shingle_hashes(documents)
     sig_cols = [
         F.min((F.col("h31") * MINHASH_A[i] + MINHASH_B[i]) % MERSENNE_P).alias(f"sig{i}")
         for i in range(n_perm)
@@ -172,9 +177,19 @@ def jaccard_verified_pairs(
 ) -> DataFrame:
     """The full MinHash→LSH→exact-Jaccard pipeline: candidates from
     LSH, verified with exact shingle-set Jaccard, filtered at
-    ``threshold``."""
-    sh = doc_shingle_hashes(documents)
-    cands = lsh_candidate_pairs(minhash_signatures(documents))
+    ``threshold``.
+
+    The shingle hash table feeds FOUR consumers (signature mins, the
+    set-size relation, and both sides of the intersection join); Spark
+    has no CSE across plan branches and post-pruning the subtrees
+    differ enough that ReusedExchange never fires — without staging,
+    the tokenize→shingle→md5 derivation (the dominant CPU at corpus
+    scale) executes once per consumer. The lazy checkpoint
+    materializes it once inside the consuming job; on a cluster this
+    is the 'stage the shingle table' step of every production dedup
+    pipeline."""
+    sh = doc_shingle_hashes(documents).localCheckpoint(eager=False)
+    cands = lsh_candidate_pairs(minhash_signatures(documents, shingle_hashes=sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     sa = sh.alias("sa")
