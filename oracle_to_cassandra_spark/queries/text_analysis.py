@@ -250,9 +250,15 @@ def bm25_retrieval_topk(spark, sf_dir):
     per-(doc, term) tf aggregations (map-side combined); df and the
     corpus stats are term-count- and 1-row-sized broadcasts. At
     100 TB doclen comes precomputed from the index build rather than
-    a second pass — here both derive from one cached explode."""
+    a second pass — here both derive from one STAGED explode (lazy
+    checkpoint: doclen, tf, and the stats branch would otherwise each
+    re-run the tokenize+explode, since branch subtrees get no CSE and
+    post-pruning they differ enough that ReusedExchange never
+    fires)."""
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
+    ).localCheckpoint(eager=False)
     doclen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
     stats = doclen.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avg_dl")
