@@ -139,8 +139,10 @@ def lsh_bands(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataFrame:
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataFrame:
     """Distinct candidate pairs (doc_a < doc_b) sharing any LSH band.
     The self-join shuffles on (band_id, band_val) — bucket collisions,
-    not n², drive the cost."""
-    b = lsh_bands(sigs, bands, rows)
+    not n², drive the cost. The band table is staged (lazy
+    checkpoint) because the self-join references it on both sides and
+    would otherwise execute the whole signature pipeline twice."""
+    b = lsh_bands(sigs, bands, rows).localCheckpoint(eager=False)
     left = b.alias("x")
     right = b.alias("y")
     return (

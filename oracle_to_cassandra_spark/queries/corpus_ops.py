@@ -142,7 +142,10 @@ def decontamination_overlap(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     split_h = base31(F.col("doc_id").cast("string")) % 10
     membership = d.select("doc_id", split_h.alias("h"))
-    sh = doc_shingle_hashes(d, k=DECON_K)
+    # both the train side and the benchmark side consume the shingle
+    # table; stage it so the tokenize->shingle->md5 derivation runs
+    # once (branch subtrees get no CSE)
+    sh = doc_shingle_hashes(d, k=DECON_K).localCheckpoint(eager=False)
     train_sh = sh.join(membership.filter(F.col("h") < 8), "doc_id").select(
         "doc_id", "h31"
     )
@@ -340,11 +343,19 @@ def mixture_weighted_sample(spark, sf_dir):
         F.sum("n_tokens").alias("all_tokens"),
         F.count("*").cast("double").alias("n_sources"),
     )
-    w = per_source.crossJoin(F.broadcast(tot)).select(
-        "source",
-        ((1.0 / F.col("n_sources")) / (F.col("n_tokens") / F.col("all_tokens"))).alias(
-            "weight"
-        ),
+    # the |sources|-row weight table feeds two branches (the max-rate
+    # scalar and the corpus join); stage it so the token-length
+    # aggregation over the corpus runs once, not once per branch
+    w = (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            (
+                (1.0 / F.col("n_sources"))
+                / (F.col("n_tokens") / F.col("all_tokens"))
+            ).alias("weight"),
+        )
+        .localCheckpoint(eager=False)
     )
     m = w.agg(F.max("weight").alias("max_w"))
     u = (
