@@ -252,3 +252,63 @@ def split_leakage_audit(spark, sf_dir):
         )
         .withColumn("is_leakage", F.col("split_lo") != F.col("split_hi"))
     )
+
+
+@query(
+    "packed_sequence_offsets",
+    oracle=f"""
+    SELECT doc_id, lang, chunk_id,
+           (start_tok - chunk_id * {PACK_BUDGET})::BIGINT AS off_begin,
+           (start_tok - chunk_id * {PACK_BUDGET} + n_tokens)::BIGINT AS off_end
+    FROM (
+      SELECT doc_id, lang, n_tokens,
+             cum_tokens - n_tokens AS start_tok,
+             floor((cum_tokens - n_tokens) / {PACK_BUDGET})::BIGINT AS chunk_id
+      FROM (
+        SELECT doc_id, lang, {_TOKENS}::BIGINT AS n_tokens,
+               sum({_TOKENS}) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        FROM documents
+      )
+    )
+    """,
+)
+def packed_sequence_offsets(spark, sf_dir):
+    """The tensor-building metadata on top of sequence packing: per
+    document its chunk and its [off_begin, off_end) token span INSIDE
+    the chunk — what the training loader needs to build attention
+    masks / position ids that reset at document boundaries. A doc
+    whose off_end exceeds the {PACK_BUDGET}-token budget straddles
+    into the next chunk (contiguous packing keeps documents whole;
+    the loader wraps the tail).
+
+    Scale: identical shape to pack_documents_token_budget — one
+    per-language windowed cumsum (parallel across languages, never a
+    global sort), then pure arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn("start_tok", F.col("cum_tokens") - F.col("n_tokens"))
+        .withColumn(
+            "chunk_id",
+            F.floor(F.col("start_tok") / PACK_BUDGET).cast("long"),
+        )
+    )
+    return staged.select(
+        "doc_id",
+        "lang",
+        "chunk_id",
+        (F.col("start_tok") - F.col("chunk_id") * PACK_BUDGET)
+        .cast("long")
+        .alias("off_begin"),
+        (F.col("start_tok") - F.col("chunk_id") * PACK_BUDGET + F.col("n_tokens"))
+        .cast("long")
+        .alias("off_end"),
+    )
