@@ -43,6 +43,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.tfidf",
     "oracle_to_cassandra_spark.queries.training_prep",
     "oracle_to_cassandra_spark.queries.dedup_clusters",
+    "oracle_to_cassandra_spark.queries.semantic_dedup",
     "oracle_to_cassandra_spark.queries.multimodal",
     "oracle_to_cassandra_spark.queries.scalar_funcs",
     "oracle_to_cassandra_spark.queries.stats_funcs",
@@ -77,83 +78,77 @@ _QUERY_MODULES = (
 #: Query-level registration order for the driver's correctness window.
 #:
 #: The driver verifies the FIRST 50 entries of ``queries()`` per round.
-#: After rounds 1-4, 43 registered queries still have no driver
-#: CORRECTNESS row (the round-3 window froze before they were added):
-#: 42 oracle-able + 1 rows-only stream. All 43 are promoted below,
-#: which brings ever-driver-verified to 182/182. The remaining 7 slots
-#: re-check the queries the round-4 events.ts drift invalidated: the
-#: 5 watermark streams whose rows-only r4 rows were computed from
-#: misread timestamps (silently landing in 1970 — their batch-equality
-#: tests were red), plus 2 representatives of the 13 batch queries
-#: that erred, exercising the fixed loader dispatch end-to-end.
-#: Module import order alone can't express this — the 43 span modules
-#: that also contain already-green queries, which would overflow the
-#: window.
+#: Round-6 goal (VERDICT r5 item 1): every registered query should hold
+#: a driver row dated AFTER the round-4 timestamp[us] testdata
+#: regeneration. The window therefore holds: (a) the one oracle-able
+#: query with zero driver history (``packed_sequence_offsets``, added
+#: after the r5 run), (b) the 14 batch queries the r4 events.ts drift
+#: erred or whose only green row is pre-regeneration r1 on the events
+#: path, (c) rows-only re-checks for the 4 watermark streams last
+#: checked with misread event times, and (d) backfill from the 48
+#: queries whose only green row is round-1 (two regenerations ago) —
+#: events-reading ones first, then the relational/aggregate core.
+#: The remaining ~20 r1-only rows rotate in next round.
 _PRIORITY: tuple[str, ...] = (
-    # --- never driver-verified: TPC-H completion (18) ---
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q20_excess_shipping",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    # --- never driver-verified: corpus curation / hygiene (9) ---
-    "doc_repetition_stats",
-    "decontamination_overlap",
-    "corpus_global_shuffle",
-    "quota_cap_per_source",
-    "corpus_mixture_weights",
-    "mixture_weighted_sample",
-    "pii_redaction_stats",
-    "duplicate_span_stats",
-    "oov_rate_top_vocab",
-    # --- never driver-verified: dedup / similarity (5) ---
-    "dedup_simhash_near_stats",
-    "incremental_lsh_dedup",
-    "similarity_hyperplane_ann_topk",
-    "ivf_centroid_refinement",
-    "dense_global_ids",
-    # --- never driver-verified: retrieval (2) ---
-    "inverted_index_postings",
-    "bm25_retrieval_topk",
-    # --- never driver-verified: scale / ops tooling (7) ---
-    "hll_sketch_union_rollup",
-    "incremental_rollup_merge",
-    "runtime_bloom_filtered_join",
-    "quantile_cutpoint_bucketing",
-    "skew_diagnostics_orders_custkey",
-    "compaction_bin_packing",
-    "map_in_arrow_token_stats",
-    # --- never driver-verified: streaming (2; interval join is
-    #     rows-only by contract) ---
-    "stream_stream_interval_join",
-    "stream_ingest_sink_roundtrip",
-    # --- new this round: migration validation, layout planning,
-    #     quality-aware dedup keepers, split-leakage audit ---
-    "migration_bucket_reconciliation",
-    "zorder_layout_audit",
-    "dedup_keep_best_quality",
-    "split_leakage_audit",
-    "cms_heavy_hitters",
-    # --- re-check after the events.ts timestamp[us] fix: the
-    #     heaviest-state watermark stream r4 recorded with misread
-    #     event times (all 7 share the fixed read_events_stream; the
-    #     rest are covered by tests/test_streaming_equality.py) ---
-    "stream_stateful_user_profile",
-    # --- re-check: batch representative of the fixed loader path ---
-    "asof_join_last_purchase",
+    # --- zero driver history (committed after the r5 run) ---
+    "packed_sequence_offsets",
+    # --- r4 events-loader casualties with no post-fix driver row (14) ---
+    "filter_eq_string",
+    "tumbling_daily_event_counts",
+    "tumbling_6h_windows",
+    "sliding_2d_1d_windows",
+    "session_windows_per_user",
+    "late_data_watermark_semantics",
+    "cohort_weekly_retention",
+    "forward_fill_last_purchase_value",
+    "inter_event_gap_stats",
+    "cdc_latest_version_dedup",
+    "funnel_signup_to_purchase",
+    "variant_json_extraction",
+    "json_to_map_explode",
+    "map_construction_lookup",
+    # --- rows-only re-checks: watermark streams whose last driver rows
+    #     (r4) were computed from misread event times (4) ---
+    "stream_tumbling_event_counts",
+    "stream_sessionization_watermark",
+    "stream_static_enrichment_join",
+    "stream_dedup_within_watermark",
+    # --- backfill: r1-only green rows, events-reading first (5) ---
+    "pivot_user_event_counts",
+    "lag_lead_user_events",
+    "json_extract_events",
+    "from_json_struct_events",
+    "explode_collect_roundtrip",
+    # --- backfill: r1-only relational core (13) ---
+    "full_scan_region",
+    "projection_orders",
+    "rename_bulk_customer",
+    "filter_eq_numeric",
+    "point_lookup_customer",
+    "denorm_orders_by_customer",
+    "self_join_adjacent_lines",
+    "fk_chain_walk",
+    "distinct_departments",
+    "static_column_per_partition",
+    "global_counts",
+    "top_orders_limit",
+    "clustering_order_scan",
+    # --- backfill: r1-only aggregates (13) ---
+    "tpch_q1_pricing_summary",
+    "group_customer_stats",
+    "count_distinct_custkeys",
+    "rollup_region_nation",
+    "cube_order_status_priority",
+    "grouping_sets_status_priority",
+    "stats_dispersion_per_segment",
+    "having_filter_hot_parts",
+    "conditional_aggregation",
+    "revenue_per_nation",
+    # --- new this round: real multimodal decode (r5 item 3) and the
+    #     semantic-dedup capstone (r5 item 6) ---
+    "multimodal_png_header_decode",
+    "multimodal_wav_pcm_stats",
+    "embedding_cluster_keepers",
 )
 
 _loaded = False
