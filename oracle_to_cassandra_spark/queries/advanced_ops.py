@@ -175,7 +175,7 @@ def embedding_int8_quantization(spark, sf_dir):
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*)::BIGINT AS n_events,
            round(sum(value), 0) AS total_value,
-           round(sum(value) / count(*), 4) AS avg_value
+           round(sum(value) / count(*), 2) AS avg_value
     FROM events GROUP BY 1
     """,
 )
@@ -225,5 +225,10 @@ def incremental_rollup_merge(spark, sf_dir):
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",
         F.round("sv", 0).alias("total_value"),
-        F.round(F.col("sv") / F.col("n_events"), 4).alias("avg_value"),
+        # 2 dp, not 4: sv comes from merged partials whose accumulation
+        # order differs from the oracle's single-pass sum — the same
+        # flip class that forced total_value to 0 dp. Coarser boundaries
+        # are spaced 100× further apart, so a boundary-adjacent average
+        # is 100× less likely.
+        F.round(F.col("sv") / F.col("n_events"), 2).alias("avg_value"),
     )

@@ -114,14 +114,18 @@ def migration_bucket_reconciliation(spark, sf_dir):
 
 
 #: Z-order parameters: 16 bits per dimension (covers custkey ≤ 65535
-#: and ~180 years of days), 32-bit Morton address; dropping the low
-#: 16 Z-bits (an 8-bit neighborhood per dimension) leaves the curve
-#: prefix as the file bin — bin count tracks the occupied key space
-#: (~hundreds at sf0.1), and on a 100 TB table the same prefix width
-#: is re-chosen from target_file_size / avg_row_size
+#: and ~179 years of non-negative day counts), 32-bit Morton address;
+#: dropping the low 16 Z-bits (an 8-bit neighborhood per dimension)
+#: leaves the curve prefix as the file bin — bin count tracks the
+#: occupied key space (~hundreds at sf0.1), and on a 100 TB table the
+#: same prefix width is re-chosen from target_file_size / avg_row_size.
+#: The epoch sits at/before the data's min order date (TPC-H dates span
+#: 1992-1998) so every day count is non-negative — a mid-range epoch
+#: would two's-complement-wrap pre-epoch rows to the top of the 16-bit
+#: range and invert their Z-curve position.
 _ZBITS = 16
 _BIN_SHIFT = 16
-_EPOCH = "1995-01-01"
+_EPOCH = "1992-01-01"
 
 
 def _zvalue_spark(x, y):

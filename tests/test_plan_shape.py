@@ -270,9 +270,12 @@ def test_reconciliation_aggregates_map_side(spark):
     plan = formatted_plan(df)
     n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
     assert n_scans == 2, f"{n_scans} scans (want one per side)"
-    assert "partial_bit_xor" in plan or "partial_bitxor" in plan.lower().replace(
-        "_", ""
-    ) or "HashAggregate" in plan, "no partial aggregation before exchange"
+    # one partial (map-side) bit_xor per side, each paired with a final
+    # HashAggregate after its exchange: 2 partial digests, ≥4 aggregates
+    n_partial = plan.count("partial_bit_xor(")
+    assert n_partial == 2, f"{n_partial} partial_bit_xor aggs (want one per side)"
+    n_agg = len(re.findall(r"^\(\d+\) HashAggregate", plan, re.M))
+    assert n_agg >= 4, f"{n_agg} HashAggregates (want partial+final per side)"
 
 
 def test_zorder_audit_single_aggregation(spark):
