@@ -76,6 +76,35 @@ def main() -> None:
             fh.write(line + "\n")
     except OSError:
         pass
+    # The recorded artifact keeps only the LAST ~2000 chars of stdout;
+    # with ~190 queries the full line overflows that, truncating its
+    # head and making it unparseable (BENCH_r05 "parsed": null). Emit
+    # a self-sufficient compact line LAST: aggregate + the slowest
+    # queries, trimmed to always fit the tail window; the full map is
+    # the line above and BENCH_LOCAL.json.
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t >= 0),
+        key=lambda kv: -kv[1],
+    )
+    errs = {n: t for n, t in timings.items() if t < 0}
+    top: dict[str, float] = {}
+    for n, t in slowest:
+        top[n] = t
+        if len(json.dumps(top, separators=(",", ":"))) > 1100:
+            del top[n]
+            break
+    summary = {
+        "metric": "total_query_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errored": len(errs),
+        "queries": top,
+        "queries_elided": len(timings) - len(errs) - len(top),
+        "queries_full": "BENCH_LOCAL.json",
+    }
+    print(json.dumps(summary, separators=(",", ":")))
     spark.stop()
 
 

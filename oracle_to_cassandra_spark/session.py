@@ -55,6 +55,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Testdata generations have shipped events.ts both as
+        # TIMESTAMP(NANOS) int64 and TIMESTAMP(MICROS); the legacy
+        # conf lets the nanos generation load as a plain long (the
+        # loader then converts — sources/parquet.py). Set once here at
+        # session build so no reader mutates session state; it only
+        # affects parquet columns with nanos precision.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
