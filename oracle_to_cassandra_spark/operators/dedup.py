@@ -43,6 +43,7 @@ from oracle_to_cassandra_spark.functions.hashing import (
     md5_int64_sql,
 )
 from oracle_to_cassandra_spark.operators.text import shingles, shingles_sql, tokens
+from oracle_to_cassandra_spark.staging import stage
 
 SIMHASH_BITS = 16
 _TOK_SQL = "string_split(lower(text), ' ')"
@@ -142,7 +143,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataF
     not n², drive the cost. The band table is staged (lazy
     checkpoint) because the self-join references it on both sides and
     would otherwise execute the whole signature pipeline twice."""
-    b = lsh_bands(sigs, bands, rows).localCheckpoint(eager=False)
+    b = stage(lsh_bands(sigs, bands, rows))
     left = b.alias("x")
     right = b.alias("y")
     return (
@@ -190,7 +191,7 @@ def jaccard_verified_pairs(
     materializes it once inside the consuming job; on a cluster this
     is the 'stage the shingle table' step of every production dedup
     pipeline."""
-    sh = doc_shingle_hashes(documents).localCheckpoint(eager=False)
+    sh = stage(doc_shingle_hashes(documents))
     cands = lsh_candidate_pairs(minhash_signatures(documents, shingle_hashes=sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -330,10 +331,12 @@ def simhash_near_dup_stats(
     cluster collected into a single task and pair-enumerated O(m²) —
     cannot occur; its degree contribution is the closed form m-1.
     The in-bucket collect is then safe by construction at the fp
-    level: a hamming≤max_hamming neighborhood holds at most bits+1
-    distinct fingerprints (each differs from the center in one of
-    ``bits`` positions), and random band collisions add
-    n_distinct·2^-band_width. Output stays corpus-sized (one row per
+    level: at the default max_hamming=1 a Hamming ball holds at most
+    bits+1 distinct fingerprints (the center plus one per flippable
+    position); for larger max_hamming the bound is the sum of
+    binomials Σ_{i≤max_hamming} C(bits, i) — still polynomial in
+    ``bits``, never corpus-sized. Random band collisions add
+    n_distinct·2^-band_width on top. Output stays corpus-sized (one row per
     doc); the only pair-sized relation is between distinct
     fingerprints."""
     assert bands > max_hamming, "pigeonhole guarantee needs bands > max_hamming"
@@ -358,7 +361,8 @@ def simhash_near_dup_stats(
     ).withColumn(
         "gmin2",
         F.min(F.when(F.col("doc_id") != F.col("gmin"), F.col("doc_id"))).over(w),
-    ).localCheckpoint(eager=False)
+    )
+    fpx = stage(fpx)
 
     groups = fpx.select("simhash", "m", "gmin").distinct()
     banded = groups.select(

@@ -42,6 +42,8 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oracle_to_cassandra_spark.staging import stage
+
 log = logging.getLogger(__name__)
 
 
@@ -52,7 +54,9 @@ def connected_components(
     the minimum node id reachable through the undirected pair graph.
 
     One job per round: propagation + jump + ``_chg`` flag are
-    localCheckpoint'ed together (the single DAG execution); the
+    staged together via ``staging.stage`` (reliable checkpoint when a
+    checkpoint dir is configured — a lost executor can't kill a long
+    run — else localCheckpoint) as the single DAG execution; the
     convergence probe then reads the cached partitions. Raises on
     non-convergence rather than silently returning non-minimal
     labels."""
@@ -61,7 +65,7 @@ def connected_components(
     # materialize the edge list ONCE: every propagation round would
     # otherwise re-execute the full upstream DAG — for near-dup
     # clustering that is the whole MinHash→LSH→Jaccard pipeline
-    bi = bi.localCheckpoint(eager=True)
+    bi = stage(bi, eager=True)
     nodes = bi.select("u").distinct()
     labels = nodes.withColumn("label", F.col("u"))
 
@@ -92,7 +96,7 @@ def connected_components(
             # plan branches). Lazy checkpoint: materialized inside
             # this round's single job, then both branches read the
             # cached partitions — job count per round is unchanged.
-            propagated = propagated.localCheckpoint(eager=False)
+            propagated = stage(propagated)
             jump_src = propagated.select(
                 F.col("u").alias("ju"), F.col("new_label").alias("jlabel")
             )
@@ -112,8 +116,8 @@ def connected_components(
                 F.col("new_label").alias("label"),
                 (F.col("label") != F.col("new_label")).alias("_chg"),
             )
-            .localCheckpoint(eager=True)
         )
+        labels = stage(labels, eager=True)
         # cheap scan of the already-materialized partitions
         changed = labels.filter(F.col("_chg")).limit(1).count()
         labels = labels.drop("_chg")

@@ -23,6 +23,7 @@ from oracle_to_cassandra_spark.operators.dedup import (
 )
 from oracle_to_cassandra_spark.operators.text import shingles, shingles_sql, tokens
 from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.staging import stage
 from oracle_to_cassandra_spark.sources import load_table
 
 _TOK_SQL = "string_split(lower(text), ' ')"
@@ -145,7 +146,7 @@ def decontamination_overlap(spark, sf_dir):
     # both the train side and the benchmark side consume the shingle
     # table; stage it so the tokenize->shingle->md5 derivation runs
     # once (branch subtrees get no CSE)
-    sh = doc_shingle_hashes(d, k=DECON_K).localCheckpoint(eager=False)
+    sh = stage(doc_shingle_hashes(d, k=DECON_K))
     train_sh = sh.join(membership.filter(F.col("h") < 8), "doc_id").select(
         "doc_id", "h31"
     )
@@ -355,8 +356,8 @@ def mixture_weighted_sample(spark, sf_dir):
                 / (F.col("n_tokens") / F.col("all_tokens"))
             ).alias("weight"),
         )
-        .localCheckpoint(eager=False)
     )
+    w = stage(w)
     m = w.agg(F.max("weight").alias("max_w"))
     u = (
         base31(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))) % 1000000

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from oracle_to_cassandra_spark import scratch
 from oracle_to_cassandra_spark.operators.scale import write_bucketed_table
 from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.staging import stage
 from oracle_to_cassandra_spark.sources import load_table
 
 #: sf_dirs whose bucketed tables were already built this session —
@@ -189,14 +190,14 @@ def runtime_bloom_filtered_join(spark, sf_dir):
     The confs are scoped to the eager materialization and restored
     before returning — leaving autoBroadcastJoinThreshold=-1 set would
     silently degrade every later plan in the session (and the bench).
-    The returned frame is the localCheckpoint of the tiny (3-row)
+    The returned frame is the staged copy (``staging.stage``) of the tiny (3-row)
     aggregate; tests/test_plan_shape.py asserts might_contain on the
     pre-materialization plan."""
     prev = {k: spark.conf.get(k) for k in _BLOOM_CONFS}
     for k, v in _BLOOM_CONFS.items():
         spark.conf.set(k, v)
     try:
-        return _bloom_join_plan(spark, sf_dir).localCheckpoint(eager=True)
+        return stage(_bloom_join_plan(spark, sf_dir), eager=True)
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)

@@ -19,6 +19,7 @@ from oracle_to_cassandra_spark.queries.similarity import (
     ivf_topk_sql,
 )
 from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.staging import stage
 from oracle_to_cassandra_spark.sources import load_table
 
 # The oracle composes the SQL of the two ANN twins via their exported
@@ -248,8 +249,8 @@ def ivf_centroid_refinement(spark, sf_dir):
     cents = (
         label_centroids(e)
         .select(F.col("label").alias("cand_cell"), "centroid")
-        .localCheckpoint(eager=True)
     )
+    cents = stage(cents, eager=True)
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cand_cell",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from oracle_to_cassandra_spark.functions.hashing import MERSENNE_P, base31_sql
 from oracle_to_cassandra_spark.operators import text as TX
 from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.staging import stage
 from oracle_to_cassandra_spark.sources import load_table
 
 _SW = "('the', 'a', 'of', 'and', 'to')"  # EN_STOPWORDS as SQL literal
@@ -258,7 +259,8 @@ def bm25_retrieval_topk(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
-    ).localCheckpoint(eager=False)
+    )
+    tok = stage(tok)
     doclen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
     stats = doclen.agg(
         F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avg_dl")

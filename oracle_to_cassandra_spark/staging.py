@@ -1,0 +1,73 @@
+"""Durability-aware plan staging.
+
+Spark performs no common-subexpression elimination ACROSS plan
+branches: a DataFrame referenced by two downstream consumers executes
+its whole subtree twice. Every multi-consumer pipeline in this repo
+(shingle tables feeding LSH bands + Jaccard verification, token
+explodes feeding BM25's three statistics branches, connected-components
+iteration state) therefore stages the shared subtree exactly once via
+``stage()``.
+
+``stage()`` picks the staging mechanism by durability context:
+
+* **Reliable checkpoint** — when a checkpoint directory is configured
+  (``SparkContext.setCheckpointDir`` was called, or the
+  ``spark.checkpoint.dir`` conf is set), use ``DataFrame.checkpoint``:
+  blocks are written to that directory (on a real cluster: HDFS/object
+  storage, replicated and executor-independent). Losing an executor
+  mid-job re-reads the staged partitions from storage — a multi-hour
+  100 TB dedup run survives.
+
+* **localCheckpoint fallback** — otherwise use
+  ``DataFrame.localCheckpoint``: partitions are stored on executors
+  WITHOUT replication and lineage is truncated, so on a real cluster a
+  single lost executor makes the staged data unrecoverable and kills
+  the job. That trade-off is acceptable exactly where this repo runs it
+  by default — single-JVM ``local[n]`` (executor loss == driver loss)
+  and short exploratory jobs — and is why a production deployment
+  should set a checkpoint directory and get the reliable path with no
+  code change.
+
+Both paths support ``eager=False`` (lazy): the stage materializes
+inside the first consuming job instead of adding a job, keeping job
+counts — and plan-shape tests — unchanged. Downstream plans see the
+staged subtree as ``Scan ExistingRDD``/``LogicalRDD`` either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
+    """The configured checkpoint directory, or None.
+
+    Honors both the programmatic ``setCheckpointDir`` and the
+    ``spark.checkpoint.dir`` conf (applied lazily here so deployments
+    can opt in purely through submit-time ``--conf``).
+    """
+    sc = df.sparkSession.sparkContext
+    current = sc.getCheckpointDir()
+    if current:
+        return current
+    # ``spark.checkpoint.dir`` is a core (non-SQL) conf: settable only
+    # at submit time, so read it from the SparkContext conf rather
+    # than the session's RuntimeConfig.
+    conf_dir = sc.getConf().get("spark.checkpoint.dir", None)
+    if conf_dir:
+        sc.setCheckpointDir(conf_dir)
+        return conf_dir
+    return None
+
+
+def stage(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Materialize ``df`` once for multiple consumer branches.
+
+    Uses a reliable ``checkpoint()`` when a checkpoint directory is
+    configured, else ``localCheckpoint()`` (see module docstring for
+    the durability trade-off). ``eager=False`` keeps the
+    materialization inside the first consuming job.
+    """
+    if _reliable_checkpoint_dir(df) is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
