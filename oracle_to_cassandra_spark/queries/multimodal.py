@@ -69,3 +69,66 @@ def multimodal_frame_sample(spark, sf_dir):
     return df.select(
         "doc_id", "n_frames", df.frame_idx.cast("int").alias("frame_idx")
     )
+
+
+@query(
+    "multimodal_png_header_decode",
+    oracle="""
+    SELECT doc_id,
+           45::INT                   AS n_bytes,
+           (16 + doc_id % 320)::INT  AS width,
+           (16 + doc_id % 240)::INT  AS height,
+           8::INT                    AS bit_depth,
+           6::INT                    AS color_type,
+           true                      AS crc_ok
+    FROM documents WHERE doc_id % 2 = 0
+    """,
+)
+def multimodal_png_header_decode(spark, sf_dir):
+    """REAL image decode path (upgrades the size-formula stub): plant
+    spec-compliant PNG blobs (signature + IHDR with a true CRC-32 +
+    IEND, built JVM-side from hex/unhex + ``crc32``), then parse them
+    byte-for-byte in Arrow-batched Python — signature check, chunk
+    walk, big-endian struct unpack, zlib CRC re-verification. The
+    oracle states the planted header fields in closed form, so the
+    driver's hash compare certifies that genuine byte parsing happened:
+    any construction or parsing bug breaks the signature, the CRC, or
+    a dimension. n_bytes is the measured blob length (fixed 45-byte
+    stream: 8 sig + 25 IHDR + 12 IEND)."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_png_headers(M.plant_png_blobs(d))
+
+
+@query(
+    "multimodal_wav_pcm_stats",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id,
+             (1 + doc_id % 2)::INT                    AS n_channels,
+             ([8000, 16000, 44100])[doc_id % 3 + 1]   AS sample_rate,
+             (8 + doc_id % 25)::INT                   AS n_samples,
+             list_transform(range(0, (8 + doc_id % 25)::INT),
+                            i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS s
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, n_channels, sample_rate::INT AS sample_rate, n_samples,
+           ((n_samples // n_channels) * 1000000 // sample_rate)::BIGINT
+             AS duration_us,
+           list_max(list_transform(s, x -> abs(x)))::INT AS peak_amp,
+           list_sum(s)::BIGINT AS sum_amp
+    FROM wav
+    """,
+)
+def multimodal_wav_pcm_stats(spark, sf_dir):
+    """REAL audio decode path: plant spec-compliant RIFF/WAVE blobs
+    whose data chunk holds genuine int16-LE PCM samples (deterministic
+    formula, two's-complement-encoded JVM-side), then walk the RIFF
+    subchunks in Arrow-batched Python, unpack the PCM fmt fields,
+    ``np.frombuffer`` the samples and reduce peak |amplitude| /
+    amplitude sum vectorized. The oracle recomputes the PCM statistics
+    from the same planting formula in closed form — matching sum and
+    peak across ~tens of samples per doc is only possible if the
+    bytes were actually encoded and re-parsed correctly (integer
+    arithmetic end-to-end, so the compare is exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_wav_pcm_stats(M.plant_wav_blobs(d))

@@ -256,3 +256,47 @@ def test_dense_global_ids_bijective_and_contiguous(spark):
     ids = sorted(r.global_id for r in rows)
     assert ids == list(range(len(rows)))
     assert len({r.doc_id for r in rows}) == len(rows)
+
+
+def test_png_decoder_detects_corruption(spark):
+    """The PNG parse must be real: flipping one IHDR byte after CRC
+    computation must flip crc_ok (proving the CRC is re-verified from
+    the bytes, not assumed)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_cassandra_spark.operators import multimodal as M
+
+    docs = spark.range(0, 10, 2).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.lit("x")
+    )
+    planted = M.plant_png_blobs(docs)
+    # corrupt the width's low byte (offset 19) without touching the CRC
+    corrupted = planted.withColumn(
+        "payload",
+        F.concat(
+            F.expr("substring(payload, 1, 19)"),
+            F.unhex(F.lit("FF")),
+            F.expr("substring(payload, 21)"),
+        ),
+    )
+    ok = M.decode_png_headers(planted).agg(F.min("crc_ok")).collect()[0][0]
+    bad = M.decode_png_headers(corrupted).agg(F.max("crc_ok")).collect()[0][0]
+    assert ok is True and bad is False
+
+
+def test_wav_decoder_rejects_malformed(spark):
+    """The RIFF walk must validate structure: a truncated blob (RIFF
+    size mismatch) raises rather than emitting garbage rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oracle_to_cassandra_spark.operators import multimodal as M
+
+    docs = spark.range(1, 9, 2).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.lit("x")
+    )
+    truncated = M.plant_wav_blobs(docs).withColumn(
+        "payload", F.expr("substring(payload, 1, octet_length(payload) - 4)")
+    )
+    with pytest.raises(Exception, match="RIFF size mismatch"):
+        M.decode_wav_pcm_stats(truncated).count()
