@@ -1,0 +1,293 @@
+"""Semantic dedup capstone: near-dup clusters in EMBEDDING space with
+quality-aware survivors — the semantic twin of
+``dedup_keep_best_quality`` (VERDICT r5 item 6).
+
+Composition of already-proven pieces, end to end:
+
+  documents → ±1 feature-hashed shingle vectors (sparse, INTEGER)
+            → random-hyperplane band signatures (2 bands × 8 planes)
+            → band-bucket candidate pairs (the ANN equi-join)
+            → exact cosine verification (sparse dot via dim join)
+            → connected components → quality-ranked keeper per cluster
+
+Why a derived embedding and not the ``embeddings`` table: the
+synthetic embeddings contain no planted near-dups (max within-bucket
+cosine ≈ 0.48 — measured), so a threshold clustering there is the
+empty query. The documents corpus DOES contain planted near-dups, and
+a signed feature-hash of its shingle sets is a real production
+embedding (the hashing-trick / random-projection family) whose
+arithmetic is INTEGER end-to-end — sparse values, dot products and
+norms-squared are exact in both engines, floats appear only in the
+final cosine division, so the driver hash compare is exact.
+
+Scale posture (100 TB):
+  * Candidates come from the band self-join, never all pairs: 8-plane
+    bands collide random pairs at ~2·2⁻⁸ (measured ~1% of all pairs
+    at sf0.01) while exact duplicates collide with probability 1
+    (identical vectors ⇒ identical projections). Recall for
+    borderline near-dups is the classic bands×rows trade — more/
+    narrower bands raise recall and candidate volume; the operator
+    takes both as parameters.
+  * The sparse (doc, dim, val) relation is staged once
+    (``staging.stage``) and feeds projections, both dot-product sides
+    and the norms — no cross-branch recomputation.
+  * Cosine verification touches candidates only; CC runs on verified
+    edges (node-sized state, O(log diameter) rounds); the keeper rank
+    window partitions by cluster — cluster-sized, never a global sort.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.operators.dedup import (
+    doc_shingle_hashes,
+    doc_shingle_hashes_sql,
+)
+from oracle_to_cassandra_spark.operators.graph import connected_components
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.sources import load_table
+from oracle_to_cassandra_spark.staging import stage
+
+SEM_DIM = 64
+SEM_PLANES = 16
+SEM_BANDS = 2
+SEM_COS_THRESHOLD = 0.8  # verified gap: near-dups ≥0.8, random <0.6
+
+
+def _plane_signs() -> list[list[int]]:
+    """±1 plane components from md5 parity — the 8th hex digit's low
+    bit, so the DuckDB oracle derives the IDENTICAL values from
+    ``substr(md5('sem:p:d'), 8, 1)`` without inlining 1024 constants."""
+    return [
+        [
+            1
+            if int(hashlib.md5(f"sem:{p}:{d}".encode()).hexdigest()[:8], 16) & 1
+            else -1
+            for d in range(SEM_DIM)
+        ]
+        for p in range(SEM_PLANES)
+    ]
+
+
+def semantic_vectors(documents) -> "F.DataFrame":
+    """Sparse signed feature-hash embedding: (doc_id, dim, val) with
+    dim = shingle_hash % SEM_DIM and val = Σ ±1 over the doc's
+    distinct shingles (sign = hash's 6th bit). Integer-valued, so
+    dots/norms are cross-engine exact."""
+    sh = doc_shingle_hashes(documents)
+    return sh.groupBy(
+        "doc_id", (F.col("h31") % SEM_DIM).cast("int").alias("dim")
+    ).agg(
+        F.sum(
+            F.when(F.expr("(h31 DIV 64) % 2") == 0, F.lit(1)).otherwise(F.lit(-1))
+        )
+        .cast("long")
+        .alias("val")
+    )
+
+
+_VE_SQL = f"""
+      SELECT doc_id, (h31 % {SEM_DIM})::INT AS dim,
+             sum(CASE WHEN (h31 // 64) % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS val
+      FROM sh GROUP BY 1, 2
+"""
+
+
+def _semantic_keepers_oracle() -> str:
+    from oracle_to_cassandra_spark.queries.text_analysis import QUALITY_SQL
+
+    band_width = SEM_PLANES // SEM_BANDS
+    return f"""
+    WITH RECURSIVE sh AS ({doc_shingle_hashes_sql()}),
+    ve AS ({_VE_SQL}),
+    planes AS (
+      SELECT p, d,
+             CASE WHEN substr(md5('sem:' || p || ':' || d), 8, 1)
+                       IN ('1','3','5','7','9','b','d','f')
+                  THEN 1 ELSE -1 END AS s
+      FROM range({SEM_PLANES}) t1(p), range({SEM_DIM}) t2(d)
+    ),
+    proj AS (
+      SELECT ve.doc_id, planes.p, sum(ve.val * planes.s) AS pr
+      FROM ve JOIN planes ON planes.d = ve.dim
+      GROUP BY 1, 2
+    ),
+    bands AS (
+      SELECT doc_id, p // {band_width} AS band_id,
+             string_agg((pr > 0)::INT::VARCHAR, '' ORDER BY p) AS band_val
+      FROM proj GROUP BY doc_id, p // {band_width}
+    ),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_id = y.band_id AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+    ),
+    norms AS (SELECT doc_id, sum(val * val) AS n2 FROM ve GROUP BY 1),
+    dots AS (
+      SELECT c.doc_a, c.doc_b, sum(a.val * b.val) AS dot
+      FROM cands c
+      JOIN ve a ON a.doc_id = c.doc_a
+      JOIN ve b ON b.doc_id = c.doc_b AND b.dim = a.dim
+      GROUP BY 1, 2
+    ),
+    sim_edges AS (
+      SELECT doc_a, doc_b
+      FROM dots
+      JOIN norms na ON na.doc_id = dots.doc_a
+      JOIN norms nb ON nb.doc_id = dots.doc_b
+      WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {SEM_COS_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM sim_edges
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM sim_edges
+    ),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    ),
+    labels AS (
+      SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+      FROM reach GROUP BY u
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+             {QUALITY_SQL} AS quality
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, quality,
+             row_number() OVER (
+               PARTITION BY cluster_id ORDER BY quality DESC, doc_id
+             ) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM scored
+    )
+    SELECT cluster_id, doc_id AS keeper_doc_id,
+           round(quality, 6) AS keeper_quality,
+           cluster_size::BIGINT AS cluster_size
+    FROM ranked WHERE rn = 1 AND cluster_size > 1
+    """
+
+
+@query("embedding_cluster_keepers", oracle=_semantic_keepers_oracle())
+def embedding_cluster_keepers(spark, sf_dir):
+    """Semantic (embedding-space) near-dup clusters with quality-aware
+    survivors — what a production curation pipeline runs when
+    token-level LSH misses paraphrase-level duplication. See module
+    docstring for the full composition and scale argument."""
+    from oracle_to_cassandra_spark.operators import text as TX
+
+    band_width = SEM_PLANES // SEM_BANDS
+    docs = load_table(spark, sf_dir, "documents")
+    ve = stage(semantic_vectors(docs))
+
+    signs = _plane_signs()
+    planes = spark.createDataFrame(
+        [(p, d, signs[p][d]) for p in range(SEM_PLANES) for d in range(SEM_DIM)],
+        "p INT, d INT, s INT",
+    )
+    proj = (
+        ve.join(F.broadcast(planes), ve.dim == planes.d)
+        .groupBy("doc_id", "p")
+        .agg(F.sum(F.col("val") * F.col("s")).alias("pr"))
+    )
+    bits = proj.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("p") == p, (F.col("pr") > 0).cast("int"))).alias(
+                f"b{p}"
+            )
+            for p in range(SEM_PLANES)
+        ]
+    )
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.concat(
+                *[
+                    F.col(f"b{p}").cast("string")
+                    for p in range(b * band_width, (b + 1) * band_width)
+                ]
+            ).alias("band_val"),
+        )
+        for b in range(SEM_BANDS)
+    ]
+    bands = stage(
+        bits.select(
+            "doc_id", F.explode(F.array(*band_structs)).alias("band")
+        ).select(
+            "doc_id",
+            F.col("band.band_id").alias("band_id"),
+            F.col("band.band_val").alias("band_val"),
+        )
+    )
+    cands = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    norms = ve.groupBy("doc_id").agg(F.sum(F.col("val") * F.col("val")).alias("n2"))
+    dots = (
+        cands.join(ve.alias("a"), F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            ve.alias("b"),
+            (F.col("b.doc_id") == F.col("doc_b"))
+            & (F.col("b.dim") == F.col("a.dim")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("a.val") * F.col("b.val")).alias("dot"))
+    )
+    sim_edges = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")),
+            "doc_b",
+        )
+        .filter(
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6
+            )
+            >= SEM_COS_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    labels = connected_components(sim_edges)
+    scored = docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = scored.select(
+        "cluster_id",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("cluster_size"),
+    )
+    return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1)).select(
+        "cluster_id",
+        F.col("doc_id").alias("keeper_doc_id"),
+        F.round("quality", 6).alias("keeper_quality"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
