@@ -356,3 +356,133 @@ def decode_wav_pcm_stats(planted: DataFrame) -> DataFrame:
     return planted.select("doc_id", "payload").mapInArrow(
         _decode, schema=WAV_DECODED_SCHEMA
     )
+
+
+#: BMP planting formulas (24bpp; width 1-4 exercises every stride-pad
+#: case 1/2/3/0, height 1-3 exercises the bottom-up row order).
+#: ``{i}`` is the logical pixel index y*w+x — substituted with the
+#: lambda variable in each engine's text (a bare ``i`` would collide
+#: with the ``i`` inside ``doc_id`` under string substitution).
+BMP_W = "1 + doc_id % 4"
+BMP_H = "1 + doc_id % 3"
+BMP_B = "(doc_id + 3 * {i}) % 256"
+BMP_G = "(doc_id * 2 + 3 * {i} + 1) % 256"
+BMP_R = "(doc_id * 3 + 3 * {i} + 2) % 256"
+
+
+def plant_bmp_blobs(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload, media_kind): a spec-compliant 24bpp BMP —
+    BITMAPFILEHEADER + BITMAPINFOHEADER + REAL pixel data stored the
+    way BMP stores it: bottom-up row order, BGR byte order, each row
+    zero-padded to a 4-byte boundary. Pixel channel values follow the
+    deterministic ``BMP_B/G/R`` formulas over the logical pixel index
+    i = y*w + x. All hex/unhex built-ins (nested transform lambdas),
+    whole-stage codegen, no Python."""
+    w = F.expr(BMP_W).cast("long")
+    h = F.expr(BMP_H).cast("long")
+    pad = (4 - (w * 3) % 4) % 4
+    stride = w * 3 + pad
+    px_idx = f"(y * ({BMP_W}) + x)"
+    pixel_hex = F.expr(
+        f"""
+        array_join(transform(sequence(cast({BMP_H} AS INT) - 1, 0, -1), y ->
+          concat(
+            array_join(transform(sequence(0, cast({BMP_W} AS INT) - 1), x ->
+              concat(
+                lpad(hex({BMP_B.format(i=px_idx)}), 2, '0'),
+                lpad(hex({BMP_G.format(i=px_idx)}), 2, '0'),
+                lpad(hex({BMP_R.format(i=px_idx)}), 2, '0')
+              )), ''),
+            repeat('00', cast((4 - (({BMP_W}) * 3) % 4) % 4 AS INT))
+          )), '')
+        """
+    )
+    bmp_hex = F.concat(
+        F.lit("424D"),  # "BM"
+        _hex_le(stride * h + 54, 4),  # file size
+        F.lit("00000000"),  # reserved
+        F.lit("36000000"),  # pixel data offset = 54
+        F.lit("28000000"),  # BITMAPINFOHEADER size = 40
+        _hex_le(w, 4),
+        _hex_le(h, 4),  # positive height = bottom-up
+        F.lit("0100"),  # planes
+        F.lit("1800"),  # 24 bpp
+        F.lit("00000000"),  # BI_RGB (uncompressed)
+        _hex_le(stride * h, 4),  # image size
+        F.lit("130B0000130B0000"),  # 72 dpi x/y
+        F.lit("0000000000000000"),  # palette counts
+        pixel_hex,
+    )
+    return documents.select(
+        "doc_id",
+        F.unhex(bmp_hex).alias("payload"),
+        F.lit("image/bmp").alias("media_kind"),
+    )
+
+
+BMP_DECODED_SCHEMA = (
+    "doc_id LONG, width INT, height INT, n_pixels INT, "
+    "sum_b LONG, sum_g LONG, sum_r LONG"
+)
+
+
+def decode_bmp_pixel_stats(planted: DataFrame) -> DataFrame:
+    """REAL pixel-level decode over Arrow batches: validate the BM
+    magic / offset / 24bpp / BI_RGB fields, then reconstruct the pixel
+    array with numpy — reshape by the 4-byte-aligned stride, strip the
+    row padding, split the BGR interleave — and reduce per-channel
+    amplitude sums. Getting these sums right REQUIRES handling stride
+    padding correctly (widths 1-3 have 1-3 pad bytes per row): a
+    decoder that naively reads the pixel area flat produces wrong
+    sums, which the closed-form oracle catches."""
+    import pyarrow as pa
+
+    def _decode(batches):
+        import struct
+
+        import numpy as np
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {
+                "doc_id": [], "width": [], "height": [], "n_pixels": [],
+                "sum_b": [], "sum_g": [], "sum_r": [],
+            }
+            for doc_id, blob in zip(doc_ids, payloads):
+                if blob[:2] != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP")
+                file_size, _, offset = struct.unpack("<III", blob[2:14])
+                if file_size != len(blob):
+                    raise ValueError(f"doc {doc_id}: file size mismatch")
+                hdr_size, width, height = struct.unpack("<Iii", blob[14:26])
+                planes, bpp, compression = struct.unpack("<HHI", blob[26:34])
+                if hdr_size != 40 or planes != 1 or bpp != 24 or compression != 0:
+                    raise ValueError(f"doc {doc_id}: not an uncompressed 24bpp BMP")
+                stride = (width * 3 + 3) // 4 * 4
+                px = np.frombuffer(
+                    blob[offset : offset + stride * height], dtype=np.uint8
+                ).reshape(height, stride)[:, : width * 3]
+                bgr = px.reshape(height * width, 3).astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["n_pixels"].append(width * height)
+                out["sum_b"].append(int(bgr[:, 0].sum()))
+                out["sum_g"].append(int(bgr[:, 1].sum()))
+                out["sum_r"].append(int(bgr[:, 2].sum()))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()), ("width", pa.int32()),
+                        ("height", pa.int32()), ("n_pixels", pa.int32()),
+                        ("sum_b", pa.int64()), ("sum_g", pa.int64()),
+                        ("sum_r", pa.int64()),
+                    ]
+                ),
+            )
+
+    return planted.select("doc_id", "payload").mapInArrow(
+        _decode, schema=BMP_DECODED_SCHEMA
+    )

