@@ -173,3 +173,52 @@ def multimodal_bmp_pixel_stats(spark, sf_dir):
     decompression needs libs this container doesn't ship)."""
     d = load_table(spark, sf_dir, "documents")
     return M.decode_bmp_pixel_stats(M.plant_bmp_blobs(d))
+
+
+def _y4m_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        Y4M_H,
+        Y4M_N_FRAMES,
+        Y4M_U,
+        Y4M_V,
+        Y4M_W,
+        Y4M_Y,
+    )
+
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, ({Y4M_W})::INT AS width, ({Y4M_H})::INT AS height,
+             ({Y4M_N_FRAMES})::INT AS n_frames
+      FROM documents
+    ),
+    frames AS (
+      SELECT doc_id, width, height, n_frames,
+             unnest(range(0, n_frames))::INT AS frame_idx
+      FROM dims
+    )
+    SELECT doc_id, width, height, n_frames, frame_idx,
+           list_sum(list_transform(range(0, width * height),
+                    j -> {Y4M_Y.format(f="frame_idx", j="j")}))::BIGINT AS sum_y,
+           list_sum(list_transform(range(0, (width // 2) * (height // 2)),
+                    j -> {Y4M_U.format(f="frame_idx", j="j")}))::BIGINT AS sum_u,
+           list_sum(list_transform(range(0, (width // 2) * (height // 2)),
+                    j -> {Y4M_V.format(f="frame_idx", j="j")}))::BIGINT AS sum_v
+    FROM frames WHERE frame_idx % 2 = 0
+    """
+
+
+@query("multimodal_y4m_frame_sample_stats", oracle=_y4m_oracle())
+def multimodal_y4m_frame_sample_stats(spark, sf_dir):
+    """REAL video decode + frame sampling: plant spec-compliant
+    YUV4MPEG2 streams (text header + FRAME markers + raw planar
+    YUV 4:2:0 bytes — a real interchange format that needs no codec),
+    then parse the header, walk the FRAME markers and decode the
+    plane bytes ONLY for every 2nd frame (unsampled frames are seeked
+    past — the production frame-sampling contract). One row per
+    sampled frame with integer per-plane amplitude sums; the oracle
+    restates the planting formulas closed-form, so matching sums
+    certifies genuine container walking and plane slicing. Completes
+    the real-decode trio: PNG (image headers+CRC), BMP (pixels),
+    WAV (audio PCM), Y4M (video frames)."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_y4m_frame_stats(M.plant_y4m_blobs(d), sample_every=2)

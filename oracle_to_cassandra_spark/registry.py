@@ -142,12 +142,12 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_status_priority",
     "stats_dispersion_per_segment",
     "having_filter_hot_parts",
-    "conditional_aggregation",
-    # --- new this round: real multimodal decode (r5 item 3) and the
-    #     semantic-dedup capstone (r5 item 6) ---
+    # --- new this round: real multimodal decode (r5 item 3; image,
+    #     audio, pixel, video) and the semantic-dedup capstone (item 6) ---
     "multimodal_png_header_decode",
     "multimodal_wav_pcm_stats",
     "multimodal_bmp_pixel_stats",
+    "multimodal_y4m_frame_sample_stats",
     "embedding_cluster_keepers",
 )
 

@@ -336,3 +336,22 @@ def test_bmp_decoder_handles_stride_padding(spark):
         base.sum_b, base.sum_g, base.sum_r
     ), "pad byte leaked into pixel sums — stride handling broken"
     assert px_flipped.sum_b != base.sum_b, "pixel byte change not reflected"
+
+
+def test_y4m_decoder_validates_container(spark):
+    """The FRAME walk must validate structure: truncating the stream
+    mid-frame (trailing-bytes check) raises instead of emitting
+    partial-frame stats."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oracle_to_cassandra_spark.operators import multimodal as M
+
+    docs = spark.range(0, 4).withColumnRenamed("id", "doc_id").withColumn(
+        "text", F.lit("x")
+    )
+    truncated = M.plant_y4m_blobs(docs).withColumn(
+        "payload", F.expr("substring(payload, 1, octet_length(payload) - 2)")
+    )
+    with pytest.raises(Exception, match="trailing bytes|bad FRAME"):
+        M.decode_y4m_frame_stats(truncated).count()

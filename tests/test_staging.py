@@ -86,3 +86,22 @@ def test_stage_lazy_adds_no_job(spark):
     after = tracker.getJobIdsForGroup(None)
     assert len(after) == len(before), "lazy stage() launched a job"
     assert staged.count() == 500
+
+
+def test_cc_pipeline_identical_under_reliable_checkpoint(spark, tmp_path):
+    """End-to-end durability check: the CC-based dedup pipeline (every
+    stage() call inside MinHash→LSH→Jaccard→CC) must produce identical
+    results whether staging runs through localCheckpoint (default) or
+    reliable checkpoint (dir configured)."""
+    import __spark_entry__ as E
+    from tests.conftest import SF_DIR
+
+    q = E.queries()["dedup_cluster_assignment"]
+    local_rows = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        reliable_rows = sorted(map(tuple, q(spark, SF_DIR).collect()))
+    finally:
+        _set_jvm_checkpoint_dir_none(spark)
+    assert local_rows == reliable_rows
+    assert len(local_rows) > 0
