@@ -222,3 +222,45 @@ def multimodal_y4m_frame_sample_stats(spark, sf_dir):
     WAV (audio PCM), Y4M (video frames)."""
     d = load_table(spark, sf_dir, "documents")
     return M.decode_y4m_frame_stats(M.plant_y4m_blobs(d), sample_every=2)
+
+
+@query(
+    "stream_multimodal_wav_decode",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id,
+             (1 + doc_id % 2)::INT                    AS n_channels,
+             ([8000, 16000, 44100])[doc_id % 3 + 1]   AS sample_rate,
+             (8 + doc_id % 25)::INT                   AS n_samples,
+             list_transform(range(0, (8 + doc_id % 25)::INT),
+                            i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS s
+      FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT doc_id, n_channels, sample_rate::INT AS sample_rate, n_samples,
+           ((n_samples // n_channels) * 1000000 // sample_rate)::BIGINT
+             AS duration_us,
+           list_max(list_transform(s, x -> abs(x)))::INT AS peak_amp,
+           list_sum(s)::BIGINT AS sum_amp
+    FROM wav
+    """,
+)
+def stream_multimodal_wav_decode(spark, sf_dir):
+    """Streaming twin of the real audio decode — and a fully
+    DuckDB-oracled stream (not rows-only): ``readStream`` over the
+    documents files (Kafka-topic analog), the SAME JVM-side WAV
+    planting expressions and mapInArrow PCM decoder as the batch
+    query, appended to the memory sink via an availableNow trigger.
+    Proves the multimodal decode path is trigger-agnostic: identical
+    per-row results whether blobs arrive as a table or as a stream —
+    on a cluster this is the ingest-time feature-extraction pattern
+    (decode once, on arrival, not per downstream consumer)."""
+    from oracle_to_cassandra_spark.streaming.core import run_stream_to_memory
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs_stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    decoded = M.decode_wav_pcm_stats(M.plant_wav_blobs(docs_stream))
+    return run_stream_to_memory(decoded, output_mode="append")

@@ -141,13 +141,13 @@ _PRIORITY: tuple[str, ...] = (
     "cube_order_status_priority",
     "grouping_sets_status_priority",
     "stats_dispersion_per_segment",
-    "having_filter_hot_parts",
     # --- new this round: real multimodal decode (r5 item 3; image,
     #     audio, pixel, video) and the semantic-dedup capstone (item 6) ---
     "multimodal_png_header_decode",
     "multimodal_wav_pcm_stats",
     "multimodal_bmp_pixel_stats",
     "multimodal_y4m_frame_sample_stats",
+    "stream_multimodal_wav_decode",
     "embedding_cluster_keepers",
 )
 
