@@ -23,11 +23,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.operators.text import tokens
+from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, tokens
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
 _TOK_SQL = "string_split(lower(text), ' ')"
+_SW_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
 
 #: redaction patterns — Java regex (Spark) and RE2 (DuckDB) agree on
 #: this subset: character classes, +, literal dot escapes
@@ -234,4 +235,93 @@ def oov_rate_top_vocab(spark, sf_dir):
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_oov").cast("long").alias("n_oov"),
         F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_ratio"),
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: synthetic corpus so every rule has both passing and failing docs —
+#: a rule that never fires is a vacuous check)
+MIN_WORDS = 40
+MWL_LO, MWL_HI = 4.0, 5.0
+MIN_DIVERSITY = 0.45
+MIN_STOPWORDS = 2
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_TOK_SQL} AS ts FROM documents
+    ),
+    rules AS (
+      SELECT doc_id, source,
+             (len(ts) >= {MIN_WORDS}) AS r_len,
+             (list_avg(list_transform(ts, t -> len(t)))
+                BETWEEN {MWL_LO} AND {MWL_HI}) AS r_mwl,
+             (len(list_distinct(ts)) * 1.0 / len(ts)
+                >= {MIN_DIVERSITY}) AS r_div,
+             (len(list_distinct(list_filter(ts, t -> t IN {_SW_SQL})))
+                >= {MIN_STOPWORDS}) AS r_stop
+      FROM tok
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum((NOT r_len)::INT)::BIGINT AS fail_word_count,
+           sum((NOT r_mwl)::INT)::BIGINT AS fail_mean_word_len,
+           sum((NOT r_div)::INT)::BIGINT AS fail_diversity,
+           sum((NOT r_stop)::INT)::BIGINT AS fail_stopwords,
+           sum((r_len AND r_mwl AND r_div AND r_stop)::INT)::BIGINT AS n_pass_all,
+           round(sum((r_len AND r_mwl AND r_div AND r_stop)::INT)
+                 * 1.0 / count(*), 6) AS retention
+    FROM rules GROUP BY source
+    """,
+)
+def gopher_quality_rules(spark, sf_dir):
+    """Gopher-style quality-rule battery (Rae et al. 2021): per-source
+    report of how many documents each rule rejects — minimum word
+    count, mean-word-length window, type/token diversity floor, and a
+    stopword-presence floor — plus the all-rules retention ratio. The
+    per-rule fail counts are what a curation run inspects before
+    committing a filter config; retention is the headline number.
+
+    Scale: the whole rule battery is higher-order array functions on
+    the tokenized text — filter/transform/aggregate inside whole-stage
+    codegen on the scan, one row out per document, then a map-side
+    partial aggregate to the handful of source keys. No shuffle
+    carries text; the only exchange is source-keyed partial counts.
+    Mean word length is a left-fold over the token array in BOTH
+    engines (identical operand order → bit-identical doubles), so the
+    BETWEEN threshold cannot flip across engines.
+
+    Extends the reference's static filter surface
+    (`/root/reference/README.md:877`) to the rule-report shape its
+    WHERE-clause examples cannot express without N passes."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    mwl = F.aggregate(
+        F.transform(ts, F.length),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(ts)
+    rules = d.select(
+        "source",
+        (F.size(ts) >= MIN_WORDS).alias("r_len"),
+        ((mwl >= MWL_LO) & (mwl <= MWL_HI)).alias("r_mwl"),
+        (F.size(F.array_distinct(ts)) / F.size(ts) >= MIN_DIVERSITY).alias("r_div"),
+        (
+            F.size(F.array_distinct(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS))))
+            >= MIN_STOPWORDS
+        ).alias("r_stop"),
+    )
+    pass_all = F.col("r_len") & F.col("r_mwl") & F.col("r_div") & F.col("r_stop")
+    return rules.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("r_len")).cast("int")).cast("long").alias("fail_word_count"),
+        F.sum((~F.col("r_mwl")).cast("int")).cast("long").alias("fail_mean_word_len"),
+        F.sum((~F.col("r_div")).cast("int")).cast("long").alias("fail_diversity"),
+        F.sum((~F.col("r_stop")).cast("int")).cast("long").alias("fail_stopwords"),
+        F.sum(pass_all.cast("int")).cast("long").alias("n_pass_all"),
+        F.round(
+            F.sum(pass_all.cast("int")) / F.count("*"), 6
+        ).alias("retention"),
     )
