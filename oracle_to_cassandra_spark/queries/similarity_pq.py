@@ -1,0 +1,300 @@
+"""Product-quantization ANN (Jégou et al. 2011): subspace codebooks,
+corpus encoding to compact codes, and asymmetric-distance (ADC) top-k
+— the memory-compression scale path for embedding search, plus a
+recall@10 self-audit against the exact squared-L2 ranking.
+
+At 100 TB the point of PQ is that the SEARCH never touches raw
+vectors: each 64-dim float vector (256 bytes) is encoded once into
+M=4 one-byte codes, and a probe scores the whole corpus through a
+broadcast M×K distance table — a scan over 4-byte codes plus four
+table lookups per vector. The codebook (M×K×{SUB}-dim, a few KB)
+broadcasts everywhere; nothing corpus-sized ever shuffles raw
+embeddings. Here K = the 10 synthetic cluster labels (production
+trains K=256 per subspace with k-means — identical plan shape, the
+Lloyd step exists at ``similarity_eval.ivf_centroid_refinement``).
+
+Everything is deterministic and oracle-twinned: centroid components
+are rounded to 6 dp in BOTH engines before any distance math, each
+per-subspace distance is rounded before the argmin (ties broken by
+code id), so the encode step cannot flip across engines on float
+noise. Extends the reference's static lookup surface
+(`/root/reference/README.md:792-812`) to the compressed-index shape
+its engine cannot express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.queries.similarity import PROBE_IDS, _PROBES_SQL
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.staging import stage
+from oracle_to_cassandra_spark.sources import load_table
+
+M = 4  #: number of subspaces
+SUB = 16  #: dimensions per subspace (64-dim embeddings)
+TOP_K = 10
+
+#: shared SQL fragments ---------------------------------------------------
+
+#: per-(vector, subspace) double subvectors; DuckDB list slices are
+#: 1-based and inclusive on both ends
+_SUB_SQL = f"""
+  SELECT vec_id, label, t.m,
+         list_transform(embedding[(t.m * {SUB} + 1):((t.m + 1) * {SUB})],
+                        x -> x::DOUBLE) AS sv
+  FROM embeddings, range({M}) t(m)
+"""
+
+#: codebook: per (subspace, label) mean subvector, components rounded
+#: to 6 dp BEFORE any distance math (identical codebook both engines)
+_CB_SQL = """
+  SELECT m, code_id, list(round(c, 6) ORDER BY pos) AS cw FROM (
+    SELECT m, code_id, pos, avg(v) AS c FROM (
+      SELECT m, label AS code_id, generate_subscripts(sv, 1) AS pos,
+             unnest(sv) AS v
+      FROM sub
+    ) GROUP BY m, code_id, pos
+  ) GROUP BY m, code_id
+"""
+
+#: squared L2 between a subvector column a and codeword column b
+_D2 = "round(list_sum(list_transform(range({n}), i -> (a[i+1]-b[i+1])*(a[i+1]-b[i+1]))), 6)"
+
+
+def _pq_core_sql() -> str:
+    """Shared CTE prefix: subvectors, codebook, corpus codes, probe
+    distance tables, and the ADC scores for the fixed probe set."""
+    d2 = _D2.format(n=SUB)
+    return f"""
+    sub AS ({_SUB_SQL}),
+    cb AS ({_CB_SQL}),
+    enc0 AS (
+      SELECT s.vec_id, s.m, cb.code_id,
+             {d2.replace('a[', 's.sv[').replace('b[', 'cb.cw[')} AS d
+      FROM sub s JOIN cb ON s.m = cb.m
+    ),
+    enc AS (
+      SELECT vec_id, m, code_id AS code FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, code_id) AS r
+        FROM enc0
+      ) WHERE r = 1
+    ),
+    dtab AS (
+      SELECT s.vec_id AS probe_id, s.m, cb.code_id,
+             {d2.replace('a[', 's.sv[').replace('b[', 'cb.cw[')} AS d
+      FROM sub s JOIN cb ON s.m = cb.m
+      WHERE s.vec_id IN {_PROBES_SQL}
+    ),
+    adc AS (
+      SELECT dtab.probe_id, enc.vec_id AS neighbor_id,
+             round(sum(dtab.d), 6) AS adc_dist
+      FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.code_id
+      WHERE enc.vec_id <> dtab.probe_id
+      GROUP BY dtab.probe_id, enc.vec_id
+    ),
+    pq_topk AS (
+      SELECT probe_id, neighbor_id, adc_dist, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe_id
+                                     ORDER BY adc_dist, neighbor_id)::BIGINT AS rn
+        FROM adc
+      ) WHERE rn <= {TOP_K}
+    )
+    """
+
+
+_PQ_TOPK_SQL = f"""
+    WITH {_pq_core_sql()}
+    SELECT probe_id, neighbor_id, adc_dist, rn FROM pq_topk
+    """
+
+
+def _subvectors(e: DataFrame) -> DataFrame:
+    """(vec_id, label, m, sv: array<double>) — one row per subspace."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice("embedding", m * SUB + 1, SUB),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for m in range(M)
+        ]
+    )
+    return e.select(
+        "vec_id", "label", F.explode(slices).alias("s")
+    ).select("vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _codebook(sub: DataFrame) -> DataFrame:
+    """(m, code_id, cw: array<double>) — per-(subspace, label) mean
+    subvector, components rounded to 6 dp. M*K rows — broadcast size."""
+    dims = sub.select("m", F.col("label").alias("code_id"), F.posexplode("sv").alias("pos", "v"))
+    cent = dims.groupBy("m", "code_id", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+    return (
+        cent.groupBy("m", "code_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+        .select("m", "code_id", F.transform("pc", lambda s: s.getField("c")).alias("cw"))
+    )
+
+
+def _sq_l2(a, b):
+    """Squared L2 via a deterministic left fold (zip_with + aggregate:
+    identical operand order in every task), rounded to 6 dp so the
+    argmin tie-break is stable across engines."""
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+
+
+def _pq_topk(spark, sf_dir) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = _subvectors(e)
+    # the codebook feeds BOTH the corpus encode and the probe distance
+    # tables; stage the 40-row result so the centroid aggregation runs
+    # once (same handoff as ivf_centroid_refinement)
+    cb = stage(_codebook(sub), eager=True)
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "code_id", _sq_l2(F.col("sv"), F.col("cw")).alias("d")
+    )
+    enc = scored.groupBy("vec_id", "m").agg(
+        F.min_by("code_id", F.struct("d", "code_id")).alias("code")
+    )
+    # rename the distance-table keys: enc and dtab share lineage, so a
+    # dtab.m/enc.m join degrades to a trivially-true predicate
+    dtab = (
+        sub.filter(F.col("vec_id").isin(PROBE_IDS))
+        .join(F.broadcast(cb), "m")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("m").alias("dm"),
+            F.col("code_id").alias("dcode"),
+            _sq_l2(F.col("sv"), F.col("cw")).alias("d"),
+        )
+    )
+    adc = (
+        enc.join(
+            F.broadcast(dtab),
+            (F.col("m") == F.col("dm")) & (F.col("code") == F.col("dcode")),
+        )
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .groupBy("probe_id", "vec_id")
+        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+    )
+    w = Window.partitionBy("probe_id").orderBy("adc_dist", F.col("vec_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rn")
+    )
+
+
+@query("similarity_pq_adc_topk", oracle=_PQ_TOPK_SQL)
+def similarity_pq_adc_topk(spark, sf_dir):
+    """PQ-ADC top-10 for the fixed probe set: encode the corpus to
+    M={M} subspace codes against a per-label codebook, score probes
+    through broadcast distance tables, rank by asymmetric distance.
+
+    Scale: the ADC join touches only (vec_id, m, code) — 4 small ints
+    per vector — against a broadcast probe×codeword table; the
+    aggregation to (probe, vector) partial-sums map-side and the
+    per-probe top-k is a WindowGroupLimit, never a global sort. Raw
+    embeddings are read exactly twice (codebook + encode), never
+    shuffled."""
+    return _pq_topk(spark, sf_dir)
+
+
+_PQ_RECALL_SQL = f"""
+    WITH {_pq_core_sql()},
+    exact AS (
+      SELECT probe_id, neighbor_id FROM (
+        SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY round(list_sum(list_transform(range(64),
+                   i -> (p.embedding[i+1]::DOUBLE - e.embedding[i+1]::DOUBLE)
+                        * (p.embedding[i+1]::DOUBLE - e.embedding[i+1]::DOUBLE))), 6),
+                   e.vec_id
+               ) AS rn
+        FROM embeddings p JOIN embeddings e ON p.vec_id <> e.vec_id
+        WHERE p.vec_id IN {_PROBES_SQL}
+      ) WHERE rn <= {TOP_K}
+    ),
+    inter AS (
+      SELECT x.probe_id, count(*)::BIGINT AS n_overlap
+      FROM exact x JOIN pq_topk q
+        ON x.probe_id = q.probe_id AND x.neighbor_id = q.neighbor_id
+      GROUP BY x.probe_id
+    )
+    SELECT p.probe_id, round(coalesce(i.n_overlap, 0) / {TOP_K}.0, 2) AS recall_at_10
+    FROM (SELECT DISTINCT probe_id FROM exact) p
+    LEFT JOIN inter i ON i.probe_id = p.probe_id
+    """
+
+
+@query("similarity_pq_recall_at_10", oracle=_PQ_RECALL_SQL)
+def similarity_pq_recall_at_10(spark, sf_dir):
+    """Recall@10 of the PQ-ADC ranking against the exact squared-L2
+    top-10 — the compression/quality trade-off MEASURED in-engine
+    (same audit shape as similarity_ivf_recall_at_10, which scores
+    the IVF pruning lever; this scores the quantization lever).
+
+    Expected value here is LOW (~0.1): with only K=10 label-mean
+    codewords the quantizer resolves between-cluster structure but a
+    probe's true top-10 are within-cluster neighbors whose ADC
+    distances are nearly constant, so recall ≈ 10/cluster-size. That
+    is the honest information-theoretic floor of a K=10 codebook —
+    the audit exists precisely to measure how K trades against it
+    (production: K=256 per subspace, trained by the Lloyd step).
+
+    Scale: the exact side is the bounded 5-probe broadcast scan; the
+    PQ side is the compressed-code scan above; the audit join is
+    probe-keyed over ≤ {TOP_K} rows per probe."""
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("p_emb"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+    )
+    scored = F.broadcast(probes).join(
+        cands, F.col("probe_id") != F.col("neighbor_id")
+    ).select(
+        "probe_id",
+        "neighbor_id",
+        _sq_l2(F.col("p_emb"), F.col("c_emb")).alias("d2"),
+    )
+    w = Window.partitionBy("probe_id").orderBy("d2", F.col("neighbor_id"))
+    exact = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "neighbor_id")
+    )
+    pq = _pq_topk(spark, sf_dir).select("probe_id", "neighbor_id")
+    inter = (
+        exact.join(pq, ["probe_id", "neighbor_id"])
+        .groupBy("probe_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return (
+        exact.select("probe_id")
+        .distinct()
+        .join(inter, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.round(
+                F.coalesce(F.col("n_overlap"), F.lit(0)) / TOP_K, 2
+            ).alias("recall_at_10"),
+        )
+    )
