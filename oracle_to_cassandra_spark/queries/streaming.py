@@ -217,3 +217,45 @@ def stream_ingest_sink_roundtrip(spark, sf_dir):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_tws_user_activity",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT event_type)::BIGINT AS n_event_types
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_tws_user_activity(spark, sf_dir):
+    """Spark 4 ``transformWithStateInPandas`` stateful operator, fully
+    DuckDB-oracled: per-user running profile with TYPED state — a
+    ValueState scalar aggregate plus a MapState per-event-type tally
+    (see ``streaming/stateful.py:UserActivityProcessor``). The
+    processor emits the cumulative profile each micro-batch; because
+    cumulative state is monotone in n_events, keeping each key's
+    highest-n_events row afterwards yields the exact full-data
+    aggregate NO MATTER how the file source slices batches — which is
+    what upgrades this stream from the rows-only contract to a full
+    value-hash oracle.
+
+    Scale: state is partitioned by user_id in the executors' state
+    store (RocksDB on a cluster; one column family per state
+    primitive), so 100 M users hold a few scalars each; the
+    post-processing is a user_id-keyed aggregate over one row per
+    (key, touching batch)."""
+    ev = read_events_stream(spark, sf_dir)
+    from oracle_to_cassandra_spark.streaming.stateful import (
+        user_activity_tws_stream,
+    )
+
+    out = run_stream_to_memory(
+        user_activity_tws_stream(ev), output_mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max_by("n_event_types", "n_events").alias("n_event_types"),
+    )

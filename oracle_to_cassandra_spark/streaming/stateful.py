@@ -60,3 +60,122 @@ def user_profile_stream(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- transformWithStateInPandas (Spark 4 arbitrary-state API) ---------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+TWS_OUTPUT_SCHEMA = (
+    "user_id LONG, n_events LONG, total_value DOUBLE, n_event_types LONG"
+)
+
+
+class UserActivityProcessor(StatefulProcessor):
+    """Per-user activity profile on the Spark 4 ``transformWithState``
+    API — the successor to ``applyInPandasWithState`` above, with
+    TYPED state primitives instead of one opaque tuple: a ValueState
+    for the scalar running aggregate and a MapState keyed by
+    event_type for the per-type tally (on a cluster each is a
+    separate RocksDB column family, so the map grows per-key without
+    rewriting the scalar state).
+
+    Emits the CUMULATIVE profile for every key touched in a batch;
+    the consumer keeps the row with the highest n_events per key,
+    which makes the final answer independent of how the file source
+    slices micro-batches (cumulative state is monotone in n_events).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+        self._by_type = handle.getMapState("by_type", "t STRING", "c LONG")
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._by_type.getValue((t,))[0]
+                    if self._by_type.containsKey((t,))
+                    else 0
+                )
+                self._by_type.updateValue((t,), (prev + int(c),))
+        self._agg.update((n, total))
+        n_types = sum(1 for _ in self._by_type.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "n_event_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-based state server
+    between the JVM and the Python worker; without the ``protobuf``
+    package the worker crashes at init. Capability-probe it."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent "google" namespace absent
+        return False
+
+
+def _update_user_activity_fallback(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState twin of UserActivityProcessor — same
+    cumulative emission contract (monotone n_events), with the typed
+    MapState flattened into an ARRAY<STRING> of seen event types."""
+    (user_id,) = key
+    n, total, types = state.get if state.exists else (0, 0.0, [])
+    seen = set(types)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        seen.update(pdf["event_type"].dropna().unique().tolist())
+    state.update((n, total, sorted(seen)))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "total_value": [round(total, 2)],
+            "n_event_types": [len(seen)],
+        }
+    )
+
+
+def user_activity_tws_stream(events: DataFrame) -> DataFrame:
+    """Stateful per-user activity profile. Primary path is the Spark 4
+    ``transformWithStateInPandas`` API (typed ValueState + MapState);
+    when the protobuf dependency its state server needs is absent the
+    SAME cumulative-emission semantics run on applyInPandasWithState,
+    so the output contract (and the DuckDB oracle that checks it) is
+    identical on both paths."""
+    keyed = events.select("user_id", "event_type", "value").groupBy("user_id")
+    if _tws_available():
+        return keyed.transformWithStateInPandas(
+            UserActivityProcessor(),
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return keyed.applyInPandasWithState(
+        _update_user_activity_fallback,
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        stateStructType="n LONG, total DOUBLE, types ARRAY<STRING>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

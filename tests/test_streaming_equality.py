@@ -188,3 +188,84 @@ def test_stream_stream_join_equals_batch_join(spark):
     cols = ["user_id", "view_id", "view_time", "purchase_time", "purchase_value"]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+class _FakeMapState:
+    def __init__(self):
+        self._m = {}
+
+    def containsKey(self, k):
+        return k in self._m
+
+    def getValue(self, k):
+        return self._m.get(k)
+
+    def updateValue(self, k, v):
+        self._m[k] = v
+
+    def keys(self):
+        return iter(self._m.keys())
+
+
+class _FakeHandle:
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return _FakeValueState()
+
+    def getMapState(self, name, kschema, vschema, ttlDurationMs=None):
+        return _FakeMapState()
+
+
+def test_tws_processor_cumulative_semantics():
+    """The Spark 4 transformWithState processor can't run end-to-end
+    here (its state server needs protobuf, absent in this env — the
+    query dispatches to the applyInPandasWithState twin), so pin its
+    semantics at the unit level: cumulative counts/sums across
+    batches, per-type tally in MapState, monotone n_events."""
+    import pandas as pd
+
+    from oracle_to_cassandra_spark.streaming.stateful import (
+        UserActivityProcessor,
+    )
+
+    p = UserActivityProcessor()
+    p.init(_FakeHandle())
+    b1 = pd.DataFrame({"event_type": ["a", "b", "a"], "value": [1.0, 2.0, 3.0]})
+    (out1,) = p.handleInputRows((7,), iter([b1]), None)
+    assert out1.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 3, "total_value": 6.0, "n_event_types": 2,
+    }
+    b2 = pd.DataFrame({"event_type": ["c"], "value": [0.5]})
+    (out2,) = p.handleInputRows((7,), iter([b2]), None)
+    assert out2.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 4, "total_value": 6.5, "n_event_types": 3,
+    }
+
+
+def test_tws_stream_equals_batch_agg(spark):
+    """The dispatched stream (either API path) must equal the plain
+    batch per-user aggregate after the monotone-final reduction the
+    registered query applies."""
+    qs = E.queries()
+    final = qs["stream_tws_user_activity"](spark, SF_DIR)
+    ev = load_table(spark, SF_DIR, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count_distinct("event_type").alias("n_event_types"),
+    )
+    cols = ["user_id", "n_events", "total_value", "n_event_types"]
+    assert _rows(final, cols) == _rows(batch, cols)
