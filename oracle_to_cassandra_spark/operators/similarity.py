@@ -226,3 +226,22 @@ def hyperplane_ann_topk(
         .filter(F.col("rn") <= k)
         .select("probe_id", "bucket", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def rademacher_matrix(k_out: int, dim: int = EMBEDDING_DIM, prefix: str = "jl"):
+    """±1 Johnson–Lindenstrauss projection matrix (k_out × dim),
+    md5-derived like ``hyperplane_signs`` so Spark expressions and the
+    DuckDB oracle inline IDENTICAL constants (Achlioptas 2003: ±1
+    entries satisfy the JL lemma with the same guarantees as
+    Gaussians, and the projection stays integer-multiply-free)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{prefix}:{j}:{i}".encode()).hexdigest()[:8], 16) & 1
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(k_out)
+    ]
