@@ -135,16 +135,22 @@ _PRIORITY: tuple[str, ...] = (
     "global_counts",
     "top_orders_limit",
     "clustering_order_scan",
-    # --- backfill: r1-only aggregates (13) ---
+    # --- backfill: r1-only aggregates (2; the other 5 — count_distinct,
+    #     rollup, cube, grouping_sets, dispersion — rotate next round to
+    #     make room for this round's zero-history additions below) ---
     "tpch_q1_pricing_summary",
     "group_customer_stats",
-    "count_distinct_custkeys",
-    "rollup_region_nation",
-    "cube_order_status_priority",
-    "grouping_sets_status_priority",
-    "stats_dispersion_per_segment",
-    # --- new this round: real multimodal decode (r5 item 3; image,
-    #     audio, pixel, video) and the semantic-dedup capstone (item 6) ---
+    # --- new this round, part 2: quality-rule battery, PQ/JL
+    #     compression audits, Spark-4 stateful stream (zero driver
+    #     history — highest priority per the r5 verdict's own logic) ---
+    "gopher_quality_rules",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall_at_10",
+    "jl_projection_recall_distortion",
+    "stream_tws_user_activity",
+    # --- new this round, part 1: real multimodal decode (r5 item 3;
+    #     image, audio, pixel, video) and the semantic-dedup capstone
+    #     (item 6) ---
     "multimodal_png_header_decode",
     "multimodal_wav_pcm_stats",
     "multimodal_bmp_pixel_stats",
