@@ -151,19 +151,19 @@ def jl_projection_recall_distortion(spark, sf_dir):
             _sq_l2(F.col("pp"), F.col("p")).alias("proj_d2"),
         )
     )
+    # BOTH ranks are computed on the same row in one probe_id-partitioned
+    # pass (two Window sorts over ONE exchange) — a pair is a projected-
+    # space hit iff its rn_p also clears TOP_K, so no self-join is needed
+    # and the pairs subtree executes exactly once
     w_exact = Window.partitionBy("probe_id").orderBy("orig_d2", "neighbor_id")
     w_proj = Window.partitionBy("probe_id").orderBy("proj_d2", "neighbor_id")
     ranked = pairs.withColumn("rn_e", F.row_number().over(w_exact)).withColumn(
         "rn_p", F.row_number().over(w_proj)
     )
     exact = ranked.filter(F.col("rn_e") <= TOP_K)
-    ptop = ranked.filter(F.col("rn_p") <= TOP_K).select(
-        "probe_id", "neighbor_id", F.lit(True).alias("hit")
-    )
-    joined = exact.join(ptop, ["probe_id", "neighbor_id"], "left")
-    return joined.groupBy("probe_id").agg(
+    return exact.groupBy("probe_id").agg(
         F.round(
-            F.sum(F.when(F.col("hit"), 1).otherwise(0)) / float(TOP_K), 2
+            F.sum(F.when(F.col("rn_p") <= TOP_K, 1).otherwise(0)) / float(TOP_K), 2
         ).alias("recall_at_10"),
         F.round(
             F.avg(

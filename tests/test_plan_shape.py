@@ -308,3 +308,49 @@ def test_oov_vocab_join_broadcasts(spark):
         "top-K vocab must broadcast — a shuffle join here carries "
         "every token occurrence twice at 100 TB"
     )
+
+
+def test_gopher_rules_single_exchange_no_python(spark):
+    """The rule battery must stay higher-order built-ins on the scan:
+    one source-keyed aggregation exchange, no Python eval nodes."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["gopher_quality_rules"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan, (
+        "rule battery fell out of codegen into Python"
+    )
+    assert exchange_count(df) <= 1, (
+        f"{exchange_count(df)} exchanges (want ≤1: partial counts to source keys)"
+    )
+
+
+def test_pq_adc_broadcasts_codebook_and_dtab(spark):
+    """PQ search must join the corpus codes against BROADCAST
+    codebook/distance tables — a shuffle join there would move the
+    whole encoded corpus for a few-KB build side."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["similarity_pq_adc_topk"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Python" not in plan, "PQ plan contains Python stages"
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "codebook/distance-table joins are not broadcast"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_jl_projection_shuffles_only_for_topk(spark):
+    """The projection itself is map-side; the only exchanges allowed
+    are the probe-broadcast join plus the per-probe rank/aggregate."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["jl_projection_recall_distortion"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Python" not in plan, "JL projection fell into Python"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "probe side is not broadcast"
+    )
+    assert exchange_count(df) <= 3, (
+        f"{exchange_count(df)} exchanges (want ≤3: rank + aggregate)"
+    )
