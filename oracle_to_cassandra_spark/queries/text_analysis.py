@@ -199,9 +199,14 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 
 
-@query(
-    "bm25_retrieval_topk",
-    oracle=f"""
+def bm25_topk_sql() -> str:
+    """DuckDB oracle text for the BM25 top-20 — exported so composite
+    queries (hybrid RRF retrieval) can embed it without reaching into
+    the registry (same pattern as similarity.bruteforce_topk_sql)."""
+    return _BM25_SQL
+
+
+_BM25_SQL = f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
       FROM documents
@@ -237,8 +242,10 @@ BM25_B = 0.75
       GROUP BY tf.doc_id, dl.dl, s.n_docs, s.avg_dl
     )
     ORDER BY rnk LIMIT 20
-    """,
-)
+    """
+
+
+@query("bm25_retrieval_topk", oracle=_BM25_SQL)
 def bm25_retrieval_topk(spark, sf_dir):
     """BM25 ranked retrieval for a fixed term set — the classic
     sparse-retrieval scorer, composed entirely from declarative

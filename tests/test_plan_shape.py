@@ -354,3 +354,17 @@ def test_jl_projection_shuffles_only_for_topk(spark):
     assert exchange_count(df) <= 3, (
         f"{exchange_count(df)} exchanges (want ≤3: rank + aggregate)"
     )
+
+
+def test_rrf_fusion_no_global_sort_before_limit(spark):
+    """Each retrieval side must reach its candidate list through
+    TakeOrderedAndProject (distributed top-k); the corpus-sized
+    global-sort Window must never appear below the limits."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["hybrid_rrf_retrieval"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("TakeOrderedAndProject") >= 2, (
+        "a retrieval side global-sorts instead of distributed top-k"
+    )
+    assert "Python" not in plan
