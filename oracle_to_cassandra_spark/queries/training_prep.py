@@ -312,3 +312,68 @@ def packed_sequence_offsets(spark, sf_dir):
         .cast("long")
         .alias("off_end"),
     )
+
+
+@query(
+    "embedding_winsorization_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             unnest(embedding)::DOUBLE AS v
+      FROM embeddings
+    ),
+    pct AS (
+      SELECT pos,
+             round(quantile_cont(v, 0.01), 6) AS p01,
+             round(quantile_cont(v, 0.99), 6) AS p99
+      FROM dims GROUP BY pos
+    )
+    SELECT d.pos::INT AS pos, p.p01, p.p99,
+           count(*)::BIGINT AS n_values,
+           sum(CASE WHEN d.v < p.p01 OR d.v > p.p99 THEN 1 ELSE 0 END)::BIGINT
+             AS n_clipped,
+           round(sum(CASE WHEN d.v < p.p01 OR d.v > p.p99 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS clip_frac
+    FROM dims d JOIN pct p USING (pos)
+    GROUP BY d.pos, p.p01, p.p99
+    """,
+)
+def embedding_winsorization_stats(spark, sf_dir):
+    """Per-dimension winsorization plan for the embedding feature
+    matrix: exact p01/p99 cutpoints and the fraction of values each
+    dimension would clip — the normalization audit a training run
+    does before standardizing features (exact percentiles here, vs
+    the sketch-based approx_quantiles_acctbal: this is the
+    small-group exact path, 64 groups × corpus values).
+
+    Scale: phase 1 shuffles (pos, v) pairs to 64 dimension groups —
+    the groups are few but large, and exact percentile sorts within
+    each; at 100 TB swap in percentile_approx on the same plan (or
+    sample per group) — same shape, bounded memory. Phase 2
+    broadcasts the 64-row cutpoint table back against a second scan,
+    so the clip count is a map-side compare + one keyed aggregation;
+    comparisons use the ROUNDED cutpoints in both engines so the
+    boundary can't flip cross-engine.
+
+    Extends the reference's static column math
+    (`/root/reference/README.md:592-607`) to distribution-aware
+    feature hygiene."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(F.posexplode("embedding").alias("pos", "v0")).select(
+        "pos", F.col("v0").cast("double").alias("v")
+    )
+    pct = dims.groupBy("pos").agg(
+        F.round(F.percentile("v", 0.01), 6).alias("p01"),
+        F.round(F.percentile("v", 0.99), 6).alias("p99"),
+    )
+    clipped = F.when((F.col("v") < F.col("p01")) | (F.col("v") > F.col("p99")), 1).otherwise(0)
+    return (
+        dims.join(F.broadcast(pct), "pos")
+        .groupBy("pos", "p01", "p99")
+        .agg(
+            F.count("*").alias("n_values"),
+            F.sum(clipped).cast("long").alias("n_clipped"),
+            F.round(F.sum(clipped) / F.count("*"), 6).alias("clip_frac"),
+        )
+        .select("pos", "p01", "p99", "n_values", "n_clipped", "clip_frac")
+    )
