@@ -131,11 +131,14 @@ _PRIORITY: tuple[str, ...] = (
     "denorm_orders_by_customer",
     "self_join_adjacent_lines",
     "fk_chain_walk",
-    "distinct_departments",
-    "static_column_per_partition",
-    "global_counts",
     "top_orders_limit",
     "clustering_order_scan",
+    # (distinct_departments / static_column_per_partition /
+    #  global_counts are r1-green and rotate next round — zero-history
+    #  additions below outrank re-verification, per the r5 verdict)
+    "hybrid_rrf_retrieval",
+    "embedding_winsorization_stats",
+    "lsh_multiprobe_recall",
     # --- backfill: r1-only aggregates (2; the other 5 — count_distinct,
     #     rollup, cube, grouping_sets, dispersion — rotate next round to
     #     make room for this round's zero-history additions below) ---
