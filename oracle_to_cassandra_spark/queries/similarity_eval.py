@@ -447,8 +447,8 @@ def lsh_multiprobe_recall(spark, sf_dir):
     )
     exact = brute_force_topk(e, PROBE_IDS, k=10).select("probe_id", "neighbor_id")
     overl = (
-        exact.join(single_top, ["probe_id", "neighbor_id"], "left")
-        .join(multi_top, ["probe_id", "neighbor_id"], "left")
+        exact.join(F.broadcast(single_top), ["probe_id", "neighbor_id"], "left")
+        .join(F.broadcast(multi_top), ["probe_id", "neighbor_id"], "left")
         .groupBy("probe_id")
         .agg(
             F.round(
@@ -459,6 +459,6 @@ def lsh_multiprobe_recall(spark, sf_dir):
             ).alias("recall_multi"),
         )
     )
-    return counts.join(overl, "probe_id").select(
+    return counts.join(F.broadcast(overl), "probe_id").select(
         "probe_id", "n_cand_single", "n_cand_multi", "recall_single", "recall_multi"
     )

@@ -283,14 +283,14 @@ def similarity_pq_recall_at_10(spark, sf_dir):
     )
     pq = _pq_topk(spark, sf_dir).select("probe_id", "neighbor_id")
     inter = (
-        exact.join(pq, ["probe_id", "neighbor_id"])
+        exact.join(F.broadcast(pq), ["probe_id", "neighbor_id"])
         .groupBy("probe_id")
         .agg(F.count("*").alias("n_overlap"))
     )
     return (
         exact.select("probe_id")
         .distinct()
-        .join(inter, "probe_id", "left")
+        .join(F.broadcast(inter), "probe_id", "left")
         .select(
             "probe_id",
             F.round(
