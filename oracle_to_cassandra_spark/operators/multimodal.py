@@ -634,3 +634,64 @@ def decode_y4m_frame_stats(planted: DataFrame, sample_every: int = 2) -> DataFra
     return planted.select("doc_id", "payload").mapInArrow(
         _decode, schema=Y4M_DECODED_SCHEMA
     )
+
+
+PHASH_SCHEMA = "doc_id LONG, width INT, height INT, phash LONG"
+
+
+def decode_bmp_phash(planted: DataFrame) -> DataFrame:
+    """Perceptual hash from DECODED pixels: reconstruct the logical
+    top-down pixel grid (undo BMP's bottom-up storage + stride pad +
+    BGR interleave), take integer BT.601 luma per pixel, and set bit i
+    when pixel i's luma strictly exceeds the image mean (compared as
+    ``luma*n > total`` so the threshold stays integer-exact). The
+    resulting average-hash is what image-dedup pipelines group on —
+    tiny planted images stand in for the 8×8 downsample of a real
+    aHash, so the bit layout (logical scan order) is the contract the
+    oracle checks."""
+    import pyarrow as pa
+
+    def _decode(batches):
+        import struct
+
+        import numpy as np
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {"doc_id": [], "width": [], "height": [], "phash": []}
+            for doc_id, blob in zip(doc_ids, payloads):
+                if blob[:2] != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP")
+                (offset,) = struct.unpack("<I", blob[10:14])
+                _, width, height = struct.unpack("<Iii", blob[14:26])
+                stride = (width * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    blob[offset : offset + stride * height], dtype=np.uint8
+                ).reshape(height, stride)[:, : width * 3]
+                # file rows are bottom-up; flip to logical top-down
+                bgr = rows[::-1].reshape(height * width, 3).astype(np.int64)
+                luma = (299 * bgr[:, 2] + 587 * bgr[:, 1] + 114 * bgr[:, 0]) // 1000
+                n = luma.size
+                total = int(luma.sum())
+                bits = luma * n > total
+                phash = int(
+                    (bits.astype(np.int64) << np.arange(n, dtype=np.int64)).sum()
+                )
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["phash"].append(phash)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()), ("width", pa.int32()),
+                        ("height", pa.int32()), ("phash", pa.int64()),
+                    ]
+                ),
+            )
+
+    return planted.select("doc_id", "payload").mapInArrow(
+        _decode, schema=PHASH_SCHEMA
+    )

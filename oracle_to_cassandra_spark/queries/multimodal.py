@@ -264,3 +264,70 @@ def stream_multimodal_wav_decode(spark, sf_dir):
     )
     decoded = M.decode_wav_pcm_stats(M.plant_wav_blobs(docs_stream))
     return run_stream_to_memory(decoded, output_mode="append")
+
+
+def _phash_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        BMP_B,
+        BMP_G,
+        BMP_H,
+        BMP_R,
+        BMP_W,
+    )
+
+    luma = (
+        f"(299 * ({BMP_R.format(i='i')}) + 587 * ({BMP_G.format(i='i')})"
+        f" + 114 * ({BMP_B.format(i='i')})) // 1000"
+    )
+    return f"""
+    WITH g AS (
+      SELECT doc_id, ({BMP_W})::INT AS width, ({BMP_H})::INT AS height,
+             unnest(range(0, ({BMP_W}) * ({BMP_H})))::BIGINT AS i,
+             ({luma})::BIGINT AS luma
+      FROM documents
+    ),
+    ph AS (
+      SELECT doc_id, width, height,
+             sum(CASE WHEN luma * (width * height) > tot
+                      THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS phash
+      FROM (SELECT *, sum(luma) OVER (PARTITION BY doc_id) AS tot FROM g)
+      GROUP BY doc_id, width, height
+    )
+    SELECT width, height, phash,
+           count(*)::BIGINT AS n_images,
+           min(doc_id) AS min_doc_id
+    FROM ph GROUP BY width, height, phash
+    HAVING count(*) >= 2
+    """
+
+
+@query("multimodal_phash_dedup_groups", oracle=_phash_oracle())
+def multimodal_phash_dedup_groups(spark, sf_dir):
+    """Image near-dup detection from DECODED CONTENT — the multimodal
+    twin of text MinHash dedup: plant the 24bpp BMPs, decode the
+    actual pixel bytes, compute an integer average-hash over BT.601
+    luma (bit i set when pixel i outshines the image mean), and group
+    images by (dims, phash). Output: every perceptual-collision group
+    with its size — what an image-dedup pass feeds to keeper
+    selection. The oracle recomputes the hash from the closed-form
+    pixel model, so a decoder that mishandles stride, row order, or
+    the BGR interleave produces different hashes and fails the match.
+
+    Scale: the decode is Arrow-batched and embarrassingly parallel;
+    the only shuffle is the (width, height, phash) group — a 16-byte
+    key per image, never pixels. A real pipeline downsamples to 8×8
+    before hashing, making the key constant-size regardless of image
+    size; the grouping (and the Hamming-ball widening simhash dedup
+    already implements for text) is unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    ph = M.decode_bmp_phash(M.plant_bmp_blobs(d))
+    from pyspark.sql import functions as F
+
+    return (
+        ph.groupBy("width", "height", "phash")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .filter(F.col("n_images") >= 2)
+    )
