@@ -695,3 +695,64 @@ def decode_bmp_phash(planted: DataFrame) -> DataFrame:
     return planted.select("doc_id", "payload").mapInArrow(
         _decode, schema=PHASH_SCHEMA
     )
+
+
+AFP_WINDOW = 4  #: samples per energy window for the audio fingerprint
+AFP_SCHEMA = "doc_id LONG, n_windows INT, afp LONG"
+
+
+def decode_wav_energy_fingerprint(planted: DataFrame) -> DataFrame:
+    """Audio fingerprint from DECODED PCM: parse the RIFF/WAVE layout,
+    square-sum each {AFP_WINDOW}-sample window's int16 amplitudes
+    (integer-exact energies), and set bit j when window j+1 is louder
+    than window j — the energy-delta sign pattern that audio-dedup
+    pipelines bucket on (a Shazam-style envelope hash without the
+    FFT this container can't ship). Tail samples short of a full
+    window are dropped, which the oracle reproduces."""
+    import pyarrow as pa
+
+    def _decode(batches):
+        import struct
+
+        import numpy as np
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {"doc_id": [], "n_windows": [], "afp": []}
+            for doc_id, blob in zip(doc_ids, payloads):
+                if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+                    raise ValueError(f"doc {doc_id}: not a RIFF/WAVE blob")
+                if blob[36:40] != b"data":
+                    raise ValueError(f"doc {doc_id}: canonical data chunk missing")
+                (data_size,) = struct.unpack("<I", blob[40:44])
+                pcm = np.frombuffer(
+                    blob[44 : 44 + data_size], dtype="<i2"
+                ).astype(np.int64)
+                n_win = pcm.size // AFP_WINDOW
+                energy = (
+                    (pcm[: n_win * AFP_WINDOW] ** 2)
+                    .reshape(n_win, AFP_WINDOW)
+                    .sum(axis=1)
+                )
+                bits = energy[1:] > energy[:-1]
+                afp = int(
+                    (bits.astype(np.int64) << np.arange(bits.size, dtype=np.int64)).sum()
+                )
+                out["doc_id"].append(doc_id)
+                out["n_windows"].append(n_win)
+                out["afp"].append(afp)
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("n_windows", pa.int32()),
+                        ("afp", pa.int64()),
+                    ]
+                ),
+            )
+
+    return planted.select("doc_id", "payload").mapInArrow(
+        _decode, schema=AFP_SCHEMA
+    )

@@ -331,3 +331,57 @@ def multimodal_phash_dedup_groups(spark, sf_dir):
         )
         .filter(F.col("n_images") >= 2)
     )
+
+
+def _afp_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        AFP_WINDOW,
+        WAV_N_SAMPLES,
+        WAV_SAMPLE,
+    )
+
+    import re
+
+    v = re.sub(r"\bi\b", f"(j * {AFP_WINDOW} + k)", WAV_SAMPLE)
+    return f"""
+    WITH wins AS (
+      SELECT doc_id,
+             (({WAV_N_SAMPLES}) // {AFP_WINDOW})::INT AS n_windows,
+             unnest(range(0, ({WAV_N_SAMPLES}) // {AFP_WINDOW}))::BIGINT AS j
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    energy AS (
+      SELECT doc_id, n_windows, j,
+             list_sum(list_transform(range(0, {AFP_WINDOW}),
+                                     k -> ({v}) * ({v})))::BIGINT AS e
+      FROM wins
+    ),
+    bits AS (
+      SELECT doc_id, n_windows, j - 1 AS b,
+             CASE WHEN e > lag(e) OVER (PARTITION BY doc_id ORDER BY j)
+                  THEN 1 ELSE 0 END AS bit
+      FROM energy
+    )
+    SELECT doc_id, n_windows,
+           coalesce(sum(CASE WHEN b >= 0 AND bit = 1
+                             THEN (1::BIGINT << b) ELSE 0 END), 0)::BIGINT AS afp
+    FROM bits GROUP BY doc_id, n_windows
+    """
+
+
+@query("multimodal_wav_energy_fingerprint", oracle=_afp_oracle())
+def multimodal_wav_energy_fingerprint(spark, sf_dir):
+    """Audio fingerprinting from DECODED CONTENT — the audio member of
+    the modality-dedup matrix (text MinHash/SimHash, image phash,
+    audio envelope hash): plant the spec-compliant WAVs, decode the
+    int16 PCM, and emit each clip's energy-delta fingerprint (bit j =
+    window j+1 louder than window j over {AFP_WINDOW}-sample
+    windows). Downstream grouping is identical to the phash path;
+    this query exposes the per-clip fingerprints so the oracle checks
+    every decoded amplitude, not just collision counts.
+
+    Scale: Arrow-batched decode, integer-exact energies, and the
+    output is 20 bytes per clip — the fingerprint table IS the dedup
+    index a 100 TB audio corpus shuffles, never the PCM."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_wav_energy_fingerprint(M.plant_wav_blobs(d))
