@@ -385,3 +385,77 @@ def multimodal_wav_energy_fingerprint(spark, sf_dir):
     index a 100 TB audio corpus shuffles, never the PCM."""
     d = load_table(spark, sf_dir, "documents")
     return M.decode_wav_energy_fingerprint(M.plant_wav_blobs(d))
+
+
+def _vfp_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        Y4M_H,
+        Y4M_N_FRAMES,
+        Y4M_W,
+        Y4M_Y,
+    )
+
+    y = Y4M_Y.format(f="f", j="j")
+    return f"""
+    WITH frames AS (
+      SELECT doc_id, (({Y4M_N_FRAMES}))::INT AS n_frames,
+             unnest(range(0, {Y4M_N_FRAMES}))::BIGINT AS f
+      FROM documents
+    ),
+    luma AS (
+      SELECT doc_id, n_frames, f,
+             list_sum(list_transform(range(0, ({Y4M_W}) * ({Y4M_H})),
+                                     j -> {y}))::BIGINT AS sum_y
+      FROM frames
+    ),
+    bits AS (
+      SELECT doc_id, n_frames, f,
+             lag(sum_y) OVER (PARTITION BY doc_id ORDER BY f) AS prev,
+             sum_y
+      FROM luma
+    )
+    SELECT doc_id, n_frames,
+           coalesce(sum(CASE WHEN prev IS NOT NULL AND sum_y > prev
+                             THEN (1::BIGINT << (f - 1)) ELSE 0 END), 0)::BIGINT
+             AS vfp
+    FROM bits GROUP BY doc_id, n_frames
+    """
+
+
+@query("multimodal_y4m_temporal_fingerprint", oracle=_vfp_oracle())
+def multimodal_y4m_temporal_fingerprint(spark, sf_dir):
+    """Video fingerprinting — the last member of the modality-dedup
+    matrix: decode EVERY frame's luma plane (sample_every=1 on the
+    real Y4M walker) and emit the temporal brightness-delta hash
+    (bit f−1 = frame f brighter than frame f−1), the shot-signature
+    video-dedup pipelines bucket on. Pure composition: the Python
+    stage is the existing frame decoder; the fingerprint itself is a
+    lag window + one keyed aggregate, all JVM-side.
+
+    Scale: per-frame luma sums are integers (no float drift across
+    the frame order), the window is partitioned per clip, and the
+    output is 20 bytes per video — the shuffled index, never frames."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    fs = M.decode_y4m_frame_stats(M.plant_y4m_blobs(d), sample_every=1)
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    bits = fs.select(
+        "doc_id",
+        "n_frames",
+        F.col("frame_idx").cast("long").alias("f"),
+        F.lag("sum_y").over(w).alias("prev"),
+        "sum_y",
+    )
+    return bits.groupBy("doc_id", "n_frames").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("sum_y") > F.col("prev")),
+                    F.expr("shiftleft(1L, cast(f - 1 AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0).cast("long"),
+        ).alias("vfp")
+    )
