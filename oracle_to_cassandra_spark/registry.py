@@ -125,12 +125,15 @@ _PRIORITY: tuple[str, ...] = (
     # --- backfill: r1-only relational core (13) ---
     "full_scan_region",
     "projection_orders",
-    "rename_bulk_customer",
-    "filter_eq_numeric",
     "point_lookup_customer",
     "denorm_orders_by_customer",
-    "self_join_adjacent_lines",
     "fk_chain_walk",
+    # (rename_bulk_customer / filter_eq_numeric / self_join_adjacent_lines
+    #  are r1-green and rotate next round — the decoded-content
+    #  fingerprint family below is zero-history)
+    "multimodal_phash_dedup_groups",
+    "multimodal_wav_energy_fingerprint",
+    "multimodal_y4m_temporal_fingerprint",
     "top_orders_limit",
     "clustering_order_scan",
     # (distinct_departments / static_column_per_partition /
