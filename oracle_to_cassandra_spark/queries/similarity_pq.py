@@ -298,3 +298,95 @@ def similarity_pq_recall_at_10(spark, sf_dir):
             ).alias("recall_at_10"),
         )
     )
+
+
+#: incremental split: vec_id % 10 == NEW_MOD is the arriving batch,
+#: everything else is the indexed snapshot the codebook was trained on
+NEW_MOD = 7
+
+_PQ_INCR_SQL = f"""
+    WITH sub AS (
+      SELECT vec_id, label, t.m,
+             list_transform(embedding[(t.m * {SUB} + 1):((t.m + 1) * {SUB})],
+                            x -> x::DOUBLE) AS sv
+      FROM embeddings, range({M}) t(m)
+    ),
+    cb AS (
+      SELECT m, code_id, list(round(c, 6) ORDER BY pos) AS cw FROM (
+        SELECT m, code_id, pos, avg(v) AS c FROM (
+          SELECT m, label AS code_id, generate_subscripts(sv, 1) AS pos,
+                 unnest(sv) AS v
+          FROM sub WHERE vec_id % 10 <> {NEW_MOD}
+        ) GROUP BY m, code_id, pos
+      ) GROUP BY m, code_id
+    ),
+    scored AS (
+      SELECT s.vec_id, s.m, cb.code_id,
+             round(list_sum(list_transform(range({SUB}),
+               i -> (s.sv[i+1]-cb.cw[i+1])*(s.sv[i+1]-cb.cw[i+1]))), 6) AS d
+      FROM sub s JOIN cb ON s.m = cb.m
+      WHERE s.vec_id % 10 = {NEW_MOD}
+    ),
+    enc AS (
+      SELECT vec_id, m, code_id AS code, d FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, m
+                                     ORDER BY d, code_id) AS r
+        FROM scored
+      ) WHERE r = 1
+    )
+    SELECT m::INT AS m, code::INT AS code,
+           count(*)::BIGINT AS n_new_vectors,
+           round(avg(d), 6) AS mean_quant_err
+    FROM enc GROUP BY m, code
+    """
+
+
+@query("incremental_pq_encode", oracle=_PQ_INCR_SQL)
+def incremental_pq_encode(spark, sf_dir):
+    """Index maintenance for the PQ path (twin of
+    incremental_lsh_dedup): vectors arriving after the index build
+    (vec_id % 10 == {NEW_MOD}) are encoded against the FROZEN
+    snapshot codebook — no retraining, no touch of the indexed
+    corpus beyond the one codebook aggregation. Output: per (subspace,
+    codeword) how many new vectors landed there and their mean
+    quantization error — the drift signal that tells an operator when
+    the codebook needs a retrain (error creeping up = the new data's
+    distribution left the codebook behind).
+
+    Scale: the snapshot codebook is a 40-row broadcast (in production
+    it's read from the index manifest, zero recompute); the new batch
+    is the only thing scanned for encoding, and the aggregate is
+    M×K-sized. Nothing touches the indexed vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    sub = _subvectors(e)
+    snapshot_cb = stage(
+        _codebook(sub.filter(F.col("vec_id") % 10 != NEW_MOD)), eager=True
+    )
+    new_scored = (
+        sub.filter(F.col("vec_id") % 10 == NEW_MOD)
+        .join(F.broadcast(snapshot_cb), "m")
+        .select(
+            "vec_id", "m", "code_id", _sq_l2(F.col("sv"), F.col("cw")).alias("d")
+        )
+    )
+    enc = new_scored.groupBy("vec_id", "m").agg(
+        F.min_by(F.struct("code_id", "d"), F.struct("d", "code_id")).alias("best")
+    )
+    return (
+        enc.select(
+            "m",
+            F.col("best.code_id").alias("code"),
+            F.col("best.d").alias("d"),
+        )
+        .groupBy("m", "code")
+        .agg(
+            F.count("*").alias("n_new_vectors"),
+            F.round(F.avg("d"), 6).alias("mean_quant_err"),
+        )
+        .select(
+            F.col("m").cast("int").alias("m"),
+            F.col("code").cast("int").alias("code"),
+            "n_new_vectors",
+            "mean_quant_err",
+        )
+    )
