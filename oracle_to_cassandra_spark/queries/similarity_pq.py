@@ -336,7 +336,8 @@ _PQ_INCR_SQL = f"""
     )
     SELECT m::INT AS m, code::INT AS code,
            count(*)::BIGINT AS n_new_vectors,
-           round(avg(d), 6) AS mean_quant_err
+           round((sum(CAST(round(d * 1000000) AS BIGINT))::DOUBLE
+                  / 1000000.0) / count(*), 6) AS mean_quant_err
     FROM enc GROUP BY m, code
     """
 
@@ -381,7 +382,18 @@ def incremental_pq_encode(spark, sf_dir):
         .groupBy("m", "code")
         .agg(
             F.count("*").alias("n_new_vectors"),
-            F.round(F.avg("d"), 6).alias("mean_quant_err"),
+            # sum exact integer micro-units, divide once at the end:
+            # a float avg() over the rounded d's can land ON a 6-dp
+            # rounding boundary and flip between engines on summation
+            # order; the integer sum cannot
+            F.round(
+                (
+                    F.sum(F.round(F.col("d") * 1000000).cast("long")).cast("double")
+                    / 1000000.0
+                )
+                / F.count("*"),
+                6,
+            ).alias("mean_quant_err"),
         )
         .select(
             F.col("m").cast("int").alias("m"),
