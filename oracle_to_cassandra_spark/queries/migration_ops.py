@@ -207,3 +207,99 @@ def zorder_layout_audit(spark, sf_dir):
         F.min("d").alias("day_lo"),
         F.max("d").alias("day_hi"),
     )
+
+
+#: planted corruption pattern for the row-level diff: every 97th order
+#: key's migrated copy drops a cent and upper-cases the priority —
+#: the silent-corruption classes (value drift, encoding change) a
+#: COUNT(*) validation can never see
+_CORRUPT_MOD = 97
+
+
+@query(
+    "migration_row_diff",
+    oracle=f"""
+    WITH migrated AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % {_CORRUPT_MOD} = 0
+                  THEN round(o_totalprice - 0.01, 2) ELSE o_totalprice END
+               AS o_totalprice,
+             CASE WHEN o_orderkey % {_CORRUPT_MOD} = 0
+                  THEN lower(o_orderpriority) ELSE o_orderpriority END
+               AS o_orderpriority,
+             o_orderstatus
+      FROM orders
+    ),
+    diff AS (
+      SELECT s.o_orderkey,
+             (s.o_totalprice <> m.o_totalprice) AS price_drift,
+             (s.o_orderpriority <> m.o_orderpriority) AS priority_drift
+      FROM orders s JOIN migrated m USING (o_orderkey)
+      WHERE md5(concat_ws('|', s.o_totalprice::VARCHAR, s.o_orderpriority,
+                          s.o_orderstatus))
+         <> md5(concat_ws('|', m.o_totalprice::VARCHAR, m.o_orderpriority,
+                          m.o_orderstatus))
+    )
+    SELECT o_orderkey, price_drift, priority_drift
+    FROM diff ORDER BY o_orderkey LIMIT 100
+    """,
+)
+def migration_row_diff(spark, sf_dir):
+    """Row-level migration diff — the drill-down the bucket
+    reconciliation triggers: compare a per-row md5 over the business
+    columns of source vs migrated copy and emit the first 100
+    mismatched keys with per-column drift flags. The migrated side is
+    the source plus a PLANTED corruption (every {_CORRUPT_MOD}th key
+    loses a cent and gains a lower-cased priority), so the check is
+    non-vacuous: the diff must find exactly those keys and attribute
+    both drift classes. The reference validates migration with
+    COUNT(*) = COUNT(*) (`/root/reference/README.md:875-886`), which
+    this corruption passes — the row digest does not.
+
+    Scale: both sides hash down to one 32-byte digest per row at scan
+    speed; the join is co-partitioned on the table key (in production
+    both sides are bucketed by it), the mismatch filter cuts the
+    result to drifted rows only, and the LIMIT bounds the operator
+    triage page. Number formatting pitfall handled: both engines
+    render the DECIMAL price with the same canonical string, which
+    the digest inherits."""
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    )
+    corrupted = F.col("o_orderkey") % _CORRUPT_MOD == 0
+    mig = src.select(
+        "o_orderkey",
+        F.when(corrupted, F.round(F.col("o_totalprice") - 0.01, 2))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(corrupted, F.lower("o_orderpriority"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        "o_orderstatus",
+    )
+
+    def digest(side):
+        return F.md5(
+            F.concat_ws(
+                "|",
+                F.col(f"{side}.o_totalprice").cast("string"),
+                F.col(f"{side}.o_orderpriority"),
+                F.col(f"{side}.o_orderstatus"),
+            )
+        )
+
+    joined = src.alias("s").join(mig.alias("m"), "o_orderkey")
+    return (
+        joined.filter(digest("s") != digest("m"))
+        .select(
+            "o_orderkey",
+            (F.col("s.o_totalprice") != F.col("m.o_totalprice")).alias(
+                "price_drift"
+            ),
+            (F.col("s.o_orderpriority") != F.col("m.o_orderpriority")).alias(
+                "priority_drift"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
