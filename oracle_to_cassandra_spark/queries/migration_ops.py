@@ -303,3 +303,73 @@ def migration_row_diff(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(100)
     )
+
+
+_PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "migration_column_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_null,
+               count(DISTINCT {c})::BIGINT AS n_distinct,
+               min({c})::VARCHAR AS min_repr,
+               max({c})::VARCHAR AS max_repr
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def migration_column_profile(spark, sf_dir):
+    """Pre-migration column profile — the assessment the reference's
+    migration runbook does by hand with per-table DESCRIBEs and
+    spot-queries (`/root/reference/README.md:543-607`): for every
+    column of the source table, null count, exact distinct count,
+    and typed min/max (canonical string form). This is what sizes the
+    target schema (distinct counts → partition-key viability, null
+    counts → NOT NULL constraints, min/max → type ranges) before any
+    data moves.
+
+    Scale: one pass over the table; the multi-column exact DISTINCT
+    expands rows ×6 into partial aggregates (Spark's Expand), which
+    is the exact-answer cost — the 100 TB variant swaps in
+    approx_count_distinct per column and the Expand disappears; plan
+    shape is otherwise identical. Long-format output (a row per
+    column) so downstream checks join against target-side profiles."""
+    o = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__total").alias("n_rows"),
+                (F.col("__total") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_repr"),
+                F.col(f"{c}__max").alias("max_repr"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select(
+        "p.column_name", "p.n_rows", "p.n_null", "p.n_distinct",
+        "p.min_repr", "p.max_repr",
+    )
