@@ -4,10 +4,13 @@ queries, plus the sink round-trip (S8/S9/S10 + P7).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from oracle_to_cassandra_spark import pipelines as P
 from oracle_to_cassandra_spark import scratch
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sinks import read_partition, write_query_table
+from oracle_to_cassandra_spark.sources import load_table
 
 
 @query(
@@ -112,3 +115,83 @@ def sink_ddl_roundtrip(spark, sf_dir):
         FROM {tbl} WHERE o_orderstatus = 'F'
         """
     )
+
+
+@query(
+    "format_roundtrip_digest",
+    oracle="""
+    SELECT fmt, n_rows, digest FROM (
+      SELECT 'csv' AS fmt, count(*)::BIGINT AS n_rows,
+             bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+                       o_orderstatus, o_orderpriority,
+                       printf('%.2f', o_totalprice))), 1, 15))::INT64)::BIGINT
+               AS digest
+      FROM orders
+      UNION ALL
+      SELECT 'json', count(*)::BIGINT,
+             bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+                       o_orderstatus, o_orderpriority,
+                       printf('%.2f', o_totalprice))), 1, 15))::INT64)::BIGINT
+      FROM orders
+    ) ORDER BY fmt
+    """,
+)
+def format_roundtrip_digest(spark, sf_dir):
+    """Interchange-format coverage: write the orders business columns
+    to CSV (header) and JSON (lines), read each back with an EXPLICIT
+    schema, and reduce both to an order-insensitive xxhash64 bit_xor
+    content digest — proving the text roundtrips are lossless. The
+    float column travels as a fixed 2-dp string (format_number both
+    directions) because a raw double through CSV is NOT guaranteed
+    bit-lossless — the digest honestly covers the canonical form,
+    which is also what a real CSV hand-off contract pins down. The
+    oracle computes the same digest straight from the source table,
+    so equal digests mean nothing was lost or reordered in either
+    text format AND the roundtripped content equals the source. The
+    digest is the md5-based cross-engine-exact int64 family from
+    functions.hashing (bit_xor-reduced, order-insensitive) — the
+    same construction the migration reconciliation uses.
+
+    Scale: text formats are the interchange tier, not the analytics
+    tier — the query documents that trade-off by pinning the float
+    to a canonical 2-dp string (a raw double through CSV is not
+    guaranteed bit-lossless); parquet remains the storage format
+    everywhere else in this repo."""
+    from oracle_to_cassandra_spark import scratch
+    from oracle_to_cassandra_spark.functions.hashing import md5_int64, md5_int64_sql
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.format_number(F.col("o_totalprice"), 2).alias("price_s"),
+    ).withColumn("price_s", F.regexp_replace("price_s", ",", ""))
+    out = []
+    for fmt in ("csv", "json"):
+        path = scratch.session_path(f"roundtrip_{fmt}")
+        writer = o.write.mode("overwrite")
+        if fmt == "csv":
+            writer.option("header", True).csv(path)
+            back = (
+                spark.read.option("header", True)
+                .schema("o_orderkey LONG, o_orderstatus STRING, "
+                        "o_orderpriority STRING, price_s STRING")
+                .csv(path)
+            )
+        else:
+            writer.json(path)
+            back = spark.read.schema(
+                "o_orderkey LONG, o_orderstatus STRING, "
+                "o_orderpriority STRING, price_s STRING"
+            ).json(path)
+        row = F.concat_ws(
+            "|", F.col("o_orderkey").cast("string"), "o_orderstatus",
+            "o_orderpriority", "price_s",
+        )
+        out.append(
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.bit_xor(md5_int64(row)).alias("digest"),
+            ).select(F.lit(fmt).alias("fmt"), "n_rows", "digest")
+        )
+    return out[0].unionAll(out[1]).orderBy("fmt")
