@@ -133,14 +133,20 @@ def sink_ddl_roundtrip(spark, sf_dir):
                        o_orderstatus, o_orderpriority,
                        printf('%.2f', o_totalprice))), 1, 15))::INT64)::BIGINT
       FROM orders
+      UNION ALL
+      SELECT 'orc', count(*)::BIGINT,
+             bit_xor(('0x' || substr(md5(concat_ws('|', o_orderkey::VARCHAR,
+                       o_orderstatus, o_orderpriority,
+                       printf('%.2f', o_totalprice))), 1, 15))::INT64)::BIGINT
+      FROM orders
     ) ORDER BY fmt
     """,
 )
 def format_roundtrip_digest(spark, sf_dir):
     """Interchange-format coverage: write the orders business columns
-    to CSV (header) and JSON (lines), read each back with an EXPLICIT
-    schema, and reduce both to an order-insensitive xxhash64 bit_xor
-    content digest — proving the text roundtrips are lossless. The
+    to CSV (header), JSON (lines) and ORC, read each back with an
+    EXPLICIT schema, and reduce each to an order-insensitive bit_xor
+    content digest — proving every roundtrip is lossless. The
     float column travels as a fixed 2-dp string (format_number both
     directions) because a raw double through CSV is NOT guaranteed
     bit-lossless — the digest honestly covers the canonical form,
@@ -167,7 +173,7 @@ def format_roundtrip_digest(spark, sf_dir):
         F.format_number(F.col("o_totalprice"), 2).alias("price_s"),
     ).withColumn("price_s", F.regexp_replace("price_s", ",", ""))
     out = []
-    for fmt in ("csv", "json"):
+    for fmt in ("csv", "json", "orc"):
         path = scratch.session_path(f"roundtrip_{fmt}")
         writer = o.write.mode("overwrite")
         if fmt == "csv":
@@ -178,12 +184,15 @@ def format_roundtrip_digest(spark, sf_dir):
                         "o_orderpriority STRING, price_s STRING")
                 .csv(path)
             )
-        else:
+        elif fmt == "json":
             writer.json(path)
             back = spark.read.schema(
                 "o_orderkey LONG, o_orderstatus STRING, "
                 "o_orderpriority STRING, price_s STRING"
             ).json(path)
+        else:  # columnar-binary member of the interchange set
+            writer.orc(path)
+            back = spark.read.orc(path)
         row = F.concat_ws(
             "|", F.col("o_orderkey").cast("string"), "o_orderstatus",
             "o_orderpriority", "price_s",
@@ -194,4 +203,7 @@ def format_roundtrip_digest(spark, sf_dir):
                 F.bit_xor(md5_int64(row)).alias("digest"),
             ).select(F.lit(fmt).alias("fmt"), "n_rows", "digest")
         )
-    return out[0].unionAll(out[1]).orderBy("fmt")
+    res = out[0]
+    for nxt in out[1:]:
+        res = res.unionAll(nxt)
+    return res.orderBy("fmt")
