@@ -300,3 +300,54 @@ def bm25_retrieval_topk(spark, sf_dir):
     return top.select(
         "doc_id", "score", F.row_number().over(w).cast("long").alias("rnk")
     ).orderBy("rnk")
+
+
+@query(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_TOK}) AS w FROM documents
+    ),
+    pairs AS (
+      SELECT substr(w, i + 1, 2) AS pair
+      FROM (SELECT w, unnest(range(len(w) - 1))::INT AS i FROM tok)
+    )
+    SELECT pair, count(*)::BIGINT AS n_occurrences,
+           row_number() OVER (ORDER BY count(*) DESC, pair)::BIGINT AS rnk
+    FROM pairs GROUP BY pair
+    ORDER BY rnk LIMIT 20
+    """,
+)
+def bpe_merge_candidates(spark, sf_dir):
+    """The first BPE merge step of tokenizer training: count every
+    adjacent character pair inside words across the corpus and rank
+    the top-20 merge candidates — the inner loop of byte-pair
+    encoding, run corpus-scale (Sennrich et al. 2016). Distinct from
+    top_bigrams_corpus, which pairs WORDS; this pairs CHARACTERS
+    within words, which is what an actual tokenizer build iterates.
+
+    Scale: the pair extraction is sequence+substr inside codegen on
+    the scan; the shuffle carries (2-char key, partial count) —
+    alphabet²-sized, map-side combined. A full BPE train iterates
+    this plan with a merge table folded in; each iteration stays this
+    shape. Distributed top-k (TakeOrderedAndProject) before the
+    20-row rank window."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        # single-char words carry no pair — and guard BEFORE sequence():
+        # Spark's sequence(0, -1) helpfully counts DOWN, which would
+        # fabricate phantom pairs for them
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, length(w) - 2), i -> substr(w, i + 1, 2))")
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count("*").alias("n_occurrences"))
+    top = counts.orderBy(F.desc("n_occurrences"), "pair").limit(20)
+    w = Window.orderBy(F.desc("n_occurrences"), "pair")
+    return top.select(
+        "pair", "n_occurrences", F.row_number().over(w).cast("long").alias("rnk")
+    ).orderBy("rnk")
