@@ -462,3 +462,74 @@ def lsh_multiprobe_recall(spark, sf_dir):
     return counts.join(F.broadcast(overl), "probe_id").select(
         "probe_id", "n_cand_single", "n_cand_multi", "recall_single", "recall_multi"
     )
+
+
+_HARDNEG_SQL = """
+    SELECT probe_id, neighbor_id, neg_label, cos_sim, rn FROM (
+      SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+             e.label AS neg_label,
+             round(list_dot_product(p.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(p.embedding::DOUBLE[],
+                                            p.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))), 6) AS cos_sim,
+             row_number() OVER (
+               PARTITION BY p.vec_id
+               ORDER BY round(list_dot_product(p.embedding::DOUBLE[],
+                                               e.embedding::DOUBLE[])
+                 / (sqrt(list_dot_product(p.embedding::DOUBLE[],
+                                          p.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                            e.embedding::DOUBLE[]))), 6) DESC,
+                 e.vec_id
+             )::BIGINT AS rn
+      FROM embeddings p JOIN embeddings e
+        ON p.label <> e.label
+      WHERE p.vec_id IN (0, 100, 200, 300, 400)
+    ) WHERE rn <= 5
+    """
+
+
+@query("hard_negative_mining", oracle=_HARDNEG_SQL)
+def hard_negative_mining(spark, sf_dir):
+    """Contrastive-training pair generation: for each anchor (probe),
+    the top-5 most-similar vectors with a DIFFERENT label — the hard
+    negatives metric-learning losses (triplet, InfoNCE) are starved
+    without. Easy negatives are free (any random other-label vector);
+    the hard ones require exactly this ranked cross-label search, so
+    it belongs next to the ANN family it reuses.
+
+    Scale: anchors broadcast; the label inequality rides the same
+    scored scan as brute-force top-k and the per-anchor rank is a
+    WindowGroupLimit. With an IVF/LSH index the candidate set drops
+    to neighboring cells minus the anchor's own label partition —
+    same pruning lever as the positive search."""
+    from oracle_to_cassandra_spark.queries.similarity import PROBE_IDS
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("p_emb"),
+        F.col("label").alias("p_label"),
+    )
+    cands = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(cands, F.col("p_label") != F.col("neg_label"))
+        .select(
+            "probe_id",
+            "neighbor_id",
+            "neg_label",
+            F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "neighbor_id", "neg_label", "cos_sim", "rn")
+    )
