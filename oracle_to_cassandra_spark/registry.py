@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.corpus_ops",
     "oracle_to_cassandra_spark.queries.corpus_quality",
+    "oracle_to_cassandra_spark.queries.dataset_card",
     "oracle_to_cassandra_spark.queries.migration_ops",
     "oracle_to_cassandra_spark.queries.cohorts",
     "oracle_to_cassandra_spark.queries.tpch_shapes",
