@@ -1,0 +1,162 @@
+"""BPE tokenizer training (Sennrich et al. 2016), run declaratively:
+{N_ROUNDS} merge rounds over the corpus vocabulary, each round = one
+weighted pair count + one argmax + one greedy left-to-right rewrite —
+the exact inner loop a real tokenizer build iterates ~30k times.
+
+The engineering content is the REWRITE: BPE's greedy non-overlapping
+merge ("aaaa" + merge(a,a) → "aa aa", not "aa a a") is a stateful
+left-to-right scan, which both engines express as an identical string
+fold (Spark ``aggregate``, DuckDB ``list_reduce``) over the symbol
+list — same accumulator format ('·'-prefixed symbols), same CASE
+logic, so the two engines cannot diverge on merge placement.
+
+Scale: training runs on the DISTINCT-word vocabulary with frequencies
+(the classic BPE trick — corpus size never re-enters after the first
+count), so each round shuffles vocabulary-sized pair counts
+(map-side combined) and broadcasts a single merge row back into a
+map-side rewrite. State between rounds is the staged vocabulary table
+(same iterative-algorithm handoff as Lloyd refinement and the
+connected-components loop). Reference analog: the reference engine
+has no iterative construct at all (`/root/reference/README.md:877`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_cassandra_spark.registry import query
+from oracle_to_cassandra_spark.staging import stage
+from oracle_to_cassandra_spark.sources import load_table
+
+N_ROUNDS = 3
+
+_CHARS_FOLD = (
+    "aggregate(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '', "
+    "(acc, x) -> acc || '·' || x)"
+)
+
+#: greedy left-to-right merge rewrite — the Spark text; the DuckDB twin
+#: below differs only in function spellings (endswith/ends_with,
+#: aggregate/list_reduce)
+_MERGE_FOLD = (
+    "aggregate(split(substring(sym, 2, 1000000), '·'), '', "
+    "(acc, x) -> CASE WHEN acc <> '' AND endswith(acc, '·' || p1) AND x = p2 "
+    "THEN substring(acc, 1, length(acc) - length(p1) - 1) || '·' || p1 || p2 "
+    "ELSE acc || '·' || x END)"
+)
+
+
+def _round_sql(k: int) -> str:
+    return f"""
+    pairs{k} AS (
+      SELECT p[1] AS p1, p[2] AS p2, sum(freq)::BIGINT AS cnt FROM (
+        SELECT freq, unnest(list_transform(range(len(s) - 1),
+                                           i -> [s[i+1], s[i+2]])) AS p
+        FROM (SELECT freq, string_split(substr(sym, 2), '·') AS s
+              FROM sym{k - 1})
+      ) GROUP BY p1, p2
+    ),
+    top{k} AS (
+      SELECT p1, p2, cnt FROM pairs{k} ORDER BY cnt DESC, p1, p2 LIMIT 1
+    ),
+    sym{k} AS (
+      SELECT freq,
+             list_reduce(list_prepend('', string_split(substr(sym, 2), '·')),
+               (acc, x) -> CASE WHEN acc <> '' AND ends_with(acc, '·' || t.p1)
+                                     AND x = t.p2
+                           THEN substr(acc, 1, len(acc) - len(t.p1) - 1)
+                                || '·' || t.p1 || t.p2
+                           ELSE acc || '·' || x END) AS sym
+      FROM sym{k - 1}, top{k} t
+    )"""
+
+
+_BPE_SQL = (
+    """
+    WITH vocab AS (
+      SELECT w, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    sym0 AS (
+      SELECT freq,
+             list_reduce(list_prepend('',
+               list_transform(range(len(w)), i -> substr(w, i + 1, 1))),
+               (acc, x) -> acc || '·' || x) AS sym
+      FROM vocab
+    ),
+    """
+    + ",\n".join(_round_sql(k) for k in range(1, N_ROUNDS + 1))
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS round, p1, p2, p1 || p2 AS merged,"
+        f" cnt AS n_occurrences FROM top{k}"
+        for k in range(1, N_ROUNDS + 1)
+    )
+    + "\n    ORDER BY round"
+)
+
+
+@query("bpe_train_merges", oracle=_BPE_SQL)
+def bpe_train_merges(spark, sf_dir):
+    """The first {N_ROUNDS} BPE merges learned from the corpus: per
+    round the winning symbol pair, the merged token it creates, and
+    its weighted occurrence count — the merge table that IS a trained
+    tokenizer's artifact. Each round counts pairs over the rewritten
+    vocabulary of the previous round, so later rounds can (and do)
+    select pairs containing previously merged symbols."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    words = vocab.select("freq", F.expr(_CHARS_FOLD).alias("sym"))
+    # the vocabulary table is both pair-counted and rewritten each
+    # round — stage it so each round's two consumers share one
+    # materialization (iterative-state handoff, as in operators/graph)
+    words = stage(words)
+    merges = []
+    for rnd in range(1, N_ROUNDS + 1):
+        sdf = words.select(
+            "freq", F.expr("split(substring(sym, 2, 1000000), '·')").alias("s")
+        )
+        pairs = (
+            sdf.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> struct(element_at(s, i + 1) AS p1, "
+                        "element_at(s, i + 2) AS p2))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.p1", "p.p2")
+        )
+        top = (
+            pairs.groupBy("p1", "p2")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+        )
+        top = stage(top, eager=True)
+        merges.append(
+            top.select(
+                F.lit(rnd).cast("long").alias("round"),
+                "p1",
+                "p2",
+                F.concat("p1", "p2").alias("merged"),
+                F.col("cnt").alias("n_occurrences"),
+            )
+        )
+        words = stage(
+            words.crossJoin(F.broadcast(top.select("p1", "p2")))
+            .withColumn("sym", F.expr(_MERGE_FOLD))
+            .select("freq", "sym")
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.orderBy("round")

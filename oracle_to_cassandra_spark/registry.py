@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.similarity_pq",
     "oracle_to_cassandra_spark.queries.similarity_jl",
     "oracle_to_cassandra_spark.queries.text_analysis",
+    "oracle_to_cassandra_spark.queries.bpe_train",
     "oracle_to_cassandra_spark.queries.hybrid_retrieval",
     "oracle_to_cassandra_spark.queries.tfidf",
     "oracle_to_cassandra_spark.queries.training_prep",

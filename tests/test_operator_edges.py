@@ -355,3 +355,29 @@ def test_y4m_decoder_validates_container(spark):
     )
     with pytest.raises(Exception, match="trailing bytes|bad FRAME"):
         M.decode_y4m_frame_stats(truncated).count()
+
+
+def test_bpe_greedy_rewrite_edges(spark):
+    """Pin the greedy left-to-right merge semantics both engines share:
+    consecutive identical pairs merge pairwise ("aaaa" -> "aa","aa",
+    NOT "aa","a","a"), overlapping sites resolve left-first, and a
+    symbol that is a suffix of a longer symbol never false-matches."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_cassandra_spark.queries.bpe_train import _MERGE_FOLD
+
+    df = (
+        spark.createDataFrame(
+            [("·a·a·a·a",), ("·a·a·a",), ("·d·a·t·a",), ("·ba·a·b",)],
+            ["sym"],
+        )
+        .withColumn("p1", F.lit("a"))
+        .withColumn("p2", F.lit("a"))
+        .withColumn("merged", F.expr(_MERGE_FOLD))
+    )
+    got = {r["sym"]: r["merged"] for r in df.collect()}
+    assert got["·a·a·a·a"] == "·aa·aa"
+    assert got["·a·a·a"] == "·aa·a"
+    assert got["·d·a·t·a"] == "·d·a·t·a"  # no adjacent (a, a)
+    # 'ba' ends with 'a' but is a DIFFERENT symbol: must not merge
+    assert got["·ba·a·b"] == "·ba·a·b"
