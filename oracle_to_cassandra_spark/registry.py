@@ -125,22 +125,25 @@ _PRIORITY: tuple[str, ...] = (
     "from_json_struct_events",
     "explode_collect_roundtrip",
     # --- backfill: r1-only relational core (13) ---
-    "full_scan_region",
-    "projection_orders",
     "point_lookup_customer",
     "denorm_orders_by_customer",
     "fk_chain_walk",
+    # (full_scan_region / projection_orders rotate next round: trivial,
+    #  r1-green, replica-covered — the rows below are zero-history)
+    "bpe_train_merges",
+    "dataset_card_per_source",
     # (rename_bulk_customer / filter_eq_numeric / self_join_adjacent_lines
     #  are r1-green and rotate next round — the decoded-content
     #  fingerprint family below is zero-history)
     "multimodal_phash_dedup_groups",
     "multimodal_wav_energy_fingerprint",
     "multimodal_y4m_temporal_fingerprint",
-    "top_orders_limit",
-    "clustering_order_scan",
-    # (distinct_departments / static_column_per_partition /
-    #  global_counts are r1-green and rotate next round — zero-history
-    #  additions below outrank re-verification, per the r5 verdict)
+    "migration_row_diff",
+    "format_roundtrip_digest",
+    # (top_orders_limit / clustering_order_scan / distinct_departments /
+    #  static_column_per_partition / global_counts are r1-green and
+    #  rotate next round — zero-history additions outrank
+    #  re-verification, per the r5 verdict)
     "hybrid_rrf_retrieval",
     "embedding_winsorization_stats",
     "lsh_multiprobe_recall",
