@@ -377,3 +377,67 @@ def embedding_winsorization_stats(spark, sf_dir):
         )
         .select("pos", "p01", "p99", "n_values", "n_clipped", "clip_frac")
     )
+
+
+CHUNK_SIZE = 32  #: tokens per retrieval chunk
+CHUNK_STRIDE = 24  #: stride (8-token overlap between neighbors)
+
+
+@query(
+    "rag_chunking_overlap",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKENS}::BIGINT AS n_tokens FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, n_tokens,
+             unnest(range(0, greatest((n_tokens - {CHUNK_SIZE}
+                                       + {CHUNK_STRIDE} - 1)
+                                      // {CHUNK_STRIDE}, 0) + 1))::BIGINT
+               AS chunk_idx
+      FROM tok
+    )
+    SELECT doc_id, chunk_idx,
+           (chunk_idx * {CHUNK_STRIDE})::BIGINT AS begin_tok,
+           least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tokens)::BIGINT
+             AS end_tok,
+           (least(chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}, n_tokens)
+            - chunk_idx * {CHUNK_STRIDE})::BIGINT AS chunk_len
+    FROM chunks
+    """,
+)
+def rag_chunking_overlap(spark, sf_dir):
+    """Retrieval-ingestion chunking: split each document into
+    {CHUNK_SIZE}-token windows at stride {CHUNK_STRIDE} (8-token
+    overlap so no sentence is orphaned at a boundary) and emit the
+    chunk table — (doc, chunk, [begin, end) token span) — that a RAG
+    index embeds. The chunk COUNT follows ceil((n - size) / stride)
+    + 1 with a floor of one chunk for short docs; the final chunk is
+    allowed to be short rather than re-reading earlier tokens twice.
+
+    Distinct from pack_documents_token_budget (training packing:
+    contiguous, budget-bound, cross-doc) — chunking is per-doc,
+    overlapping, index-bound. Scale: pure row-local arithmetic +
+    explode inside codegen; output is metadata (5 ints/chunk), the
+    text itself stays in place until the embed stage streams it."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " ")).cast("long")
+    n_chunks = F.greatest(
+        F.ceil((n_tok - CHUNK_SIZE) / CHUNK_STRIDE), F.lit(0)
+    ).cast("long") + 1
+    chunks = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_idx"
+        ),
+    )
+    begin = F.col("chunk_idx") * CHUNK_STRIDE
+    end = F.least(begin + CHUNK_SIZE, F.col("n_tokens"))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        begin.cast("long").alias("begin_tok"),
+        end.cast("long").alias("end_tok"),
+        (end - begin).cast("long").alias("chunk_len"),
+    )
