@@ -441,3 +441,61 @@ def rag_chunking_overlap(spark, sf_dir):
         end.cast("long").alias("end_tok"),
         (end - begin).cast("long").alias("chunk_len"),
     )
+
+
+@query(
+    "stratified_split_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             CASE WHEN len({{tok}}) >= 56 THEN 'long' ELSE 'short' END AS tier,
+             CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::INT64
+                       % 10 < 8 THEN 'train'
+                  WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::INT64
+                       % 10 < 9 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, tier, split,
+           count(*)::BIGINT AS n_docs,
+           round(count(*) * 1.0 / sum(count(*))
+                 OVER (PARTITION BY lang, tier), 6) AS achieved_ratio
+    FROM tagged GROUP BY lang, tier, split
+    """.replace("{tok}", "string_split(lower(text), ' ')"),
+)
+def stratified_split_audit(spark, sf_dir):
+    """Split-quality audit for the hash-based 80/10/10 assignment:
+    within every (language, length-tier) stratum, the achieved split
+    ratios — the check that catches a skewed hash or a stratum small
+    enough that 80/10/10 doesn't hold, BEFORE a model trains on a
+    val set that under-represents a language. The split hash is the
+    same md5-int64 family as hash_split_train_val_test, salted with a
+    'split:' prefix so assignment is independent of every other hash
+    in the pipeline.
+
+    Scale: one scan computes stratum and split per row; the aggregate
+    is strata×3-sized with map-side partials, and the ratio window
+    re-uses the same grouping keys — no second scan, no join."""
+    from oracle_to_cassandra_spark.functions.hashing import md5_int64
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " "))
+    bucket = md5_int64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
+    tagged = d.select(
+        "lang",
+        F.when(n_tok >= 56, "long").otherwise("short").alias("tier"),
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test").alias("split"),
+    )
+    counts = tagged.groupBy("lang", "tier", "split").agg(
+        F.count("*").alias("n_docs")
+    )
+    w = Window.partitionBy("lang", "tier")
+    return counts.select(
+        "lang",
+        "tier",
+        "split",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
+            "achieved_ratio"
+        ),
+    )
