@@ -21,9 +21,10 @@ non-vacuous (the trap ADVICE round 2 flagged on top_bigrams_corpus).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, tokens
+from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, quality_score, tokens
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
@@ -324,4 +325,107 @@ def gopher_quality_rules(spark, sf_dir):
         F.round(
             F.sum(pass_all.cast("int")) / F.count("*"), 6
         ).alias("retention"),
+    )
+
+
+@query(
+    "quality_quantile_normalization",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             round({{q}}, 6) AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, quality,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS pr
+      FROM scored
+    ),
+    gq AS (
+      SELECT list_sort(list(quality)) AS gs FROM scored
+    ),
+    norm AS (
+      SELECT r.source,
+             round(gs[CAST(floor(r.pr * (len(gs) - 1)) AS INT) + 1]
+                     * (1.0 - (r.pr * (len(gs) - 1)
+                               - floor(r.pr * (len(gs) - 1))))
+                 + gs[CAST(ceil(r.pr * (len(gs) - 1)) AS INT) + 1]
+                     * (r.pr * (len(gs) - 1)
+                        - floor(r.pr * (len(gs) - 1))), 6) AS norm_quality
+      FROM ranked r, gq
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(min(norm_quality), 6) AS min_norm,
+           round(max(norm_quality), 6) AS max_norm,
+           round((sum(CAST(round(norm_quality * 1000000) AS BIGINT))::DOUBLE
+                  / 1000000.0) / count(*), 6) AS mean_norm
+    FROM norm GROUP BY source
+    """.replace(
+        "{q}",
+        "(0.4 * (len(list_distinct(string_split(lower(text), ' '))) * 1.0"
+        " / greatest(len(string_split(lower(text), ' ')), 1))"
+        " + 0.4 * (1 - len(list_filter(string_split(lower(text), ' '),"
+        " t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0"
+        " / greatest(len(string_split(lower(text), ' ')), 1))"
+        " + 0.2 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0))",
+    ),
+)
+def quality_quantile_normalization(spark, sf_dir):
+    """Batch-effect correction across sources: map every document's
+    quality score onto the GLOBAL quality distribution by quantile
+    (each doc's within-source percent-rank looked up in the corpus
+    quantile function) — so a systematically-easy source can't flood
+    the 'high quality' bucket just because its raw scores run hot.
+    Reported per source: the normalized score range and mean (summed
+    as integer micro-units — the rounding-boundary-proof form).
+
+    Scale: within-source percent_rank partitions by source; the
+    global quantile lookup is against the corpus score distribution
+    (at 100 TB: an approx-quantile SKETCH of it, broadcast — same
+    plan with the sketch swapped in; here exact interpolation so the
+    oracle is value-exact). No all-pairs anything."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w_src = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = scored.withColumn("pr", F.percent_rank().over(w_src))
+    # global quantile lookup: exact percentile of the corpus quality
+    # distribution at each doc's percent-rank. percentile() needs a
+    # constant fraction, so interpolate manually against the sorted
+    # global scores: rank r in [0, n-1] → position pr*(n-1), linear
+    # between floor and ceil neighbors — the textbook quantile_cont.
+    glob = scored.select(
+        F.sort_array(F.collect_list("quality")).alias("gs")
+    )
+    joined = ranked.crossJoin(F.broadcast(glob))
+    pos = F.col("pr") * (F.size("gs") - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    frac = pos - lo
+    norm = (
+        F.element_at("gs", lo + 1) * (1.0 - frac)
+        + F.element_at("gs", hi + 1) * frac
+    )
+    out = joined.select(
+        "source", F.round(norm, 6).alias("norm_quality")
+    )
+    return out.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.min("norm_quality"), 6).alias("min_norm"),
+        F.round(F.max("norm_quality"), 6).alias("max_norm"),
+        F.round(
+            (
+                F.sum(F.round(F.col("norm_quality") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_norm"),
     )
