@@ -160,3 +160,118 @@ def bpe_train_merges(spark, sf_dir):
     for m in merges[1:]:
         out = out.unionAll(m)
     return out.orderBy("round")
+
+
+_APPLY_SQL = (
+    """
+    WITH vocab AS (
+      SELECT w, count(*)::BIGINT AS freq FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ),
+    sym0 AS (
+      SELECT w, freq,
+             list_reduce(list_prepend('',
+               list_transform(range(len(w)), i -> substr(w, i + 1, 1))),
+               (acc, x) -> acc || '·' || x) AS sym
+      FROM vocab
+    ),
+    """
+    + ",\n".join(
+        _round_sql(k).replace(
+            f"SELECT freq,\n             list_reduce",
+            f"SELECT w, freq,\n             list_reduce",
+        )
+        for k in range(1, N_ROUNDS + 1)
+    )
+    + f"""
+    ,
+    final AS (
+      SELECT w, len(string_split(substr(sym, 2), '·'))::BIGINT AS n_subwords
+      FROM sym{N_ROUNDS}
+    ),
+    per_doc AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    )
+    SELECT p.doc_id,
+           count(*)::BIGINT AS n_words,
+           sum(len(f.w))::BIGINT AS n_chars_tokenized,
+           sum(f.n_subwords)::BIGINT AS n_subwords,
+           round(sum(len(f.w)) * 1.0 / sum(f.n_subwords), 6) AS compression
+    FROM per_doc p JOIN final f ON p.w = f.w
+    GROUP BY p.doc_id
+    """
+)
+
+
+@query("bpe_apply_tokenize", oracle=_APPLY_SQL)
+def bpe_apply_tokenize(spark, sf_dir):
+    """Apply the {N_ROUNDS} learned merges back to the corpus — the
+    tokenizer's ENCODE step: per document, word count, character
+    mass, sub-word count after merging, and the chars-per-subword
+    compression ratio (the fertility metric that decides whether a
+    merge table is worth shipping). Train-then-apply on the same
+    declarative plan family: encoding reuses the vocabulary rewrite
+    (words are encoded ONCE each, corpus-wide counts come from a
+    vocabulary join — the same trick real tokenizers use via their
+    word cache).
+
+    Scale: the merge chain is {N_ROUNDS} broadcast-rewrites over the
+    vocabulary table; the corpus join is token→vocab (broadcast: a
+    vocabulary is always small next to its corpus) and one doc_id
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    vocab = tok.groupBy("w").agg(F.count("*").alias("freq"))
+    words = stage(vocab.select("w", "freq", F.expr(_CHARS_FOLD).alias("sym")))
+    for _rnd in range(1, N_ROUNDS + 1):
+        sdf = words.select(
+            "freq", F.expr("split(substring(sym, 2, 1000000), '·')").alias("s")
+        )
+        pairs = (
+            sdf.filter(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> struct(element_at(s, i + 1) AS p1, "
+                        "element_at(s, i + 2) AS p2))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.p1", "p.p2")
+        )
+        top = stage(
+            pairs.groupBy("p1", "p2")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1),
+            eager=True,
+        )
+        words = stage(
+            words.crossJoin(F.broadcast(top.select("p1", "p2")))
+            .withColumn("sym", F.expr(_MERGE_FOLD))
+            .select("w", "freq", "sym")
+        )
+    final = words.select(
+        "w",
+        F.size(F.split(F.expr("substring(sym, 2, 1000000)"), "·"))
+        .cast("long")
+        .alias("n_subwords"),
+    )
+    return (
+        tok.join(F.broadcast(final), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("w")).cast("long").alias("n_chars_tokenized"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum(F.length("w")) / F.sum("n_subwords"), 6
+            ).alias("compression"),
+        )
+    )
