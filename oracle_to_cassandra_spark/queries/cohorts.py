@@ -5,6 +5,7 @@ from first-touch assignment + conditional pivots.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.registry import query
@@ -63,4 +64,59 @@ def cohort_weekly_retention(spark, sf_dir):
 
     return activity.groupBy("cohort_week").agg(
         F.count_distinct("user_id").alias("cohort_size"), wk(1), wk(2), wk(3)
+    )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6)
+             AS transition_prob
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over user event streams:
+    per (previous event type → next event type), the count and the
+    row-normalized transition probability — the behavioral model
+    behind next-action prediction and anomaly scoring (a transition
+    that never appears in this table is an anomaly when it shows up
+    live).
+
+    Scale: the lag window partitions per user (parallel across the
+    user key space, no global ordering); the transition aggregate is
+    event-type²-sized with map-side partials, and the normalizing
+    window reuses the tiny aggregated table. Ordering ties on ts are
+    broken by event_id so the sequence — and therefore the matrix —
+    is deterministic in both engines."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias(
+            "transition_prob"
+        ),
     )
