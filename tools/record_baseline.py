@@ -30,7 +30,9 @@ def main() -> None:
     with open(path) as fh:
         text = fh.read()
 
-    existing = set(re.findall(r"^\| (\w+) \| [\d.]+ \|$", text, re.M))
+    # rows may carry a third provenance cell ("| name | t | r6 ... |");
+    # anchoring to end-of-line would silently re-append (= rebase) them
+    existing = set(re.findall(r"^\| (\w+) \| [\d.]+ \|", text, re.M))
     new = sorted(set(queries) - existing)
     if not new:
         print(f"baseline frozen; all {len(queries)} benched queries already "
@@ -43,7 +45,10 @@ def main() -> None:
             "each row records the query's FIRST green bench run and then "
             "never changes.\n\n" + MARK + "\n|---|---|\n"
         )
-    rows = "".join(f"| {name} | {queries[name]} |\n" for name in new)
+    import datetime
+    stamp = datetime.date.today().isoformat()
+    rows = "".join(f"| {name} | {queries[name]} | first-green {stamp} |\n"
+                   for name in new)
     with open(path, "w") as fh:
         fh.write(text.rstrip("\n") + "\n" + rows)
     print(f"appended {len(new)} post-freeze rows: {', '.join(new)}")
