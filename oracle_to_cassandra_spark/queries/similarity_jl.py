@@ -173,3 +173,92 @@ def jl_projection_recall_distortion(spark, sf_dir):
             4,
         ).alias("mean_distortion"),
     )
+
+
+K_PREFIX = 16  #: Matryoshka truncation width (same budget as the JL audit)
+
+_MRL_SQL = f"""
+    WITH proj AS (
+      SELECT vec_id,
+             list_transform(embedding[1:{K_PREFIX}], x -> x::DOUBLE) AS p,
+             list_transform(embedding, x -> x::DOUBLE) AS e
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT pr.vec_id AS probe_id, c.vec_id AS neighbor_id,
+             {_D2.format(n=EMBEDDING_DIM, a="pr.e", b="c.e")} AS orig_d2,
+             {_D2.format(n=K_PREFIX, a="pr.p", b="c.p")} AS pref_d2
+      FROM proj pr JOIN proj c ON pr.vec_id <> c.vec_id
+      WHERE pr.vec_id IN {_PROBES_SQL}
+    ),
+    ranked AS (
+      SELECT probe_id, neighbor_id,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY orig_d2, neighbor_id) AS rn_e,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY pref_d2, neighbor_id) AS rn_p
+      FROM pairs
+    )
+    SELECT probe_id,
+           round(sum(CASE WHEN rn_p <= {TOP_K} THEN 1 ELSE 0 END)
+                 / {TOP_K}.0, 2) AS recall_at_10
+    FROM ranked WHERE rn_e <= {TOP_K}
+    GROUP BY probe_id
+    """
+
+
+@query("matryoshka_prefix_recall", oracle=_MRL_SQL)
+def matryoshka_prefix_recall(spark, sf_dir):
+    """Matryoshka-style truncation audit (Kusupati et al. 2022): use
+    only the FIRST {K_PREFIX} dimensions as the compressed
+    representation and measure recall@10 against the full-dimension
+    squared-L2 top-10 — the practical question behind MRL embeddings
+    ("can we serve the 4× cheaper prefix?"). Same compression budget
+    as the JL audit, so the two queries together answer which lever
+    (learned-ordered prefix vs data-oblivious projection) loses less
+    on THIS corpus — for synthetic unordered dimensions the prefix
+    carries no privileged information, so JL ≈ prefix here; on real
+    MRL-trained embeddings the prefix wins, and this audit is how
+    you'd verify that.
+
+    Scale: identical plan to the JL audit — probe broadcast, map-side
+    prefix slice, one probe-partitioned dual-rank pass, no self-join."""
+    e = load_table(spark, sf_dir, "embeddings")
+    proj = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        F.transform(
+            F.slice("embedding", 1, K_PREFIX), lambda x: x.cast("double")
+        ).alias("p"),
+    )
+    probes = proj.filter(F.col("vec_id").isin(PROBE_IDS)).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("e").alias("pe"),
+        F.col("p").alias("pp"),
+    )
+    pairs = (
+        F.broadcast(probes)
+        .join(proj, F.col("probe_id") != F.col("vec_id"))
+        .select(
+            "probe_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _sq_l2(F.col("pe"), F.col("e")).alias("orig_d2"),
+            _sq_l2(F.col("pp"), F.col("p")).alias("pref_d2"),
+        )
+    )
+    w_exact = Window.partitionBy("probe_id").orderBy("orig_d2", "neighbor_id")
+    w_pref = Window.partitionBy("probe_id").orderBy("pref_d2", "neighbor_id")
+    ranked = pairs.withColumn("rn_e", F.row_number().over(w_exact)).withColumn(
+        "rn_p", F.row_number().over(w_pref)
+    )
+    return (
+        ranked.filter(F.col("rn_e") <= TOP_K)
+        .groupBy("probe_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("rn_p") <= TOP_K, 1).otherwise(0))
+                / float(TOP_K),
+                2,
+            ).alias("recall_at_10")
+        )
+    )
