@@ -122,3 +122,95 @@ def dataset_card_per_source(spark, sf_dir):
         "n_exact_dup_docs", "dup_ratio", "n_langs", "top_lang",
         "top_lang_share",
     )
+
+
+#: incremental split shared with the PQ/LSH incremental ops
+_NEW_MOD = 7
+_PSI_BUCKETS = 10  #: token-length decade bins 0..9 (10-99 tokens)
+
+
+@query(
+    "token_length_psi_drift",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT least(len(string_split(lower(text), ' ')) // 10, {_PSI_BUCKETS - 1})
+               AS bucket,
+             (doc_id % 10 = {_NEW_MOD}) AS is_new
+      FROM documents
+    ),
+    b(bucket) AS (SELECT unnest(range({_PSI_BUCKETS}))),
+    counts AS (
+      SELECT b.bucket,
+             coalesce(sum(CASE WHEN NOT t.is_new THEN 1 ELSE 0 END), 0)
+               AS n_snapshot,
+             coalesce(sum(CASE WHEN t.is_new THEN 1 ELSE 0 END), 0) AS n_new
+      FROM b LEFT JOIN tagged t ON t.bucket = b.bucket
+      GROUP BY b.bucket
+    ),
+    tot AS (
+      SELECT sum(n_snapshot) AS ns, sum(n_new) AS nn FROM counts
+    )
+    SELECT c.bucket::INT AS bucket,
+           c.n_snapshot::BIGINT AS n_snapshot,
+           c.n_new::BIGINT AS n_new,
+           round((c.n_snapshot + 1.0) / (t.ns + {_PSI_BUCKETS}), 6) AS p,
+           round((c.n_new + 1.0) / (t.nn + {_PSI_BUCKETS}), 6) AS q,
+           round(((c.n_new + 1.0) / (t.nn + {_PSI_BUCKETS})
+                  - (c.n_snapshot + 1.0) / (t.ns + {_PSI_BUCKETS}))
+                 * ln(((c.n_new + 1.0) / (t.nn + {_PSI_BUCKETS}))
+                      / ((c.n_snapshot + 1.0) / (t.ns + {_PSI_BUCKETS}))), 6)
+             AS psi_term
+    FROM counts c, tot t
+    """,
+)
+def token_length_psi_drift(spark, sf_dir):
+    """Population-stability-index drift report between the indexed
+    corpus snapshot (doc_id % 10 != {_NEW_MOD}) and the arriving
+    batch: token-length decade buckets, Laplace-smoothed shares on
+    both sides, and each bucket's PSI contribution — sum the column
+    and apply the usual 0.1/0.25 watch/act thresholds. This is the
+    monitoring twin of the incremental encode ops: mean quantization
+    error says the EMBEDDING distribution moved; PSI says the TEXT
+    length distribution moved, before it poisons packing efficiency.
+
+    Scale: one scan tags (bucket, side) per row; the aggregate is
+    {_PSI_BUCKETS} rows built from map-side partials; the bucket
+    spine join guarantees empty buckets still report (Laplace
+    smoothing keeps their log finite). Both engines evaluate the
+    identical smoothed-ratio expression, so ln() operand equality
+    makes the rounded terms match."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " "))
+    tagged = d.select(
+        F.least(F.floor(n_tok / 10), F.lit(_PSI_BUCKETS - 1)).alias("bucket"),
+        (F.col("doc_id") % 10 == _NEW_MOD).alias("is_new"),
+    )
+    spine = spark.range(_PSI_BUCKETS).select(F.col("id").alias("bucket"))
+    counts = (
+        spine.join(tagged, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(~F.col("is_new"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_snapshot"),
+            F.coalesce(
+                F.sum(F.when(F.col("is_new"), 1).otherwise(0)), F.lit(0)
+            ).alias("n_new"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("n_snapshot").alias("ns"), F.sum("n_new").alias("nn")
+    )
+    p = (F.col("n_snapshot") + 1.0) / (F.col("ns") + _PSI_BUCKETS)
+    q = (F.col("n_new") + 1.0) / (F.col("nn") + _PSI_BUCKETS)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n_snapshot").cast("long").alias("n_snapshot"),
+            F.col("n_new").cast("long").alias("n_new"),
+            F.round(p, 6).alias("p"),
+            F.round(q, 6).alias("q"),
+            F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
+        )
+    )
