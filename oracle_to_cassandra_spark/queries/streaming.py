@@ -259,3 +259,85 @@ def stream_tws_user_activity(spark, sf_dir):
         F.max_by("total_value", "n_events").alias("total_value"),
         F.max_by("n_event_types", "n_events").alias("n_event_types"),
     )
+
+
+@query(
+    "stream_gopher_quality_gate",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum((len(ts) >= 40
+                AND list_avg(list_transform(ts, t -> len(t)))
+                    BETWEEN 4.0 AND 5.0
+                AND len(list_distinct(ts)) * 1.0 / len(ts) >= 0.45
+                AND len(list_distinct(list_filter(ts,
+                      t -> t IN ('the', 'a', 'of', 'and', 'to')))) >= 2
+               )::INT)::BIGINT AS n_pass,
+           round(sum((len(ts) >= 40
+                AND list_avg(list_transform(ts, t -> len(t)))
+                    BETWEEN 4.0 AND 5.0
+                AND len(list_distinct(ts)) * 1.0 / len(ts) >= 0.45
+                AND len(list_distinct(list_filter(ts,
+                      t -> t IN ('the', 'a', 'of', 'and', 'to')))) >= 2
+               )::INT) * 1.0 / count(*), 6) AS retention
+    FROM tok GROUP BY source
+    """,
+)
+def stream_gopher_quality_gate(spark, sf_dir):
+    """Streaming admission control, fully DuckDB-oracled: readStream
+    over the documents files (Kafka-topic analog), the SAME
+    Gopher-style rule battery as the batch query evaluated per
+    arriving document, aggregated per source in complete mode — the
+    ingest-time quality gate that decides admission BEFORE a
+    low-quality drop lands in the lake. Proves the rule battery is
+    trigger-agnostic (aggregates are commutative over micro-batch
+    slicing, so the final complete-mode table equals the batch
+    answer regardless of file batching).
+
+    Scale: rules run inside codegen on each micro-batch; state is the
+    per-source running counts (a handful of rows in the state store);
+    the sink table is source-count-sized."""
+    from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS
+    from oracle_to_cassandra_spark.queries.corpus_quality import (
+        MIN_DIVERSITY,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+        MWL_HI,
+        MWL_LO,
+    )
+    from oracle_to_cassandra_spark.operators.text import tokens as _tokens
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    docs = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    ts = _tokens(F.col("text"))
+    mwl = F.aggregate(
+        F.transform(ts, F.length), F.lit(0.0), lambda acc, x: acc + x
+    ) / F.size(ts)
+    pass_all = (
+        (F.size(ts) >= MIN_WORDS)
+        & (mwl >= MWL_LO)
+        & (mwl <= MWL_HI)
+        & (F.size(F.array_distinct(ts)) / F.size(ts) >= MIN_DIVERSITY)
+        & (
+            F.size(F.array_distinct(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS))))
+            >= MIN_STOPWORDS
+        )
+    )
+    agg = (
+        docs.select("source", pass_all.cast("int").alias("ok"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok").cast("long").alias("n_pass"),
+            F.round(F.sum("ok") / F.count("*"), 6).alias("retention"),
+        )
+    )
+    return run_stream_to_memory(agg, output_mode="complete")
