@@ -120,3 +120,64 @@ def event_transition_matrix(spark, sf_dir):
             "transition_prob"
         ),
     )
+
+
+@query(
+    "ab_assignment_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT CASE WHEN ('0x' || substr(md5('exp1:' || user_id::VARCHAR), 1, 15))
+                       ::INT64 % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    counts AS (
+      SELECT arm, count(*)::BIGINT AS n_users FROM assigned GROUP BY arm
+    ),
+    tot AS (SELECT sum(n_users) AS n FROM counts)
+    SELECT c.arm, c.n_users,
+           round(c.n_users * 1.0 / t.n, 6) AS share,
+           round((c.n_users - t.n / 2.0) * (c.n_users - t.n / 2.0)
+                 / (t.n / 2.0), 6) AS chi2_term
+    FROM counts c, tot t
+    """,
+)
+def ab_assignment_srm_check(spark, sf_dir):
+    """Deterministic experiment bucketing + sample-ratio-mismatch
+    check: users hash into arms A/B by the salted md5 family
+    (stable across runs and pipelines — the property that makes
+    holdouts reproducible), and each arm reports its share plus its
+    χ² term against the expected 50/50 (sum the column, compare to
+    the χ²₁ critical value ≈ 3.84: above it, the assignment
+    plumbing is leaking users and every downstream metric is
+    suspect — the FIRST check an experimentation platform runs).
+
+    Scale: distinct-user aggregation (map-side combined) then a
+    2-row report; assignment is pure hash arithmetic at scan speed,
+    usable as-is as the join key for exposure logging."""
+    from oracle_to_cassandra_spark.functions.hashing import md5_int64
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        md5_int64(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))) % 2
+        == 0,
+        "A",
+    ).otherwise("B")
+    counts = (
+        ev.select("user_id")
+        .distinct()
+        .select(arm.alias("arm"))
+        .groupBy("arm")
+        .agg(F.count("*").alias("n_users"))
+    )
+    tot = counts.agg(F.sum("n_users").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_users",
+        F.round(F.col("n_users") / F.col("n"), 6).alias("share"),
+        F.round(
+            (F.col("n_users") - F.col("n") / 2.0)
+            * (F.col("n_users") - F.col("n") / 2.0)
+            / (F.col("n") / 2.0),
+            6,
+        ).alias("chi2_term"),
+    )
