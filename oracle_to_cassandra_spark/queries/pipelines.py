@@ -207,3 +207,52 @@ def format_roundtrip_digest(spark, sf_dir):
     for nxt in out[1:]:
         res = res.unionAll(nxt)
     return res.orderBy("fmt")
+
+
+@query(
+    "schema_evolution_merge_read",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1
+                THEN upper(o_orderpriority) END AS priority_norm,
+           (o_orderkey % 2)::INT AS schema_version
+    FROM orders
+    """,
+)
+def schema_evolution_merge_read(spark, sf_dir):
+    """Schema evolution across parquet snapshots: v0 files carry
+    (o_orderkey, o_totalprice), v1 files add a derived
+    ``priority_norm`` column; a ``mergeSchema`` read unifies them —
+    v0 rows surface the new column as NULL, exactly the contract a
+    long-lived lake table relies on when producers upgrade before
+    readers. The oracle states the expected unified result in closed
+    form (odd keys were written as v1), so the check certifies both
+    the union schema AND the null backfill.
+
+    Scale: mergeSchema footer reconciliation is a planning-time
+    metadata operation over file footers (at 100 TB you pin the
+    merged schema in the catalog instead of re-deriving it per
+    query); the data path remains plain columnar scans with pruning
+    intact."""
+    path = scratch.session_path("schema_evolution")
+    o = load_table(spark, sf_dir, "orders")
+    v0 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.upper("o_orderpriority").alias("priority_norm"),
+    )
+    v0.write.mode("overwrite").parquet(f"{path}/v=0")
+    v1.write.mode("overwrite").parquet(f"{path}/v=1")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{path}/v=0", f"{path}/v=1"
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_totalprice",
+        "priority_norm",
+        (F.col("o_orderkey") % 2).cast("int").alias("schema_version"),
+    )
