@@ -105,3 +105,67 @@ def stratified_quota_sample(spark, sf_dir):
         .filter(F.col("rn") <= 10)
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "weighted_sample_without_replacement",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_distinct(string_split(lower(text), ' '))) * 1.0
+               / greatest(len(string_split(lower(text), ' ')), 1) AS w,
+             (('0x' || substr(md5('wswr:' || doc_id::VARCHAR), 1, 15))::INT64
+              % 1000000 + 1) / 1000001.0 AS u
+      FROM documents
+    )
+    SELECT doc_id, source,
+           round(w, 6) AS weight, rnk
+    FROM (
+      SELECT doc_id, source, w,
+             row_number() OVER (
+               ORDER BY round(-ln(u) / w, 6), doc_id)::BIGINT AS rnk
+      FROM scored
+    ) WHERE rnk <= 20
+    """,
+)
+def weighted_sample_without_replacement(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    2006): each document draws a deterministic uniform u from the
+    salted md5 family and competes on the exponential key
+    -ln(u)/w with w = its vocabulary-diversity weight; the k
+    smallest keys ARE a weighted sample without replacement — in one
+    distributed pass, no sequential draws, no rejection loop. The
+    quality-weighted corpus subsample every curation pipeline needs,
+    reproducible across runs because u is a hash, not an RNG.
+
+    Scale: the key is scan-side arithmetic; selection is a
+    distributed top-k (TakeOrderedAndProject), never a global sort;
+    ties in the 6-dp-rounded key break on doc_id so both engines
+    rank identically."""
+    from oracle_to_cassandra_spark.functions.hashing import md5_int64
+    from oracle_to_cassandra_spark.operators.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    w = F.size(F.array_distinct(ts)) / F.greatest(F.size(ts), F.lit(1))
+    u = (
+        md5_int64(F.concat(F.lit("wswr:"), F.col("doc_id").cast("string")))
+        % 1000000
+        + 1
+    ) / 1000001.0
+    scored = d.select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.round(-F.log(u) / w, 6).alias("es_key"),
+    )
+    top = scored.orderBy("es_key", "doc_id").limit(20)
+    from pyspark.sql import Window
+
+    wk = Window.orderBy("es_key", "doc_id")
+    return top.select(
+        "doc_id",
+        "source",
+        F.round("w", 6).alias("weight"),
+        F.row_number().over(wk).cast("long").alias("rnk"),
+    )
