@@ -181,3 +181,100 @@ def ab_assignment_srm_check(spark, sf_dir):
             6,
         ).alias("chi2_term"),
     )
+
+
+@query(
+    "markov_surprise_anomaly_users",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, count(*)::BIGINT AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    ),
+    probs AS (
+      SELECT prev_type, next_type,
+             n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM trans
+    ),
+    scored AS (
+      SELECT s.user_id, -ln(p.p) AS surprise
+      FROM seq s JOIN probs p
+        ON s.prev_type = p.prev_type AND s.event_type = p.next_type
+      WHERE s.prev_type IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id, count(*)::BIGINT AS n_transitions,
+             round((sum(CAST(round(surprise * 1000000) AS BIGINT))::DOUBLE
+                    / 1000000.0) / count(*), 6) AS mean_surprise
+      FROM scored GROUP BY user_id
+    )
+    SELECT user_id, n_transitions, mean_surprise,
+           row_number() OVER (ORDER BY mean_surprise DESC, user_id)::BIGINT
+             AS rnk
+    FROM per_user ORDER BY rnk LIMIT 10
+    """,
+)
+def markov_surprise_anomaly_users(spark, sf_dir):
+    """Behavioral anomaly scoring on top of the transition matrix:
+    every observed transition contributes its surprise −ln p (the
+    model's code length for that step); users are ranked by mean
+    surprise and the top-10 are the accounts whose behavior the
+    corpus-wide Markov model explains worst — the follow-up query an
+    on-call analyst runs after the matrix flags an unseen-transition
+    alert. Surprise sums use the integer micro-unit form so the
+    per-user mean cannot flip on a rounding boundary across engines.
+
+    Scale: the transition model is event-type²-sized and BROADCAST
+    back against the sequence scan; per-user aggregation is map-side
+    partialed; the final ranking is a distributed top-k over
+    user-count rows."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    trans = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    w_norm = Window.partitionBy("prev_type")
+    probs = trans.select(
+        "prev_type",
+        "next_type",
+        (F.col("n") / F.sum("n").over(w_norm)).alias("p"),
+    )
+    scored = seq.join(
+        F.broadcast(probs),
+        (seq.prev_type == probs.prev_type)
+        & (seq.event_type == probs.next_type),
+    ).select("user_id", (-F.log("p")).alias("surprise"))
+    per_user = scored.groupBy("user_id").agg(
+        F.count("*").alias("n_transitions"),
+        F.round(
+            (
+                F.sum(F.round(F.col("surprise") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_surprise"),
+    )
+    top = per_user.orderBy(F.desc("mean_surprise"), "user_id").limit(10)
+    wk = Window.orderBy(F.desc("mean_surprise"), "user_id")
+    return top.select(
+        "user_id",
+        "n_transitions",
+        "mean_surprise",
+        F.row_number().over(wk).cast("long").alias("rnk"),
+    ).orderBy("rnk")
