@@ -214,3 +214,48 @@ def token_length_psi_drift(spark, sf_dir):
             F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
         )
     )
+
+
+@query(
+    "quality_length_regression_per_source",
+    oracle=f"""
+    WITH scored AS (
+      SELECT source,
+             len(string_split(lower(text), ' ')) * 1.0 AS x,
+             round({{q}}, 6) AS y
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           round(regr_slope(y, x), 5) AS slope,
+           round(regr_intercept(y, x), 5) AS intercept,
+           round(regr_r2(y, x), 5) AS r2
+    FROM scored GROUP BY source
+    """.replace("{q}", QUALITY_SQL),
+)
+def quality_length_regression_per_source(spark, sf_dir):
+    """Confound diagnostic for the quality score: per source, the OLS
+    fit of quality against document length (slope, intercept, R²) —
+    if R² runs high, the "quality" filter is secretly a length
+    filter and the curation config needs a length-orthogonal score.
+    This is the per-GROUP regression shape (one model per source in
+    a single aggregate pass), complementing the corpus-wide regr_*
+    coverage in stats_funcs.
+
+    Scale: regr_* aggregates are mergeable second-moment partials —
+    map-side combined, one shuffle to the source keys, no second
+    scan. Rounded at 5 dp: the slope/R² are ratios of
+    second-moment sums whose cross-engine difference is bounded by
+    accumulation order at ~1e-12 relative."""
+    from oracle_to_cassandra_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    x = F.size(F.split(F.lower("text"), " ")).cast("double")
+    y = F.round(quality_score(F.col("text")), 6)
+    scored = d.select("source", x.alias("x"), y.alias("y"))
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.regr_slope("y", "x"), 5).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 5).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 5).alias("r2"),
+    )
