@@ -259,3 +259,92 @@ def quality_length_regression_per_source(spark, sf_dir):
         F.round(F.regr_intercept("y", "x"), 5).alias("intercept"),
         F.round(F.regr_r2("y", "x"), 5).alias("r2"),
     )
+
+
+@query(
+    "corpus_snapshot_delta",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id, source, md5(text) AS h,
+             len(string_split(lower(text), ' '))::BIGINT AS n_tokens,
+             (doc_id % 10 = {_NEW_MOD}) AS is_new
+      FROM documents
+    ),
+    snap_hashes AS (
+      SELECT DISTINCT h FROM tagged WHERE NOT is_new
+    ),
+    per AS (
+      SELECT t.source,
+             sum(CASE WHEN t.is_new THEN 0 ELSE 1 END)::BIGINT AS n_docs_snapshot,
+             sum(CASE WHEN t.is_new THEN 1 ELSE 0 END)::BIGINT AS n_docs_new,
+             sum(CASE WHEN t.is_new THEN 0 ELSE t.n_tokens END)::BIGINT
+               AS tokens_snapshot,
+             sum(CASE WHEN t.is_new THEN t.n_tokens ELSE 0 END)::BIGINT
+               AS tokens_new,
+             sum(CASE WHEN t.is_new AND s.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_new_already_in_snapshot
+      FROM tagged t LEFT JOIN snap_hashes s ON t.h = s.h
+      GROUP BY t.source
+    )
+    SELECT source, n_docs_snapshot, n_docs_new, tokens_snapshot, tokens_new,
+           n_new_already_in_snapshot,
+           round(n_docs_new * 1.0 / greatest(n_docs_snapshot, 1), 6)
+             AS growth_ratio
+    FROM per
+    """,
+)
+def corpus_snapshot_delta(spark, sf_dir):
+    """The "what changed in this drop" report: per source, snapshot
+    vs arriving-batch document and token volumes, the growth ratio,
+    and — the dedup early-warning — how many NEW documents are exact
+    copies of something already indexed (md5 membership against the
+    snapshot). Read together with the PSI drift report this is the
+    go/no-go page for admitting a drop into the lake.
+
+    Scale: one scan tags side and hashes text; the membership check
+    is a 16-byte-key join against the snapshot hash set (at 100 TB: a
+    bloom filter of the snapshot hashes, broadcast — same plan with
+    the probabilistic structure swapped in); aggregation is
+    source-keyed with map-side partials."""
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("n_tokens"),
+        (F.col("doc_id") % 10 == _NEW_MOD).alias("is_new"),
+    )
+    snap = tagged.filter(~F.col("is_new")).select("h").distinct().withColumn(
+        "seen", F.lit(True)
+    )
+    joined = tagged.join(snap, "h", "left")
+    per = joined.groupBy("source").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_snapshot"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_new"),
+        F.sum(F.when(~F.col("is_new"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_snapshot"),
+        F.sum(F.when(F.col("is_new"), F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("tokens_new"),
+        F.sum(
+            F.when(F.col("is_new") & F.col("seen").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_new_already_in_snapshot"),
+    )
+    return per.select(
+        "source",
+        "n_docs_snapshot",
+        "n_docs_new",
+        "tokens_snapshot",
+        "tokens_new",
+        "n_new_already_in_snapshot",
+        F.round(
+            F.col("n_docs_new") / F.greatest(F.col("n_docs_snapshot"), F.lit(1)),
+            6,
+        ).alias("growth_ratio"),
+    )
