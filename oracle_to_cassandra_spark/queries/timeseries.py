@@ -80,3 +80,59 @@ def inter_event_gap_stats(spark, sf_dir):
         F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
+
+
+@query(
+    "scd2_interval_build",
+    oracle="""
+    WITH versions AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           round(value, 2) AS value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           coalesce(strftime(next_ts, '%Y-%m-%d %H:%M:%S'), 'CURRENT')
+             AS valid_to,
+           (next_ts IS NULL) AS is_current
+    FROM versions
+    """,
+)
+def scd2_interval_build(spark, sf_dir):
+    """Slowly-changing-dimension type-2 history build: turn each
+    user's purchase-value change stream into validity intervals
+    [valid_from, valid_to) with an open-ended current row — the
+    warehouse structure behind every as-of lookup (the as-of JOIN in
+    operators/asof.py is the read side; this is the write side that
+    materializes it). Ties on ts break on event_id so interval
+    boundaries are deterministic in both engines; timestamps ship as
+    formatted strings per the repo's cross-engine rules.
+
+    Scale: one lead window per user partition — parallel across the
+    user key space, no global sort; output is change-count-sized, and
+    in production it MERGEs into the dimension table keyed on
+    (user_id, valid_from)."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return versions.select(
+        "user_id",
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(F.date_format("next_ts", fmt), F.lit("CURRENT")).alias(
+            "valid_to"
+        ),
+        F.col("next_ts").isNull().alias("is_current"),
+    )
