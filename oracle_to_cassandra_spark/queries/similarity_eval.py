@@ -533,3 +533,55 @@ def hard_negative_mining(spark, sf_dir):
         .filter(F.col("rn") <= 5)
         .select("probe_id", "neighbor_id", "neg_label", "cos_sim", "rn")
     )
+
+
+_SEP_SQL = """
+    WITH cents AS (
+      SELECT label, list(c ORDER BY pos) AS centroid FROM (
+        SELECT label, pos, avg(v) AS c FROM (
+          SELECT label, unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS pos
+          FROM embeddings
+        ) GROUP BY label, pos
+      ) GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.centroid, b.centroid)
+                 / (sqrt(list_dot_product(a.centroid, a.centroid))
+                    * sqrt(list_dot_product(b.centroid, b.centroid))), 6)
+             AS centroid_cos
+    FROM cents a JOIN cents b ON a.label < b.label
+    """
+
+
+@query("label_centroid_separation", oracle=_SEP_SQL)
+def label_centroid_separation(spark, sf_dir):
+    """Cluster-geometry audit: pairwise cosine between every pair of
+    label centroids — the separation map that explains every other
+    ANN number in this repo (IVF recall is high because these
+    centroids are far apart; PQ recall is low because within-cluster
+    structure dominates). In production this is the domain-similarity
+    matrix that guides mixture design: domains whose centroids cos >
+    0.9 are near-duplicates at the distribution level.
+
+    Scale: centroids are a K-row table (posexplode + per-dim avg,
+    mergeable partials); the K×K/2 pair join is driver-trivial and
+    BROADCAST; the corpus is scanned exactly once."""
+    from oracle_to_cassandra_spark.functions.vector import cosine
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = stage(label_centroids(e), eager=True)
+    a = cents.select(
+        F.col("label").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("label").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
+        )
+    )
