@@ -499,3 +499,67 @@ def stratified_split_audit(spark, sf_dir):
             "achieved_ratio"
         ),
     )
+
+
+#: temporal split boundary and embargo gap for leakage-free
+#: time-series model evaluation
+_SPLIT_TS = "2024-01-20 00:00:00"
+_EMBARGO_DAYS = 3
+
+
+@query(
+    "temporal_embargo_split",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts < TIMESTAMP '{_SPLIT_TS}' - INTERVAL {_EMBARGO_DAYS} DAY
+                  THEN 'train'
+                  WHEN ts >= TIMESTAMP '{_SPLIT_TS}' THEN 'test'
+                  ELSE 'embargo' END AS split
+      FROM events
+    )
+    SELECT split,
+           count(*)::BIGINT AS n_events,
+           count(DISTINCT user_id)::BIGINT AS n_users,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM tagged GROUP BY split
+    """,
+)
+def temporal_embargo_split(spark, sf_dir):
+    """Time-based train/test split WITH an embargo gap: events before
+    (boundary − {_EMBARGO_DAYS} days) train, events after the
+    boundary test, and the {_EMBARGO_DAYS}-day window between is
+    QUARANTINED — the split discipline that stops look-ahead leakage
+    through lagged/windowed features whose support straddles the
+    boundary (a plain temporal cut leaks exactly that window). The
+    report per split: volume, distinct users, and the realized time
+    range — the min/max columns are the audit that the embargo
+    actually held.
+
+    Scale: pure scan-side CASE tagging + one 3-key aggregate; the
+    timestamp predicate pushes to the parquet scan for any
+    split-specific downstream read. Complements the hash split
+    (IID data) and the stratified audit (per-stratum ratios): this is
+    the third split family, for temporally-dependent data."""
+    ev = load_table(spark, sf_dir, "events")
+    boundary = F.to_timestamp(F.lit(_SPLIT_TS))
+    split = (
+        F.when(
+            F.col("ts") < boundary - F.expr(f"INTERVAL {_EMBARGO_DAYS} DAY"),
+            "train",
+        )
+        .when(F.col("ts") >= boundary, "test")
+        .otherwise("embargo")
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.select("user_id", "ts", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.date_format(F.min("ts"), fmt).alias("min_ts"),
+            F.date_format(F.max("ts"), fmt).alias("max_ts"),
+        )
+    )
