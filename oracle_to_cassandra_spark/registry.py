@@ -83,17 +83,35 @@ _QUERY_MODULES = (
 #: Query-level registration order for the driver's correctness window.
 #:
 #: The driver verifies the FIRST 50 entries of ``queries()`` per round.
-#: Round-6 goal (VERDICT r5 item 1): every registered query should hold
-#: a driver row dated AFTER the round-4 timestamp[us] testdata
-#: regeneration. The window therefore holds: (a) the one oracle-able
-#: query with zero driver history (``packed_sequence_offsets``, added
-#: after the r5 run), (b) the 14 batch queries the r4 events.ts drift
-#: erred or whose only green row is pre-regeneration r1 on the events
-#: path, (c) rows-only re-checks for the 4 watermark streams last
-#: checked with misread event times, and (d) backfill from the 48
-#: queries whose only green row is round-1 (two regenerations ago) —
-#: events-reading ones first, then the relational/aggregate core.
-#: The remaining ~20 r1-only rows rotate in next round.
+#: Round-6 final composition: (a) ``packed_sequence_offsets`` (zero
+#: history before this round), (b) the 14 r4 events.ts-drift
+#: casualties with no post-fix driver row, (c) rows-only re-checks for
+#: the 4 watermark streams last checked with misread event times,
+#: (d) the 5 events-reading r1-only backfills, (e) the §2-core
+#: relational/aggregate backfills that still fit, and (f) this round's
+#: zero-history additions (multimodal decode + fingerprints, PQ/JL
+#: audits, TWS stream, RRF, winsorization, multi-probe, BPE train,
+#: dataset card, migration diff, format roundtrip, semantic capstone)
+#: — zero-history outranks re-verification of r1-green rows.
+#:
+#: NEXT-ROUND rotation queue (r1-green rows displaced this round, plus
+#: r6 additions committed after the window filled): rename_bulk_customer,
+#: filter_eq_numeric, self_join_adjacent_lines, full_scan_region,
+#: projection_orders, top_orders_limit, clustering_order_scan,
+#: distinct_departments, static_column_per_partition, global_counts,
+#: count_distinct_custkeys, rollup_region_nation,
+#: cube_order_status_priority, grouping_sets_status_priority,
+#: stats_dispersion_per_segment, and the post-window r6 set
+#: (incremental_pq_encode, bpe_merge_candidates, bpe_apply_tokenize,
+#: migration_column_profile, hard_negative_mining, rag_chunking_overlap,
+#: stratified_split_audit, quality_quantile_normalization,
+#: token_length_psi_drift, stream_gopher_quality_gate,
+#: ab_assignment_srm_check, schema_evolution_merge_read,
+#: weighted_sample_without_replacement, event_transition_matrix,
+#: markov_surprise_anomaly_users, quality_length_regression_per_source,
+#: corpus_snapshot_delta, scd2_interval_build,
+#: label_centroid_separation, temporal_embargo_split,
+#: matryoshka_prefix_recall).
 _PRIORITY: tuple[str, ...] = (
     # --- zero driver history (committed after the r5 run) ---
     "packed_sequence_offsets",
