@@ -429,3 +429,92 @@ def quality_quantile_normalization(spark, sf_dir):
             6,
         ).alias("mean_norm"),
     )
+
+
+_QUALITY_SQL_LOCAL = (
+    "(0.4 * (len(list_distinct(string_split(lower(text), ' '))) * 1.0"
+    " / greatest(len(string_split(lower(text), ' ')), 1))"
+    " + 0.4 * (1 - len(list_filter(string_split(lower(text), ' '),"
+    " t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0"
+    " / greatest(len(string_split(lower(text), ' ')), 1))"
+    " + 0.2 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0))"
+)
+
+
+@query(
+    "robust_quality_outliers",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, round({{q}}, 6) AS quality FROM documents
+    ),
+    med AS (
+      SELECT source, round(quantile_cont(quality, 0.5), 6) AS med
+      FROM scored GROUP BY source
+    ),
+    dev AS (
+      SELECT s.source, s.quality, m.med,
+             round(abs(s.quality - m.med), 6) AS adev
+      FROM scored s JOIN med m USING (source)
+    ),
+    mad AS (
+      SELECT source, round(quantile_cont(adev, 0.5), 6) AS mad
+      FROM dev GROUP BY source
+    )
+    SELECT d.source,
+           count(*)::BIGINT AS n_docs,
+           any_value(d.med) AS median_quality,
+           any_value(m.mad) AS mad,
+           sum(CASE WHEN m.mad > 0
+                         AND abs(d.quality - d.med) > 3 * 1.4826 * m.mad
+                    THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+    FROM dev d JOIN mad m USING (source)
+    GROUP BY d.source
+    """.replace("{q}", _QUALITY_SQL_LOCAL),
+)
+def robust_quality_outliers(spark, sf_dir):
+    """Robust per-source outlier detection on the quality score:
+    median + MAD (the estimators a fat-tailed score demands — mean
+    and stddev are dragged by the very outliers being hunted), with
+    the standard 1.4826 consistency constant and a 3σ-equivalent
+    fence. Output per source: median, MAD, and how many documents
+    sit outside the fence — the triage count a curation operator
+    reviews before tightening a filter.
+
+    Scale: two quantile passes per source group (exact here, sketch
+    at 100 TB — same plan) and one fenced count; medians/MADs are
+    rounded to 6 dp in BOTH engines before the fence compare, so the
+    boundary cannot flip cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    med = scored.groupBy("source").agg(
+        F.round(F.percentile("quality", 0.5), 6).alias("med")
+    )
+    dev = scored.join(F.broadcast(med), "source").select(
+        "source",
+        "quality",
+        "med",
+        F.round(F.abs(F.col("quality") - F.col("med")), 6).alias("adev"),
+    )
+    mad = dev.groupBy("source").agg(
+        F.round(F.percentile("adev", 0.5), 6).alias("mad")
+    )
+    fenced = dev.join(F.broadcast(mad), "source")
+    return fenced.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.any_value("med").alias("median_quality"),
+        F.any_value("mad").alias("mad"),
+        F.sum(
+            F.when(
+                (F.col("mad") > 0)
+                & (
+                    F.abs(F.col("quality") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_outliers"),
+    )
