@@ -117,3 +117,116 @@ def top_bigrams_corpus(spark, sf_dir):
         )
         .select("bigram", "freq")
     )
+
+
+@query(
+    "pmi_collocations_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents
+    ),
+    uni AS (
+      SELECT t, count(*)::BIGINT AS c FROM (
+        SELECT unnest(ts) AS t FROM tok
+      ) GROUP BY t
+    ),
+    n_uni AS (SELECT sum(c) AS n FROM uni),
+    bi AS (
+      SELECT b, count(*)::BIGINT AS c FROM (
+        SELECT unnest(list_transform(range(len(ts) - 1),
+                 i -> ts[i+1] || ' ' || ts[i+2])) AS b
+        FROM tok WHERE len(ts) >= 2
+      ) GROUP BY b
+    ),
+    n_bi AS (SELECT sum(c) AS n FROM bi)
+    SELECT bigram, n_occurrences, pmi, rnk FROM (
+      SELECT bi.b AS bigram, bi.c AS n_occurrences,
+             round(ln((bi.c * 1.0 / nb.n)
+                      / ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))), 4)
+               AS pmi,
+             row_number() OVER (
+               ORDER BY round(ln((bi.c * 1.0 / nb.n)
+                      / ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))), 4) DESC,
+                 bi.b)::BIGINT AS rnk
+      FROM bi
+      JOIN uni u1 ON u1.t = string_split(bi.b, ' ')[1]
+      JOIN uni u2 ON u2.t = string_split(bi.b, ' ')[2]
+      CROSS JOIN n_uni nu CROSS JOIN n_bi nb
+      WHERE bi.c >= 25
+    ) WHERE rnk <= 15
+    """,
+)
+def pmi_collocations_topk(spark, sf_dir):
+    """Pointwise-mutual-information collocations: rank bigrams by
+    ln(p(ab)/(p(a)p(b))) — the association measure that surfaces
+    "fixed phrases" raw counts miss (a frequent bigram of two
+    frequent words scores low; a pair that only ever occurs together
+    scores high). A count floor (≥25) drops the unstable low-support
+    tail before ranking; ties in the 4-dp-rounded PMI break lexically
+    so both engines agree.
+
+    Scale: unigram and bigram counts shuffle vocabulary-sized
+    partials; the totals are 1-row broadcasts; the unigram joins hit
+    a broadcast vocab table; ranking is distributed top-k. The
+    tokenize/explode subtree is shared between the unigram and
+    bigram branches via staging."""
+    from oracle_to_cassandra_spark.staging import stage
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.lower("text"), " ").alias("ts"))
+    toks = stage(toks)
+    uni = (
+        toks.select(F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("uc"))
+    )
+    uni = stage(uni)
+    n_uni = uni.agg(F.sum("uc").alias("nu"))
+    bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(ts) - 2), "
+                    "i -> concat(element_at(ts, i + 1), ' ', element_at(ts, i + 2)))"
+                )
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count("*").alias("bc"))
+        .filter(F.col("bc") >= 25)
+    )
+    n_bi = (
+        toks.filter(F.size("ts") >= 2)
+        .select((F.size("ts") - 1).alias("k"))
+        .agg(F.sum("k").alias("nb"))
+    )
+    w1 = F.split(F.col("b"), " ").getItem(0)
+    w2 = F.split(F.col("b"), " ").getItem(1)
+    scored = (
+        bi.join(F.broadcast(uni.select(F.col("t").alias("t1"), F.col("uc").alias("c1"))), w1 == F.col("t1"))
+        .join(F.broadcast(uni.select(F.col("t").alias("t2"), F.col("uc").alias("c2"))), w2 == F.col("t2"))
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            F.col("b").alias("bigram"),
+            F.col("bc").alias("n_occurrences"),
+            F.round(
+                F.log(
+                    (F.col("bc") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "bigram").limit(15)
+    from pyspark.sql import Window
+
+    wk = Window.orderBy(F.desc("pmi"), "bigram")
+    return top.select(
+        "bigram",
+        "n_occurrences",
+        "pmi",
+        F.row_number().over(wk).cast("long").alias("rnk"),
+    ).orderBy("rnk")
