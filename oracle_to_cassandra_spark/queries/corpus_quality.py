@@ -518,3 +518,66 @@ def robust_quality_outliers(spark, sf_dir):
         .cast("long")
         .alias("n_outliers"),
     )
+
+
+@query(
+    "text_normalization_stats",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || '  ' || upper(source) || chr(9) || ' MiXeD'
+                  || repeat(' ', (doc_id % 4)::INT + 2) || 'TaIl ' AS t
+      FROM documents
+    ),
+    norm AS (
+      SELECT doc_id, t,
+             trim(regexp_replace(replace(lower(t), chr(9), ' '),
+                                 ' +', ' ', 'g')) AS clean
+      FROM dirty
+    )
+    SELECT doc_id,
+           length(t)::INT AS n_chars_dirty,
+           length(clean)::INT AS n_chars_clean,
+           (length(t) - length(clean))::INT AS n_removed,
+           md5(clean) AS clean_md5
+    FROM norm
+    """,
+)
+def text_normalization_stats(spark, sf_dir):
+    """Text-normalization pass — the cleanup stage upstream of every
+    tokenizer: case folding, tab → space, whitespace-run collapse,
+    edge trim. The synthetic corpus is already clean, so deterministic
+    dirt (mixed case, a real TAB character, doc_id-dependent space
+    runs) is APPENDED identically in both engines first — the same
+    non-vacuousness discipline as the PII redaction query — and the
+    oracle verifies the cleaned text byte-for-byte via md5, not just
+    the counts.
+
+    Scale: pure per-row string built-ins inside codegen at scan
+    speed; no shuffle; at 100 TB the normalized column writes back
+    columnar next to the raw, versioned by the normalizer config
+    hash."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("  "),
+        F.upper("source"),
+        F.expr("char(9)"),
+        F.lit(" MiXeD"),
+        F.expr("repeat(' ', cast(doc_id % 4 AS INT) + 2)"),
+        F.lit("TaIl "),
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.replace(F.lower(dirty), F.expr("char(9)"), F.lit(" ")),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length(dirty).cast("int").alias("n_chars_dirty"),
+        F.length(clean).cast("int").alias("n_chars_clean"),
+        (F.length(dirty) - F.length(clean)).cast("int").alias("n_removed"),
+        F.md5(clean).alias("clean_md5"),
+    )
