@@ -341,3 +341,56 @@ def stream_gopher_quality_gate(spark, sf_dir):
         )
     )
     return run_stream_to_memory(agg, output_mode="complete")
+
+
+@query(
+    "stream_trending_event_types",
+    oracle="""
+    WITH counts AS (
+      SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type,
+             count(*)::BIGINT AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n_events DESC, event_type)::BIGINT
+                  AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    """,
+)
+def stream_trending_event_types(spark, sf_dir):
+    """Trending detection, fully oracled: 6-hour tumbling counts per
+    event type computed IN the stream (complete mode — the running
+    leaderboard state), then the per-window top-3 ranked on the
+    materialized sink table (window functions are not allowed inside
+    a streaming aggregation, so production does exactly this split:
+    stream maintains the counts, the serving layer ranks them). The
+    complete-mode aggregate is micro-batch-slicing-proof, which is
+    what makes the stream oracle-able.
+
+    Scale: streaming state is (windows × event-types) rows; the rank
+    runs over the tiny sink table, partitioned per window."""
+    ev = read_events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    out = run_stream_to_memory(agg, output_mode="complete")
+    from pyspark.sql import Window as W
+
+    wk = W.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        out.withColumn("rnk", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("window_start", "event_type", "n_events", "rnk")
+    )
