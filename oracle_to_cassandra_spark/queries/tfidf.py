@@ -230,3 +230,54 @@ def pmi_collocations_topk(spark, sf_dir):
         "pmi",
         F.row_number().over(wk).cast("long").alias("rnk"),
     ).orderBy("rnk")
+
+
+@query(
+    "zipf_fit_per_corpus",
+    oracle="""
+    WITH uni AS (
+      SELECT t, count(*)::BIGINT AS c FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS t FROM documents
+      ) GROUP BY t
+    ),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY c DESC, t)) AS lx,
+             ln(c) AS ly
+      FROM uni
+    )
+    SELECT count(*)::BIGINT AS n_terms,
+           round(regr_slope(ly, lx), 4) AS zipf_slope,
+           round(regr_r2(ly, lx), 4) AS r2
+    FROM ranked
+    """,
+)
+def zipf_fit_per_corpus(spark, sf_dir):
+    """Zipf's-law audit: OLS fit of log-frequency against log-rank
+    over the whole vocabulary — natural corpora fit slope ≈ −1 with
+    high R²; a synthetic or templated corpus (like this one) deviates,
+    and THAT deviation is the fingerprint reviewers use to spot
+    machine-generated or heavily-duplicated data sources before
+    training on them.
+
+    Scale: vocabulary-sized aggregation; the global rank over the
+    vocabulary table is the only total-order op and it runs on
+    vocab-count rows (thousands), not the corpus. Slope/R² are
+    second-moment ratios rounded at 4 dp."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    wk = Window.orderBy(F.desc("c"), "t")
+    ranked = uni.select(
+        F.log(F.row_number().over(wk).cast("double")).alias("lx"),
+        F.log(F.col("c").cast("double")).alias("ly"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope("ly", "lx"), 4).alias("zipf_slope"),
+        F.round(F.regr_r2("ly", "lx"), 4).alias("r2"),
+    )
