@@ -57,3 +57,63 @@ def variant_json_extraction(spark, sf_dir):
         "event_id",
         F.expr("variant_get(props_v, '$.k', 'int')").alias("k_val"),
     ).filter(F.col("k_val").between(10, 20))
+
+
+@query(
+    "json_corrupt_records_handling",
+    oracle="""
+    SELECT (doc_id % 7 = 3) AS is_corrupt,
+           count(*)::BIGINT AS n_rows,
+           coalesce(sum(CASE WHEN doc_id % 7 <> 3 THEN n_chars END), 0)::BIGINT
+             AS sum_chars_parsed
+    FROM documents GROUP BY 1
+    """,
+)
+def json_corrupt_records_handling(spark, sf_dir):
+    """Malformed-input contract of the JSON source: serialize each
+    document row to a JSON line, CORRUPT every 7th-ish line
+    deterministically (truncate its tail — an unclosed record, the
+    classic partial-write artifact), then parse in PERMISSIVE mode
+    with a ``_corrupt_record`` rescue column and report good/bad
+    volumes plus a checksum over the successfully-parsed payload.
+    The oracle states the planted corruption pattern in closed form,
+    so the check certifies that PERMISSIVE neither drops good rows
+    nor silently "repairs" bad ones (FAILFAST on the same input is
+    the test-side negative).
+
+    Scale: per-row serialize/parse at scan speed; the rescue column
+    is the production pattern for quarantining bad records into a
+    dead-letter table instead of failing a 100 TB ingest."""
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "n_chars", "lang"))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 3,
+        F.substring(line, 1, 15),  # unclosed record
+    ).otherwise(line)
+    raw = d.select(corrupted.alias("js"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+        ]
+    )
+    parsed = raw.select(
+        F.from_json(
+            "js", schema, {"mode": "PERMISSIVE"}
+        ).alias("r"),
+        "js",
+    )
+    # from_json yields a null struct (or null fields) for corrupt
+    # lines; classify on parse success of the required field
+    ok = F.col("r.n_chars").isNotNull()
+    return parsed.groupBy((~ok).alias("is_corrupt")).agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(ok, F.col("r.n_chars"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_chars_parsed"),
+    )
