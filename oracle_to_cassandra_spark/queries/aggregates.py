@@ -7,6 +7,7 @@ floating SUMs rounded to 2, AVGs to 6; DuckDB integer aggregates cast
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators import aggregates as A
@@ -324,4 +325,67 @@ def revenue_per_nation(spark, sf_dir):
     )
     return joined.groupBy("n_name", "r_name").agg(
         F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@query(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
+             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             sum(revenue) OVER () AS tot_rev,
+             count(*) OVER () AS n_cust
+      FROM per_cust
+    )
+    SELECT count(*)::BIGINT AS n_customers_for_80pct,
+           any_value(n_cust)::BIGINT AS n_customers_total,
+           round(count(*) * 1.0 / any_value(n_cust), 4) AS share_of_customers,
+           round(any_value(tot_rev), 2) AS total_revenue
+    FROM ranked WHERE cum_rev - revenue < 0.8 * tot_rev
+    """,
+)
+def pareto_revenue_concentration(spark, sf_dir):
+    """Pareto / 80-20 concentration: how many top customers carry 80%
+    of order revenue (a customer is IN while the revenue accumulated
+    BEFORE them is still under the threshold, so the set is the
+    minimal prefix crossing 80%). The one-row answer an account team
+    actually asks for, plus the share of the customer base it
+    represents.
+
+    Scale: per-customer revenue is a keyed aggregate (map-side
+    partials); the cumulative ranking is a single total-order window
+    over CUSTOMER-count rows (not orders) — bounded, and at 100 TB
+    replaced by a two-pass block-offset cumsum exactly like
+    dense_global_ids. Revenues are rounded to 2 dp BEFORE ranking so
+    the order (ties broken by custkey) is engine-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    w_ord = Window.orderBy(F.desc("revenue"), "o_custkey")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = per_cust.select(
+        "revenue",
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(w_all).alias("tot_rev"),
+        F.count("*").over(w_all).alias("n_cust"),
+    )
+    hit = ranked.filter(
+        F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("tot_rev")
+    )
+    return hit.agg(
+        F.count("*").alias("n_customers_for_80pct"),
+        F.any_value("n_cust").cast("long").alias("n_customers_total"),
+        F.round(F.count("*") / F.any_value("n_cust"), 4).alias(
+            "share_of_customers"
+        ),
+        F.round(F.any_value("tot_rev"), 2).alias("total_revenue"),
     )
