@@ -278,3 +278,76 @@ def markov_surprise_anomaly_users(spark, sf_dir):
         "mean_surprise",
         F.row_number().over(wk).cast("long").alias("rnk"),
     ).orderBy("rnk")
+
+
+@query(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*)::BIGINT AS frequency,
+             round(sum(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+      SELECT round(quantile_cont(frequency * 1.0, 0.5), 6) AS f_med,
+             round(quantile_cont(monetary, 0.5), 6) AS m_med,
+             quantile_cont(epoch(last_order), 0.5) AS r_med
+      FROM rfm
+    )
+    SELECT ((CASE WHEN epoch(r.last_order) >= c.r_med THEN 'R' ELSE '-' END)
+            || (CASE WHEN r.frequency >= c.f_med THEN 'F' ELSE '-' END)
+            || (CASE WHEN r.monetary >= c.m_med THEN 'M' ELSE '-' END))
+             AS segment,
+           count(*)::BIGINT AS n_customers,
+           round(sum(r.monetary), 2) AS segment_revenue
+    FROM rfm r CROSS JOIN cuts c
+    GROUP BY segment
+    """,
+)
+def rfm_customer_segments(spark, sf_dir):
+    """RFM segmentation: recency / frequency / monetary per customer,
+    each split at its corpus MEDIAN (broadcast cutpoints — the
+    scale-safe alternative to a global ntile, same lever as
+    quantile_cutpoint_bucketing), yielding the eight classic segments
+    ('RFM' = champions … '---' = lapsed) with headcount and revenue
+    per segment — the first table any lifecycle-marketing analysis
+    draws.
+
+    Scale: per-customer aggregate (map-side partials) → a 1-row
+    median table broadcast back → map-side segment tagging → 8-key
+    aggregate. No global sort, no per-row window. Medians are exact
+    here; at 100 TB the same plan takes approx-percentile cutpoints.
+    Recency compares on epoch seconds in BOTH engines so the median
+    threshold is engine-stable."""
+    o = load_table(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    cuts = rfm.agg(
+        F.round(F.percentile(F.col("frequency").cast("double"), 0.5), 6).alias(
+            "f_med"
+        ),
+        F.round(F.percentile("monetary", 0.5), 6).alias("m_med"),
+        F.percentile(F.unix_timestamp("last_order").cast("double"), 0.5).alias(
+            "r_med"
+        ),
+    )
+    seg = F.concat(
+        F.when(
+            F.unix_timestamp("last_order").cast("double") >= F.col("r_med"), "R"
+        ).otherwise("-"),
+        F.when(F.col("frequency") >= F.col("f_med"), "F").otherwise("-"),
+        F.when(F.col("monetary") >= F.col("m_med"), "M").otherwise("-"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(cuts))
+        .groupBy(seg.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+        )
+    )
