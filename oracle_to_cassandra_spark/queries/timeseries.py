@@ -136,3 +136,47 @@ def scd2_interval_build(spark, sf_dir):
         ),
         F.col("next_ts").isNull().alias("is_current"),
     )
+
+
+@query(
+    "monthly_revenue_yoy_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(month, '%Y-%m') AS month,
+           revenue,
+           round(lag(revenue, 12) OVER (ORDER BY month), 2) AS revenue_prev_year,
+           CASE WHEN lag(revenue, 12) OVER (ORDER BY month) IS NOT NULL
+                THEN round(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0,
+                           4) END AS yoy_growth
+    FROM monthly
+    """,
+)
+def monthly_revenue_yoy_growth(spark, sf_dir):
+    """Month-over-same-month-last-year growth: monthly revenue with a
+    12-step lag and the YoY delta ratio — the other classic BI shape
+    next to the calendar spine (which fills GAPS; this compares
+    SEASONS). NULL growth for the first year is part of the contract
+    (no fabricated baselines).
+
+    Scale: the monthly aggregate is month-count-sized; the lag
+    window's total order runs over those ~84 rows, not the orders
+    table — bounded by the calendar, the one case where a global
+    window is fine at any corpus size."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue", 12).over(w)
+    return monthly.select(
+        F.date_format("month", "yyyy-MM").alias("month"),
+        "revenue",
+        F.round(prev, 2).alias("revenue_prev_year"),
+        F.when(prev.isNotNull(), F.round(F.col("revenue") / prev - 1.0, 4)).alias(
+            "yoy_growth"
+        ),
+    )
