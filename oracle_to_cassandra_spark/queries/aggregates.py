@@ -389,3 +389,67 @@ def pareto_revenue_concentration(spark, sf_dir):
         ),
         F.round(F.any_value("tot_rev"), 2).alias("total_revenue"),
     )
+
+
+@query(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH shares AS (
+      SELECT l_partkey, l_suppkey,
+             sum(l_quantity) AS q,
+             sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS tot
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    hhi AS (
+      SELECT l_partkey,
+             count(*)::BIGINT AS n_suppliers,
+             round(sum((q / tot) * (q / tot)), 6) AS hhi
+      FROM shares GROUP BY l_partkey
+    )
+    SELECT CASE WHEN hhi >= 0.25 THEN 'concentrated'
+                WHEN hhi >= 0.15 THEN 'moderate'
+                ELSE 'competitive' END AS concentration_band,
+           count(*)::BIGINT AS n_parts,
+           round(min(hhi), 6) AS min_hhi,
+           round(max(hhi), 6) AS max_hhi
+    FROM hhi GROUP BY 1
+    """,
+)
+def supplier_concentration_hhi(spark, sf_dir):
+    """Supply-chain concentration: per part the Herfindahl–Hirschman
+    index over its suppliers' quantity shares, banded at the standard
+    antitrust thresholds (0.15 / 0.25) — the single-source-risk
+    report a procurement review starts from. HHI = Σ share², 1.0 =
+    sole-sourced.
+
+    Scale: one (part, supplier) aggregate with map-side partials; the
+    per-part share normalization is a window over the SAME partition
+    key (no extra exchange); banding is a 3-key rollup. Shares are
+    exact-integer-quantity ratios, squared and summed in identical
+    operand order per part group — rounded at 6 dp both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shares = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    w = Window.partitionBy("l_partkey")
+    hhi = (
+        shares.withColumn("tot", F.sum("q").over(w))
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(
+                F.sum((F.col("q") / F.col("tot")) * (F.col("q") / F.col("tot"))),
+                6,
+            ).alias("hhi"),
+        )
+    )
+    band = (
+        F.when(F.col("hhi") >= 0.25, "concentrated")
+        .when(F.col("hhi") >= 0.15, "moderate")
+        .otherwise("competitive")
+    )
+    return hhi.groupBy(band.alias("concentration_band")).agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.min("hhi"), 6).alias("min_hhi"),
+        F.round(F.max("hhi"), 6).alias("max_hhi"),
+    )
