@@ -254,3 +254,69 @@ def corpus_curation_pipeline(spark, sf_dir):
         .filter((F.col("stop_ratio") > 0.05) & (F.col("quality") >= 0.67))
         .select("doc_id", F.round("quality", 6).alias("quality"))
     )
+
+
+@query(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN signups s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    ),
+    delays AS (
+      SELECT round(epoch(p.purchase_ts) - epoch(s.signup_ts), 6) AS delay_s
+      FROM signups s JOIN first_purchase p ON s.user_id = p.user_id
+    )
+    SELECT count(*)::BIGINT AS n_converted,
+           round(quantile_cont(delay_s, 0.5), 2) AS p50_s,
+           round(quantile_cont(delay_s, 0.9), 2) AS p90_s,
+           round(min(delay_s), 2) AS min_s,
+           round(max(delay_s), 2) AS max_s
+    FROM delays
+    """,
+)
+def funnel_time_to_convert(spark, sf_dir):
+    """Time-to-convert distribution for the signup→purchase funnel:
+    per converting user the delay between first signup and first
+    subsequent purchase, summarized as p50/p90/min/max — the latency
+    half of funnel analysis (funnel_signup_to_purchase counts WHO
+    converts; this measures HOW LONG conversion takes, which is what
+    a growth team actually tunes against).
+
+    Scale: two keyed min-aggregates (map-side partials) and a
+    user-keyed join; the percentile runs over converted-user-count
+    delays (exact here, sketch at 100 TB). Delays are computed on
+    epoch seconds identically in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(signups, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    delays = signups.join(purchases, "user_id").select(
+        F.round(
+            F.unix_micros("purchase_ts") / 1e6
+            - F.unix_micros("signup_ts") / 1e6,
+            6,
+        ).alias("delay_s")
+    )
+    return delays.agg(
+        F.count("*").alias("n_converted"),
+        F.round(F.percentile("delay_s", 0.5), 2).alias("p50_s"),
+        F.round(F.percentile("delay_s", 0.9), 2).alias("p90_s"),
+        F.round(F.min("delay_s"), 2).alias("min_s"),
+        F.round(F.max("delay_s"), 2).alias("max_s"),
+    )
