@@ -373,3 +373,70 @@ def migration_column_profile(spark, sf_dir):
         "p.column_name", "p.n_rows", "p.n_null", "p.n_distinct",
         "p.min_repr", "p.max_repr",
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'orders.custkey -> customer' AS relationship,
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            WHERE c.c_custkey IS NULL)::BIGINT AS n_orphans,
+           (SELECT count(*) FROM orders)::BIGINT AS n_children
+    UNION ALL
+    SELECT 'lineitem.orderkey -> orders',
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderkey IS NULL)::BIGINT,
+           (SELECT count(*) FROM lineitem)::BIGINT
+    UNION ALL
+    SELECT 'supplier.nationkey -> nation',
+           (SELECT count(*) FROM supplier s LEFT JOIN nation n
+              ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_nationkey IS NULL)::BIGINT,
+           (SELECT count(*) FROM supplier)::BIGINT
+    """,
+)
+def referential_integrity_audit(spark, sf_dir):
+    """Referential-integrity audit across the FK graph the reference's
+    schema diagram draws (`Oracle_to_Cassandra_OSchema.png`,
+    `/root/reference/README.md:321-389`): per relationship, how many
+    child rows point at a missing parent — the orphan check a
+    migration MUST run after denormalization drops the FK constraints
+    that used to enforce this (Cassandra enforces nothing; the audit
+    becomes a pipeline job).
+
+    Scale: each check is an anti-join on the FK key — parent sides
+    here are broadcast-sized dims or co-partitioned fact keys; at
+    100 TB the orders/lineitem pair rides the same orderkey bucketing
+    as the TPC-H joins. A zero row is the EXPECTED result; the query
+    shape is the deliverable (plant a violation and it reports)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    def audit(child, ckey, parent, pkey, name, broadcast_parent=True):
+        keys = parent.select(F.col(pkey).alias("__pk")).distinct()
+        if broadcast_parent:
+            keys = F.broadcast(keys)
+        joined = child.join(keys, child[ckey] == F.col("__pk"), "left")
+        return joined.agg(
+            F.lit(name).alias("relationship"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_orphans"),
+            F.count("*").alias("n_children"),
+        )
+
+    out = audit(o, "o_custkey", c, "c_custkey", "orders.custkey -> customer")
+    out = out.unionAll(
+        audit(
+            li, "l_orderkey", o, "o_orderkey",
+            "lineitem.orderkey -> orders", broadcast_parent=False,
+        )
+    )
+    return out.unionAll(
+        audit(s, "s_nationkey", n, "n_nationkey", "supplier.nationkey -> nation")
+    )
