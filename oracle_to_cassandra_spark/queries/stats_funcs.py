@@ -392,3 +392,54 @@ def cms_heavy_hitters(spark, sf_dir):
         "cms_est",
         (F.col("cms_est") >= F.col("n_exact")).alias("overestimate_ok"),
     )
+
+
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT substr(printf('%.0f', abs(o_totalprice)), 1, 1)::INT AS d
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    counts AS (
+      SELECT d, count(*)::BIGINT AS n FROM digits GROUP BY d
+    ),
+    tot AS (SELECT sum(n) AS nt FROM counts)
+    SELECT c.d AS first_digit, c.n AS n_values,
+           round(c.n * 1.0 / t.nt, 6) AS observed_p,
+           round(ln(1.0 + 1.0 / c.d) / ln(10.0), 6) AS benford_p,
+           round((c.n * 1.0 / t.nt - ln(1.0 + 1.0 / c.d) / ln(10.0))
+                 * (c.n * 1.0 / t.nt - ln(1.0 + 1.0 / c.d) / ln(10.0))
+                 / (ln(1.0 + 1.0 / c.d) / ln(10.0)), 6) AS chi2_term
+    FROM counts c, tot t
+    """,
+)
+def benford_first_digit_audit(spark, sf_dir):
+    """Benford's-law first-digit audit on order totals: observed vs
+    expected log₁₀(1 + 1/d) digit frequencies with per-digit χ²
+    terms — the forensic screen that flags fabricated or clipped
+    monetary data (TPC-H's uniform-ish price generator deviates from
+    Benford, and the audit SHOWS that, which is the point: the test
+    reports, a human interprets). First digit is taken from the
+    rounded integer rendering identically in both engines.
+
+    Scale: scan-side digit extraction, a 9-key aggregate, and a
+    1-row total broadcast — runs at any corpus size for the cost of
+    one scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = F.substring(
+        F.format_string("%.0f", F.abs(F.col("o_totalprice"))), 1, 1
+    ).cast("int")
+    counts = o.select(d.alias("d")).groupBy("d").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("nt"))
+    benford = F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    obs = F.col("n") / F.col("nt")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        F.col("n").alias("n_values"),
+        F.round(obs, 6).alias("observed_p"),
+        F.round(benford, 6).alias("benford_p"),
+        F.round((obs - benford) * (obs - benford) / benford, 6).alias(
+            "chi2_term"
+        ),
+    )
