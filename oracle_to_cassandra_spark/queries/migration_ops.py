@@ -440,3 +440,63 @@ def referential_integrity_audit(spark, sf_dir):
     return out.unionAll(
         audit(s, "s_nationkey", n, "n_nationkey", "supplier.nationkey -> nation")
     )
+
+
+@query(
+    "functional_dependency_audit",
+    oracle="""
+    SELECT 'supplier: s_suppkey -> s_nationkey' AS dependency,
+           (SELECT count(*) FROM (
+              SELECT s_suppkey FROM supplier
+              GROUP BY s_suppkey HAVING count(DISTINCT s_nationkey) > 1
+           ))::BIGINT AS n_violating_keys
+    UNION ALL
+    SELECT 'nation: n_nationkey -> n_regionkey',
+           (SELECT count(*) FROM (
+              SELECT n_nationkey FROM nation
+              GROUP BY n_nationkey HAVING count(DISTINCT n_regionkey) > 1
+           ))::BIGINT
+    UNION ALL
+    SELECT 'orders: o_orderkey -> o_custkey',
+           (SELECT count(*) FROM (
+              SELECT o_orderkey FROM orders
+              GROUP BY o_orderkey HAVING count(DISTINCT o_custkey) > 1
+           ))::BIGINT
+    """,
+)
+def functional_dependency_audit(spark, sf_dir):
+    """Functional-dependency audit: for each key → attribute
+    dependency the denormalized sink RELIES on (a wide-partition
+    table silently assumes one department_name per department —
+    `/root/reference/README.md:903-913`'s static column is exactly
+    such an FD), count keys whose attribute takes more than one
+    value. Zero is the healthy answer; any violation means the
+    denormalization would smear contradictory values into one
+    partition and the static-column write becomes order-dependent.
+
+    Scale: each check is one keyed aggregate with a count-distinct
+    (map-side partials); the three 1-row results union. Run BEFORE a
+    migration, not after a bug report."""
+
+    def fd(df, key, attr, name):
+        v = (
+            df.groupBy(key)
+            .agg(F.count_distinct(attr).alias("nv"))
+            .filter(F.col("nv") > 1)
+            .agg(
+                F.lit(name).alias("dependency"),
+                F.count("*").alias("n_violating_keys"),
+            )
+        )
+        return v
+
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    out = fd(s, "s_suppkey", "s_nationkey", "supplier: s_suppkey -> s_nationkey")
+    out = out.unionAll(
+        fd(n, "n_nationkey", "n_regionkey", "nation: n_nationkey -> n_regionkey")
+    )
+    return out.unionAll(
+        fd(o, "o_orderkey", "o_custkey", "orders: o_orderkey -> o_custkey")
+    )
