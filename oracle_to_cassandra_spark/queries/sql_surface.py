@@ -73,3 +73,149 @@ def na_fill_drop_imputation(spark, sf_dir):
         .alias("bal_filled"),
     ).withColumn("was_imputed", F.col("bal_filled").isNull().cast("int"))
     return nulled.na.fill({"bal_filled": 0.0})
+
+
+@query(
+    "unpivot_order_measures",
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure,
+           round(o_totalprice, 2) AS value
+    FROM orders WHERE o_orderkey < 100
+    UNION ALL
+    SELECT o_orderkey, 'days_since_epoch',
+           date_diff('day', DATE '1992-01-01', o_orderdate) * 1.0
+    FROM orders WHERE o_orderkey < 100
+    """,
+)
+def unpivot_order_measures(spark, sf_dir):
+    """Wide→long reshaping via the DataFrame ``unpivot`` (melt) API —
+    the inverse of the pivot queries: each order's measures become
+    (key, measure-name, value) rows, the shape metric stores and ML
+    feature tables ingest. Bounded to a key range so the oracle stays
+    order-insensitive-comparable.
+
+    Scale: unpivot is a row-local explode of column values — no
+    shuffle, output rows = input rows × measures; the filter pushes
+    to the scan."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).cast("double").alias("days_since_epoch"),
+        )
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice", "days_since_epoch"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+@query(
+    "lateral_top2_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+    WHERE c.c_custkey < 20
+    """,
+)
+def lateral_top2_orders_per_customer(spark, sf_dir):
+    """Correlated LATERAL subquery — the SQL-surface twin of the
+    per-group top-k window: for each customer its two largest orders,
+    expressed as a per-row dependent subquery with ORDER BY + LIMIT
+    (the form ORMs and hand-written report SQL actually use). Spark
+    plans the correlation as a join + per-key limit, which is why
+    this belongs in the surface inventory: users migrating such SQL
+    need it to parse AND to plan sanely.
+
+    Scale: Catalyst de-correlates into a ranked join over custkey —
+    the same WindowGroupLimit shape as the window formulation, not
+    N executions of the inner query."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS o_totalprice
+        FROM customer_v c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_v
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) o
+        WHERE c.c_custkey < 20
+        """
+    )
+
+
+@query(
+    "keyset_pagination_page3",
+    oracle="""
+    WITH ordered AS (
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS od,
+             round(o_totalprice, 2) AS o_totalprice,
+             row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    )
+    SELECT o_orderkey, od AS o_orderdate, o_totalprice,
+           (rn - 40)::BIGINT AS row_in_page
+    FROM ordered WHERE rn > 40 AND rn <= 60
+    """,
+)
+def keyset_pagination_page3(spark, sf_dir):
+    """Keyset (seek-method) pagination: page 3 of the order book at
+    page size 20 — fetched by SEEKING past the last key of page 2
+    with a (o_orderdate, o_orderkey) > (anchor) predicate, never by
+    OFFSET. OFFSET n scans-and-discards n rows on every page (O(n²)
+    over a pagination session, and unstable under concurrent
+    inserts); the keyset predicate pushes into the scan and reads
+    only the page. The anchor is computed in-engine here (a real API
+    stores the last key client-side); the oracle pins the same 20
+    rows via the row_number formulation, proving the seek predicate
+    selects EXACTLY the page.
+
+    Scale: the anchor probe is a 40-row TakeOrdered; the page fetch
+    is a pushed-down range predicate + 20-row TakeOrdered."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", F.round("o_totalprice", 2).alias("o_totalprice")
+    )
+    # anchor = last key of page 2 (rows 1..40 in (date, key) order)
+    anchor = (
+        o.orderBy("o_orderdate", "o_orderkey")
+        .limit(40)
+        .orderBy(F.desc("o_orderdate"), F.desc("o_orderkey"))
+        .limit(1)
+        .select(
+            F.col("o_orderdate").alias("a_date"),
+            F.col("o_orderkey").alias("a_key"),
+        )
+    )
+    page = (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(
+            (F.col("o_orderdate") > F.col("a_date"))
+            | (
+                (F.col("o_orderdate") == F.col("a_date"))
+                & (F.col("o_orderkey") > F.col("a_key"))
+            )
+        )
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(20)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return page.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("row_in_page"),
+    )
