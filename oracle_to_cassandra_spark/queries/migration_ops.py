@@ -500,3 +500,89 @@ def functional_dependency_audit(spark, sf_dir):
     return out.unionAll(
         fd(o, "o_orderkey", "o_custkey", "orders: o_orderkey -> o_custkey")
     )
+
+
+@query(
+    "merge_upsert_apply",
+    oracle=f"""
+    WITH changes AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 50 = 0 THEN 'D'
+                  WHEN o_orderkey % 50 = 1 THEN 'U'
+                  ELSE NULL END AS op,
+             round(o_totalprice * 1.1, 2) AS new_price
+      FROM orders WHERE o_orderkey % 50 IN (0, 1)
+    ),
+    merged AS (
+      SELECT o.o_orderkey,
+             CASE WHEN c.op = 'U' THEN c.new_price
+                  ELSE round(o.o_totalprice, 2) END AS o_totalprice
+      FROM orders o LEFT JOIN changes c USING (o_orderkey)
+      WHERE c.op IS NULL OR c.op <> 'D'
+    )
+    SELECT count(*)::BIGINT AS n_rows_after,
+           (SELECT count(*) FROM changes WHERE op = 'D')::BIGINT AS n_deleted,
+           (SELECT count(*) FROM changes WHERE op = 'U')::BIGINT AS n_updated,
+           bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || '|' ||
+                     printf('%.2f', o_totalprice)), 1, 15))::INT64)::BIGINT
+             AS content_digest
+    FROM merged
+    """,
+)
+def merge_upsert_apply(spark, sf_dir):
+    """MERGE-style changeset application on a plain parquet snapshot
+    (no table format required): a deterministic CDC batch (every
+    50th key deleted, the next key's price +10%) applied via one
+    full-width left join — update rows take the change's value,
+    delete rows drop, everything else passes through — then the
+    result is certified by row count, applied-op counts, and the
+    order-insensitive content digest (same md5-int64 family as the
+    migration reconciliation). This is the apply-side primitive
+    under every lakehouse MERGE INTO; expressing it as a join keeps
+    it available on raw parquet.
+
+    Scale: the changeset is broadcast (CDC batches are small next to
+    snapshots); the pass-through side streams at scan speed; at
+    100 TB the rewrite targets only the partitions the changeset
+    touches (partition pruning on the join keys)."""
+    o = load_table(spark, sf_dir, "orders")
+    changes = (
+        o.filter(F.col("o_orderkey") % 50 < 2)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 50 == 0, "D").otherwise("U").alias("op"),
+            F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+        )
+    )
+    merged = (
+        o.join(F.broadcast(changes), "o_orderkey", "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.round("o_totalprice", 2))
+            .alias("o_totalprice"),
+        )
+    )
+    from oracle_to_cassandra_spark.functions.hashing import md5_int64
+
+    n_ops = changes.groupBy("op").agg(F.count("*").alias("n"))
+    digest_row = F.concat(
+        F.col("o_orderkey").cast("string"),
+        F.lit("|"),
+        F.format_string("%.2f", F.col("o_totalprice")),
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows_after"),
+        F.bit_xor(md5_int64(digest_row)).alias("content_digest"),
+    ).crossJoin(
+        F.broadcast(
+            n_ops.groupBy()
+            .pivot("op", ["D", "U"])
+            .sum("n")
+            .select(
+                F.col("D").cast("long").alias("n_deleted"),
+                F.col("U").cast("long").alias("n_updated"),
+            )
+        )
+    ).select("n_rows_after", "n_deleted", "n_updated", "content_digest")
