@@ -111,7 +111,16 @@ _QUERY_MODULES = (
 #: markov_surprise_anomaly_users, quality_length_regression_per_source,
 #: corpus_snapshot_delta, scd2_interval_build,
 #: label_centroid_separation, temporal_embargo_split,
-#: matryoshka_prefix_recall).
+#: matryoshka_prefix_recall, robust_quality_outliers,
+#: pmi_collocations_topk, text_normalization_stats,
+#: stream_trending_event_types, zipf_fit_per_corpus,
+#: json_corrupt_records_handling, pareto_revenue_concentration,
+#: rfm_customer_segments, monthly_revenue_yoy_growth,
+#: supplier_concentration_hhi, funnel_time_to_convert,
+#: referential_integrity_audit, benford_first_digit_audit,
+#: functional_dependency_audit, unpivot_order_measures,
+#: lateral_top2_orders_per_customer, keyset_pagination_page3,
+#: merge_upsert_apply).
 _PRIORITY: tuple[str, ...] = (
     # --- zero driver history (committed after the r5 run) ---
     "packed_sequence_offsets",
