@@ -78,3 +78,34 @@ def test_sql_ddl_partitioned_table(spark):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS ddl_orders")
+
+
+def test_bench_summary_line_is_tail_sufficient():
+    """The LAST stdout line bench.py emits must be self-contained
+    JSON under the driver's ~2000-char tail capture: aggregate value,
+    error count, and the slowest-query map (BENCH_r05's truncation
+    regression, pinned)."""
+    import json
+
+    with open("/root/repo/BENCH_LOCAL.json") as fh:
+        full = json.loads(fh.read().strip())
+    assert full["queries"], "full record empty"
+    assert all(v >= 0 for v in full["queries"].values()), "errored query in record"
+    # reconstruct the summary the same way bench.py does and check size
+    slowest = sorted(full["queries"].items(), key=lambda kv: -kv[1])
+    top = {}
+    for n, t in slowest:
+        top[n] = t
+        if len(json.dumps(top, separators=(",", ":"))) > 1100:
+            del top[n]
+            break
+    summary = {
+        "metric": full["metric"], "value": full["value"], "unit": full["unit"],
+        "sf": full["sf"], "n_queries": len(full["queries"]), "n_errored": 0,
+        "queries": top,
+        "queries_elided": len(full["queries"]) - len(top),
+        "queries_full": "BENCH_LOCAL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1900, f"summary line {len(line)} chars overflows the tail"
+    assert json.loads(line)["value"] == full["value"]
