@@ -351,3 +351,138 @@ def rfm_customer_segments(spark, sf_dir):
             F.round(F.sum("monetary"), 2).alias("segment_revenue"),
         )
     )
+
+
+@query(
+    "event_path_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p1,
+             lag(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS p2
+      FROM events
+    )
+    SELECT path, n_occurrences, rnk FROM (
+      SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+             count(*)::BIGINT AS n_occurrences,
+             row_number() OVER (ORDER BY count(*) DESC,
+                                p2 || ' > ' || p1 || ' > ' || event_type)::BIGINT
+               AS rnk
+      FROM seq WHERE p2 IS NOT NULL
+      GROUP BY 1
+    ) WHERE rnk <= 10
+    """,
+)
+def event_path_trigrams(spark, sf_dir):
+    """Top user-journey trigrams: the most common 3-step event paths
+    across all users — the order-2 sequence patterns the order-1
+    transition matrix can't see (A→B→A loops vs A→B→C funnels look
+    identical at order 1). Product analytics reads this table to find
+    the paths worth instrumenting as funnels.
+
+    Scale: the double-lag window is per-user-partitioned; the path
+    aggregate is event-type³-bounded with map-side partials;
+    distributed top-k before the 10-row rank window."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("p1"),
+        F.lag("event_type", 2).over(w).alias("p2"),
+    ).filter(F.col("p2").isNotNull())
+    path = F.concat_ws(" > ", "p2", "p1", "event_type")
+    counts = seq.groupBy(path.alias("path")).agg(
+        F.count("*").alias("n_occurrences")
+    )
+    top = counts.orderBy(F.desc("n_occurrences"), "path").limit(10)
+    wk = Window.orderBy(F.desc("n_occurrences"), "path")
+    return top.select(
+        "path",
+        "n_occurrences",
+        F.row_number().over(wk).cast("long").alias("rnk"),
+    ).orderBy("rnk")
+
+
+@query(
+    "purchase_regularity_churn_signal",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id, epoch(ts) - epoch(prev_ts) AS gap_s
+      FROM purchases WHERE prev_ts IS NOT NULL
+    ),
+    per_user AS (
+      SELECT user_id, count(*)::BIGINT AS n_gaps,
+             round(avg(gap_s), 2) AS mean_gap_s,
+             round(coalesce(stddev_pop(gap_s), 0), 2) AS sd_gap_s
+      FROM gaps GROUP BY user_id
+    )
+    SELECT user_id, n_gaps, mean_gap_s,
+           round(sd_gap_s / nullif(mean_gap_s, 0), 4) AS gap_cv,
+           CASE WHEN n_gaps < 3 THEN 'insufficient'
+                WHEN sd_gap_s / nullif(mean_gap_s, 0) < 0.8 THEN 'regular'
+                ELSE 'erratic' END AS regularity_band
+    FROM per_user
+    """,
+)
+def purchase_regularity_churn_signal(spark, sf_dir):
+    """Purchase-cadence regularity: per user the coefficient of
+    variation of inter-purchase gaps, banded into regular / erratic /
+    insufficient-data — the churn-model feature that separates "buys
+    every Friday" from "bought five times in one week then vanished"
+    even when their purchase COUNTS are identical. CV is computed on
+    epoch-second gaps with population stddev in both engines; the
+    band threshold compares the same rounded ratio.
+
+    Scale: one per-user lag window + one keyed aggregate; output is
+    user-count-sized. The bands feed a training join keyed on
+    user_id."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "user_id",
+            (
+                F.unix_micros("ts") / 1e6 - F.unix_micros("prev_ts") / 1e6
+            ).alias("gap_s"),
+        )
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
+        F.round(F.coalesce(F.stddev_pop("gap_s"), F.lit(0.0)), 2).alias(
+            "sd_gap_s"
+        ),
+    )
+    cv = F.col("sd_gap_s") / F.when(
+        F.col("mean_gap_s") != 0, F.col("mean_gap_s")
+    )
+    return per_user.select(
+        "user_id",
+        "n_gaps",
+        "mean_gap_s",
+        F.round(cv, 4).alias("gap_cv"),
+        F.when(F.col("n_gaps") < 3, "insufficient")
+        .when(cv < 0.8, "regular")
+        .otherwise("erratic")
+        .alias("regularity_band"),
+    )
