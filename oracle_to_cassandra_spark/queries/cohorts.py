@@ -486,3 +486,61 @@ def purchase_regularity_churn_signal(spark, sf_dir):
         .otherwise("erratic")
         .alias("regularity_band"),
     )
+
+
+@query(
+    "user_behavior_entropy",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS c,
+             sum(count(*)) OVER (PARTITION BY user_id) AS tot
+      FROM events GROUP BY user_id, event_type
+    ),
+    ent AS (
+      SELECT user_id,
+             count(*)::BIGINT AS n_types,
+             round(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot)), 4) AS entropy
+      FROM per GROUP BY user_id
+    )
+    SELECT user_id, n_types, entropy,
+           CASE WHEN entropy >= 1.5 THEN 'diverse'
+                WHEN entropy >= 0.8 THEN 'mixed'
+                ELSE 'narrow' END AS engagement_band
+    FROM ent
+    """,
+)
+def user_behavior_entropy(spark, sf_dir):
+    """Engagement-diversity score: Shannon entropy of each user's
+    event-type distribution, banded — a user who only ever clicks
+    scores 0 (narrow) regardless of volume, while a user spread
+    across the catalog scores near ln(K) (diverse). The
+    orthogonal-to-volume engagement feature churn and recommendation
+    models both want.
+
+    Scale: one (user, type) aggregate; the normalizing window shares
+    its partition key; entropy terms sum within the per-user group
+    in a single pass. Bands compare the 4-dp-rounded entropy in both
+    engines so the thresholds cannot flip."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("user_id")
+    p = F.col("c") / F.sum("c").over(w)
+    ent = (
+        per.select("user_id", (-p * F.log(p)).alias("term"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.round(F.sum("term"), 4).alias("entropy"),
+        )
+    )
+    return ent.select(
+        "user_id",
+        "n_types",
+        "entropy",
+        F.when(F.col("entropy") >= 1.5, "diverse")
+        .when(F.col("entropy") >= 0.8, "mixed")
+        .otherwise("narrow")
+        .alias("engagement_band"),
+    )

@@ -180,3 +180,55 @@ def monthly_revenue_yoy_growth(spark, sf_dir):
             "yoy_growth"
         ),
     )
+
+
+@query(
+    "weekly_event_spike_alerts",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type, date_trunc('week', ts) AS week,
+             count(*)::BIGINT AS n
+      FROM events GROUP BY 1, 2
+    ),
+    trailed AS (
+      SELECT event_type, week, n,
+             avg(n) OVER (PARTITION BY event_type ORDER BY week
+                          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+               AS trail_avg
+      FROM weekly
+    )
+    SELECT event_type, strftime(week, '%Y-%m-%d') AS week_start, n,
+           round(trail_avg, 2) AS trailing_avg,
+           (trail_avg IS NOT NULL AND n > 1.5 * trail_avg) AS is_spike
+    FROM trailed
+    """,
+)
+def weekly_event_spike_alerts(spark, sf_dir):
+    """Volume-spike alerting: weekly counts per event type against
+    the trailing 3-week average (current week EXCLUDED from its own
+    baseline — the off-by-one that makes naive moving averages blind
+    to the very spike they should flag); a week exceeding 1.5× its
+    trailing baseline raises the alert flag. First weeks carry a
+    NULL baseline and cannot alert — silence, not a false positive.
+
+    Scale: the weekly rollup is (event-types × weeks)-sized; the
+    trailing window partitions per event type over that tiny table.
+    In production this is the detector a foreachBatch sink evaluates
+    per trigger."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("week")
+        .rowsBetween(-3, -1)
+    )
+    trail = F.avg("n").over(w)
+    return weekly.select(
+        "event_type",
+        F.date_format("week", "yyyy-MM-dd").alias("week_start"),
+        "n",
+        F.round(trail, 2).alias("trailing_avg"),
+        (trail.isNotNull() & (F.col("n") > 1.5 * trail)).alias("is_spike"),
+    )
