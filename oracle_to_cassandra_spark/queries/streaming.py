@@ -261,32 +261,41 @@ def stream_tws_user_activity(spark, sf_dir):
     )
 
 
-@query(
-    "stream_gopher_quality_gate",
-    oracle="""
+def _gopher_gate_oracle() -> str:
+    """Composes the rule battery from the SAME constants the batch
+    query uses, so a threshold edit cannot silently de-sync the
+    stream's oracle from the Spark rules."""
+    from oracle_to_cassandra_spark.queries.corpus_quality import (
+        _SW_SQL,
+        MIN_DIVERSITY,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+        MWL_HI,
+        MWL_LO,
+    )
+
+    rule = (
+        f"(len(ts) >= {MIN_WORDS}"
+        f" AND list_avg(list_transform(ts, t -> len(t)))"
+        f" BETWEEN {MWL_LO} AND {MWL_HI}"
+        f" AND len(list_distinct(ts)) * 1.0 / len(ts) >= {MIN_DIVERSITY}"
+        f" AND len(list_distinct(list_filter(ts, t -> t IN {_SW_SQL})))"
+        f" >= {MIN_STOPWORDS})"
+    )
+    return f"""
     WITH tok AS (
       SELECT doc_id, source, string_split(lower(text), ' ') AS ts
       FROM documents
     )
     SELECT source,
            count(*)::BIGINT AS n_docs,
-           sum((len(ts) >= 40
-                AND list_avg(list_transform(ts, t -> len(t)))
-                    BETWEEN 4.0 AND 5.0
-                AND len(list_distinct(ts)) * 1.0 / len(ts) >= 0.45
-                AND len(list_distinct(list_filter(ts,
-                      t -> t IN ('the', 'a', 'of', 'and', 'to')))) >= 2
-               )::INT)::BIGINT AS n_pass,
-           round(sum((len(ts) >= 40
-                AND list_avg(list_transform(ts, t -> len(t)))
-                    BETWEEN 4.0 AND 5.0
-                AND len(list_distinct(ts)) * 1.0 / len(ts) >= 0.45
-                AND len(list_distinct(list_filter(ts,
-                      t -> t IN ('the', 'a', 'of', 'and', 'to')))) >= 2
-               )::INT) * 1.0 / count(*), 6) AS retention
+           sum({rule}::INT)::BIGINT AS n_pass,
+           round(sum({rule}::INT) * 1.0 / count(*), 6) AS retention
     FROM tok GROUP BY source
-    """,
-)
+    """
+
+
+@query("stream_gopher_quality_gate", oracle=_gopher_gate_oracle())
 def stream_gopher_quality_gate(spark, sf_dir):
     """Streaming admission control, fully DuckDB-oracled: readStream
     over the documents files (Kafka-topic analog), the SAME
