@@ -320,3 +320,137 @@ def funnel_time_to_convert(spark, sf_dir):
         F.round(F.min("delay_s"), 2).alias("min_s"),
         F.round(F.max("delay_s"), 2).alias("max_s"),
     )
+
+
+def _pipeline_v2_oracle() -> str:
+    from oracle_to_cassandra_spark.functions.hashing import base31_sql
+    from oracle_to_cassandra_spark.queries.corpus_quality import (
+        _SW_SQL,
+        MIN_DIVERSITY,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+        MWL_HI,
+        MWL_LO,
+    )
+    from oracle_to_cassandra_spark.queries.text_analysis import QUALITY_SQL
+
+    rule = (
+        f"(len(ts) >= {MIN_WORDS}"
+        f" AND list_avg(list_transform(ts, t -> len(t)))"
+        f" BETWEEN {MWL_LO} AND {MWL_HI}"
+        f" AND len(list_distinct(ts)) * 1.0 / len(ts) >= {MIN_DIVERSITY}"
+        f" AND len(list_distinct(list_filter(ts, t -> t IN {_SW_SQL})))"
+        f" >= {MIN_STOPWORDS})"
+    )
+    split = (
+        f"CASE WHEN {base31_sql('doc_id::VARCHAR')} % 10 < 8 THEN 'train' "
+        f"WHEN {base31_sql('doc_id::VARCHAR')} % 10 = 8 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+    WITH gated AS (
+      SELECT doc_id, text, len(ts)::BIGINT AS n_tokens,
+             round({QUALITY_SQL}, 6) AS quality
+      FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS ts
+            FROM documents)
+      WHERE {rule.replace('(ts)', '(ts)')}
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    floor_q AS (
+      SELECT round(quantile_cont(quality, 0.2), 6) AS q20 FROM deduped
+    ),
+    kept AS (
+      SELECT d.* FROM deduped d, floor_q f WHERE d.quality >= f.q20
+    )
+    SELECT {split} AS split,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           round((sum(CAST(round(quality * 1000000) AS BIGINT))::DOUBLE
+                  / 1000000.0) / count(*), 6) AS mean_quality
+    FROM kept GROUP BY 1
+    """
+
+
+@query("curation_pipeline_v2", oracle=_pipeline_v2_oracle())
+def curation_pipeline_v2(spark, sf_dir):
+    """The round-6 curation pipeline, end to end in one plan: Gopher
+    rule gate → exact dedup (min-doc_id keeper per md5) → quality
+    floor at the survivor p20 (drop the bottom quintile) → stable
+    hash split → per-split volume and mean quality. Every stage is a
+    driver-green operator elsewhere in the registry; the composition
+    is what a production corpus build actually submits as one job,
+    and the oracle chains the SAME shared constants/formulas, so a
+    threshold edit re-verifies the whole pipeline.
+
+    Scale: gate + quality are scan-side; dedup shuffles 16-byte md5
+    keys; the floor is a 1-row broadcast; the split tag is hash
+    arithmetic. One corpus-sized shuffle total (the dedup), which is
+    the information-theoretic minimum for exact dedup."""
+    from oracle_to_cassandra_spark.functions.hashing import base31
+    from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, tokens
+    from oracle_to_cassandra_spark.operators.text import quality_score
+    from oracle_to_cassandra_spark.queries.corpus_quality import (
+        MIN_DIVERSITY,
+        MIN_STOPWORDS,
+        MIN_WORDS,
+        MWL_HI,
+        MWL_LO,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    ts = tokens(F.col("text"))
+    mwl = F.aggregate(
+        F.transform(ts, F.length), F.lit(0.0), lambda a, x: a + x
+    ) / F.size(ts)
+    rule = (
+        (F.size(ts) >= MIN_WORDS)
+        & (mwl >= MWL_LO)
+        & (mwl <= MWL_HI)
+        & (F.size(F.array_distinct(ts)) / F.size(ts) >= MIN_DIVERSITY)
+        & (
+            F.size(F.array_distinct(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS))))
+            >= MIN_STOPWORDS
+        )
+    )
+    gated = d.filter(rule).select(
+        "doc_id",
+        "text",
+        F.size(ts).cast("long").alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w_dup))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    floor_q = deduped.agg(
+        F.round(F.percentile("quality", 0.2), 6).alias("q20")
+    )
+    kept = deduped.crossJoin(F.broadcast(floor_q)).filter(
+        F.col("quality") >= F.col("q20")
+    )
+    h = base31(F.col("doc_id").cast("string")) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+    )
+    return kept.groupBy(split.alias("split")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(
+            (
+                F.sum(F.round(F.col("quality") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            )
+            / F.count("*"),
+            6,
+        ).alias("mean_quality"),
+    )
