@@ -122,3 +122,82 @@ def asof_join_last_purchase(spark, sf_dir):
         F.col("asof_p_event_id").alias("asof_event_id"),
         F.col("asof_p_value").alias("asof_value"),
     )
+
+
+ASOF_TOLERANCE_H = 48  #: feature-freshness window
+
+
+@query(
+    "asof_join_with_tolerance",
+    oracle=f"""
+    WITH matched AS (
+      SELECT e.event_id, e.user_id,
+             (SELECT round(p.value, 2) FROM events p
+              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                AND p.ts <= e.ts
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS raw_value,
+             (SELECT p.ts FROM events p
+              WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                AND p.ts <= e.ts
+              ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS match_ts,
+             e.ts
+      FROM events e WHERE e.event_type = 'error'
+    )
+    SELECT event_id, user_id,
+           CASE WHEN match_ts IS NOT NULL
+                     AND epoch(ts) - epoch(match_ts)
+                         <= {ASOF_TOLERANCE_H} * 3600
+                THEN raw_value END AS fresh_value,
+           CASE WHEN match_ts IS NOT NULL
+                THEN round(epoch(ts) - epoch(match_ts), 2) END AS staleness_s,
+           (match_ts IS NOT NULL
+            AND epoch(ts) - epoch(match_ts) > {ASOF_TOLERANCE_H} * 3600)
+             AS is_stale
+    FROM matched
+    """,
+)
+def asof_join_with_tolerance(spark, sf_dir):
+    """As-of join with a freshness tolerance — the feature-store
+    serving contract: a feature older than {ASOF_TOLERANCE_H}h at
+    lookup time must NOT be served (stale features silently poison a
+    model); the match is kept as NULL-with-staleness so monitoring
+    can count how often the tolerance bites vs no-match-at-all. Same
+    linear union+window operator as the plain as-of; the tolerance
+    is a post-filter on the matched timestamp, NOT a different join
+    algorithm.
+
+    Scale: identical plan to asof_join_last_purchase (one shuffle on
+    the key, per-key window) plus scan-side arithmetic — tolerance
+    adds zero data movement."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round("value", 2).alias("p_value"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        payload_cols=["p_ts", "p_value"],
+    )
+    age = (
+        F.unix_micros("ts") / 1e6 - F.unix_micros("asof_p_ts") / 1e6
+    )
+    fresh = age <= ASOF_TOLERANCE_H * 3600
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("asof_p_ts").isNotNull() & fresh, F.col("asof_p_value")).alias(
+            "fresh_value"
+        ),
+        F.when(F.col("asof_p_ts").isNotNull(), F.round(age, 2)).alias(
+            "staleness_s"
+        ),
+        (F.col("asof_p_ts").isNotNull() & ~fresh).alias("is_stale"),
+    )
