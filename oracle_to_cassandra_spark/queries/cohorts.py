@@ -544,3 +544,87 @@ def user_behavior_entropy(spark, sf_dir):
         .otherwise("narrow")
         .alias("engagement_band"),
     )
+
+
+@query(
+    "event_type_association_rules",
+    oracle="""
+    WITH user_types AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n_users AS (
+      SELECT count(DISTINCT user_id) AS n FROM events
+    ),
+    singles AS (
+      SELECT event_type, count(*)::BIGINT AS c FROM user_types GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+             count(*)::BIGINT AS c_both
+      FROM user_types a JOIN user_types b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.antecedent, p.consequent,
+           round(p.c_both * 1.0 / n.n, 4) AS support,
+           round(p.c_both * 1.0 / sa.c, 4) AS confidence,
+           round((p.c_both * 1.0 / n.n)
+                 / ((sa.c * 1.0 / n.n) * (sc.c * 1.0 / n.n)), 4) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.antecedent
+    JOIN singles sc ON sc.event_type = p.consequent
+    CROSS JOIN n_users n
+    """,
+)
+def event_type_association_rules(spark, sf_dir):
+    """Association rules over user event baskets: for every ordered
+    event-type pair A→B, support (share of users doing both),
+    confidence (P(B|A)) and lift (association beyond independence,
+    lift < 1 = the pair repels) — market-basket analysis at user
+    granularity, the unsupervised cousin of the funnel queries
+    (which impose an order; rules don't).
+
+    Scale: the basket table is DISTINCT (user, type) — far smaller
+    than events; the self-join is per-user over ≤K types per user
+    (bounded fan-out K²); singles and the user count broadcast into
+    the final scoring join. All ratios are exact-integer fractions
+    rounded identically."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    from oracle_to_cassandra_spark.staging import stage
+
+    # the basket table feeds three branches (singles + both join sides)
+    ut = stage(ev.select("user_id", "event_type").distinct())
+    n_users = ev.agg(F.count_distinct("user_id").alias("n"))
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = ut.select("user_id", F.col("event_type").alias("antecedent"))
+    b = ut.select("user_id", F.col("event_type").alias("consequent"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("antecedent") != F.col("consequent"))
+        .groupBy("antecedent", "consequent")
+        .agg(F.count("*").alias("c_both"))
+    )
+    sa = singles.select(
+        F.col("event_type").alias("antecedent"), F.col("c").alias("ca")
+    )
+    sc = singles.select(
+        F.col("event_type").alias("consequent"), F.col("c").alias("cc")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "antecedent")
+        .join(F.broadcast(sc), "consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            F.round(F.col("c_both") / F.col("n"), 4).alias("support"),
+            F.round(F.col("c_both") / F.col("ca"), 4).alias("confidence"),
+            F.round(
+                (F.col("c_both") / F.col("n"))
+                / ((F.col("ca") / F.col("n")) * (F.col("cc") / F.col("n"))),
+                4,
+            ).alias("lift"),
+        )
+    )
