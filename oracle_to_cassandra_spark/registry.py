@@ -120,7 +120,10 @@ _QUERY_MODULES = (
 #: referential_integrity_audit, benford_first_digit_audit,
 #: functional_dependency_audit, unpivot_order_measures,
 #: lateral_top2_orders_per_customer, keyset_pagination_page3,
-#: merge_upsert_apply).
+#: merge_upsert_apply, event_path_trigrams,
+#: purchase_regularity_churn_signal, weekly_event_spike_alerts,
+#: user_behavior_entropy, curation_pipeline_v2,
+#: asof_join_with_tolerance, event_type_association_rules).
 _PRIORITY: tuple[str, ...] = (
     # --- zero driver history (committed after the r5 run) ---
     "packed_sequence_offsets",
