@@ -83,122 +83,76 @@ _QUERY_MODULES = (
 #: Query-level registration order for the driver's correctness window.
 #:
 #: The driver verifies the FIRST 50 entries of ``queries()`` per round.
-#: Round-6 final composition: (a) ``packed_sequence_offsets`` (zero
-#: history before this round), (b) the 14 r4 events.ts-drift
-#: casualties with no post-fix driver row, (c) rows-only re-checks for
-#: the 4 watermark streams last checked with misread event times,
-#: (d) the 5 events-reading r1-only backfills, (e) the §2-core
-#: relational/aggregate backfills that still fit, and (f) this round's
-#: zero-history additions (multimodal decode + fingerprints, PQ/JL
-#: audits, TWS stream, RRF, winsorization, multi-probe, BPE train,
-#: dataset card, migration diff, format roundtrip, semantic capstone)
-#: — zero-history outranks re-verification of r1-green rows.
+#: Round-7 composition (executes item 1 of the round-6 verdict): the
+#: 46 round-6 additions that were committed AFTER the r6 window filled
+#: and therefore have ZERO driver history (all green in the local
+#: DuckDB replica, `tests/test_driver_contract.py`), followed by the
+#: 4 oldest displaced r1-only-green rows to fill the 50-window. New
+#: round-7 queries are inserted at the TOP as they land (zero-history
+#: outranks everything); each insertion displaces one r1-green filler.
 #:
-#: NEXT-ROUND rotation queue (r1-green rows displaced this round, plus
-#: r6 additions committed after the window filled): rename_bulk_customer,
-#: filter_eq_numeric, self_join_adjacent_lines, full_scan_region,
-#: projection_orders, top_orders_limit, clustering_order_scan,
-#: distinct_departments, static_column_per_partition, global_counts,
-#: count_distinct_custkeys, rollup_region_nation,
+#: NEXT-ROUND (r8) rotation queue — the remaining r1-only-green rows
+#: whose driver evidence predates the testdata regenerations:
+#: full_scan_region, projection_orders, top_orders_limit,
+#: clustering_order_scan, distinct_departments,
+#: static_column_per_partition, global_counts, rollup_region_nation,
 #: cube_order_status_priority, grouping_sets_status_priority,
-#: stats_dispersion_per_segment, and the post-window r6 set
-#: (incremental_pq_encode, bpe_merge_candidates, bpe_apply_tokenize,
-#: migration_column_profile, hard_negative_mining, rag_chunking_overlap,
-#: stratified_split_audit, quality_quantile_normalization,
-#: token_length_psi_drift, stream_gopher_quality_gate,
-#: ab_assignment_srm_check, schema_evolution_merge_read,
-#: weighted_sample_without_replacement, event_transition_matrix,
-#: markov_surprise_anomaly_users, quality_length_regression_per_source,
-#: corpus_snapshot_delta, scd2_interval_build,
-#: label_centroid_separation, temporal_embargo_split,
-#: matryoshka_prefix_recall, robust_quality_outliers,
-#: pmi_collocations_topk, text_normalization_stats,
-#: stream_trending_event_types, zipf_fit_per_corpus,
-#: json_corrupt_records_handling, pareto_revenue_concentration,
-#: rfm_customer_segments, monthly_revenue_yoy_growth,
-#: supplier_concentration_hhi, funnel_time_to_convert,
-#: referential_integrity_audit, benford_first_digit_audit,
-#: functional_dependency_audit, unpivot_order_measures,
-#: lateral_top2_orders_per_customer, keyset_pagination_page3,
-#: merge_upsert_apply, event_path_trigrams,
-#: purchase_regularity_churn_signal, weekly_event_spike_alerts,
-#: user_behavior_entropy, curation_pipeline_v2,
-#: asof_join_with_tolerance, event_type_association_rules).
+#: stats_dispersion_per_segment, plus any round-7 additions that do
+#: not fit this window.
 _PRIORITY: tuple[str, ...] = (
-    # --- zero driver history (committed after the r5 run) ---
-    "packed_sequence_offsets",
-    # --- r4 events-loader casualties with no post-fix driver row (14) ---
-    "filter_eq_string",
-    "tumbling_daily_event_counts",
-    "tumbling_6h_windows",
-    "sliding_2d_1d_windows",
-    "session_windows_per_user",
-    "late_data_watermark_semantics",
-    "cohort_weekly_retention",
-    "forward_fill_last_purchase_value",
-    "inter_event_gap_stats",
-    "cdc_latest_version_dedup",
-    "funnel_signup_to_purchase",
-    "variant_json_extraction",
-    "json_to_map_explode",
-    "map_construction_lookup",
-    # --- rows-only re-checks: watermark streams whose last driver rows
-    #     (r4) were computed from misread event times (4) ---
-    "stream_tumbling_event_counts",
-    "stream_sessionization_watermark",
-    "stream_static_enrichment_join",
-    "stream_dedup_within_watermark",
-    # --- backfill: r1-only green rows, events-reading first (5) ---
-    "pivot_user_event_counts",
-    "lag_lead_user_events",
-    "json_extract_events",
-    "from_json_struct_events",
-    "explode_collect_roundtrip",
-    # --- backfill: r1-only relational core (13) ---
-    "point_lookup_customer",
-    "denorm_orders_by_customer",
-    "fk_chain_walk",
-    # (full_scan_region / projection_orders rotate next round: trivial,
-    #  r1-green, replica-covered — the rows below are zero-history)
-    "bpe_train_merges",
-    "dataset_card_per_source",
-    # (rename_bulk_customer / filter_eq_numeric / self_join_adjacent_lines
-    #  are r1-green and rotate next round — the decoded-content
-    #  fingerprint family below is zero-history)
-    "multimodal_phash_dedup_groups",
-    "multimodal_wav_energy_fingerprint",
-    "multimodal_y4m_temporal_fingerprint",
-    "migration_row_diff",
-    "format_roundtrip_digest",
-    # (top_orders_limit / clustering_order_scan / distinct_departments /
-    #  static_column_per_partition / global_counts are r1-green and
-    #  rotate next round — zero-history additions outrank
-    #  re-verification, per the r5 verdict)
-    "hybrid_rrf_retrieval",
-    "embedding_winsorization_stats",
-    "lsh_multiprobe_recall",
-    # --- backfill: r1-only aggregates (2; the other 5 — count_distinct,
-    #     rollup, cube, grouping_sets, dispersion — rotate next round to
-    #     make room for this round's zero-history additions below) ---
-    "tpch_q1_pricing_summary",
-    "group_customer_stats",
-    # --- new this round, part 2: quality-rule battery, PQ/JL
-    #     compression audits, Spark-4 stateful stream (zero driver
-    #     history — highest priority per the r5 verdict's own logic) ---
-    "gopher_quality_rules",
-    "similarity_pq_adc_topk",
-    "similarity_pq_recall_at_10",
-    "jl_projection_recall_distortion",
-    "stream_tws_user_activity",
-    # --- new this round, part 1: real multimodal decode (r5 item 3;
-    #     image, audio, pixel, video) and the semantic-dedup capstone
-    #     (item 6) ---
-    "multimodal_png_header_decode",
-    "multimodal_wav_pcm_stats",
-    "multimodal_bmp_pixel_stats",
-    "multimodal_y4m_frame_sample_stats",
-    "stream_multimodal_wav_decode",
-    "embedding_cluster_keepers",
+    # --- round-7 additions (zero history, inserted as they land) ---
+    # --- post-r6-window additions with zero driver history (46) ---
+    "incremental_pq_encode",
+    "bpe_merge_candidates",
+    "bpe_apply_tokenize",
+    "migration_column_profile",
+    "hard_negative_mining",
+    "rag_chunking_overlap",
+    "stratified_split_audit",
+    "quality_quantile_normalization",
+    "token_length_psi_drift",
+    "stream_gopher_quality_gate",
+    "ab_assignment_srm_check",
+    "schema_evolution_merge_read",
+    "weighted_sample_without_replacement",
+    "event_transition_matrix",
+    "markov_surprise_anomaly_users",
+    "quality_length_regression_per_source",
+    "corpus_snapshot_delta",
+    "scd2_interval_build",
+    "label_centroid_separation",
+    "temporal_embargo_split",
+    "matryoshka_prefix_recall",
+    "robust_quality_outliers",
+    "pmi_collocations_topk",
+    "text_normalization_stats",
+    "stream_trending_event_types",
+    "zipf_fit_per_corpus",
+    "json_corrupt_records_handling",
+    "pareto_revenue_concentration",
+    "rfm_customer_segments",
+    "monthly_revenue_yoy_growth",
+    "supplier_concentration_hhi",
+    "funnel_time_to_convert",
+    "referential_integrity_audit",
+    "benford_first_digit_audit",
+    "functional_dependency_audit",
+    "unpivot_order_measures",
+    "lateral_top2_orders_per_customer",
+    "keyset_pagination_page3",
+    "merge_upsert_apply",
+    "event_path_trigrams",
+    "purchase_regularity_churn_signal",
+    "weekly_event_spike_alerts",
+    "user_behavior_entropy",
+    "curation_pipeline_v2",
+    "asof_join_with_tolerance",
+    "event_type_association_rules",
+    # --- oldest displaced r1-only-green backfills (4, fill to 50) ---
+    "rename_bulk_customer",
+    "filter_eq_numeric",
+    "self_join_adjacent_lines",
+    "count_distinct_custkeys",
 )
 
 _loaded = False
