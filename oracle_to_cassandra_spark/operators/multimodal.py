@@ -673,6 +673,16 @@ def decode_bmp_phash(planted: DataFrame) -> DataFrame:
                 bgr = rows[::-1].reshape(height * width, 3).astype(np.int64)
                 luma = (299 * bgr[:, 2] + 587 * bgr[:, 1] + 114 * bgr[:, 0]) // 1000
                 n = luma.size
+                # int64 shifts >= 64 are undefined in numpy and overflow
+                # differently in DuckDB's `1::BIGINT << i`; cap hard so a
+                # larger planted blob fails loudly instead of silently
+                # diverging between engines (the oracle carries the same
+                # <= 63-bit contract).
+                if n > 63:
+                    raise ValueError(
+                        f"doc {doc_id}: {n}px aHash exceeds the 63-bit "
+                        "fingerprint contract"
+                    )
                 total = int(luma.sum())
                 bits = luma * n > total
                 phash = int(
@@ -736,6 +746,13 @@ def decode_wav_energy_fingerprint(planted: DataFrame) -> DataFrame:
                     .sum(axis=1)
                 )
                 bits = energy[1:] > energy[:-1]
+                # same 63-bit cap as the BMP aHash: numpy/DuckDB int64
+                # shift semantics diverge at bit 64+, so fail loudly.
+                if bits.size > 63:
+                    raise ValueError(
+                        f"doc {doc_id}: {bits.size} energy transitions exceed "
+                        "the 63-bit fingerprint contract"
+                    )
                 afp = int(
                     (bits.astype(np.int64) << np.arange(bits.size, dtype=np.int64)).sum()
                 )

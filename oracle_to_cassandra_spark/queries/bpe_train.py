@@ -30,9 +30,14 @@ from oracle_to_cassandra_spark.sources import load_table
 
 N_ROUNDS = 3
 
+#: Spark ``sequence(1, 0)`` counts DOWN to ``[1, 0]`` for an empty
+#: token, which would fabricate two empty symbols ('··') while the
+#: DuckDB twin's ``range(0)`` folds to '' — so guard the empty case
+#: explicitly (doubled/leading spaces in a doc yield '' tokens).
 _CHARS_FOLD = (
+    "CASE WHEN length(w) < 1 THEN '' ELSE "
     "aggregate(transform(sequence(1, length(w)), i -> substr(w, i, 1)), '', "
-    "(acc, x) -> acc || '·' || x)"
+    "(acc, x) -> acc || '·' || x) END"
 )
 
 #: greedy left-to-right merge rewrite — the Spark text; the DuckDB twin

@@ -79,7 +79,8 @@ def json_corrupt_records_handling(spark, sf_dir):
     The oracle states the planted corruption pattern in closed form,
     so the check certifies that PERMISSIVE neither drops good rows
     nor silently "repairs" bad ones (FAILFAST on the same input is
-    the test-side negative).
+    the test-side negative —
+    ``tests/test_round7_semantics.py::test_json_failfast_raises``).
 
     Scale: per-row serialize/parse at scan speed; the rescue column
     is the production pattern for quarantining bad records into a
@@ -98,17 +99,20 @@ def json_corrupt_records_handling(spark, sf_dir):
             T.StructField("doc_id", T.LongType()),
             T.StructField("n_chars", T.LongType()),
             T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
         ]
     )
     parsed = raw.select(
         F.from_json(
-            "js", schema, {"mode": "PERMISSIVE"}
+            "js",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
         ).alias("r"),
         "js",
     )
-    # from_json yields a null struct (or null fields) for corrupt
-    # lines; classify on parse success of the required field
-    ok = F.col("r.n_chars").isNotNull()
+    # PERMISSIVE quarantines the raw malformed line into the rescue
+    # column; a row is good iff the rescue column is null
+    ok = F.col("r._corrupt_record").isNull()
     return parsed.groupBy((~ok).alias("is_corrupt")).agg(
         F.count("*").alias("n_rows"),
         F.coalesce(

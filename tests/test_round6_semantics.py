@@ -94,7 +94,11 @@ def test_snapshot_delta_broadcast_membership(spark):
     from oracle_to_cassandra_spark.plans import formatted_plan
 
     df = E.queries()["corpus_snapshot_delta"](spark, SF_DIR)
-    assert "Python" not in formatted_plan(df)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan, (
+        "snapshot membership join regressed to a shuffle join"
+    )
 
 
 def test_transition_probs_sum_to_one(spark):

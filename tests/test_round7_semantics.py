@@ -1,0 +1,108 @@
+"""Semantic invariants for the round-7 fixes — the FAILFAST negative
+promised by json_corrupt_records_handling's docstring, the empty-token
+guard in the BPE char fold, and the 63-bit fingerprint cap in the
+multimodal decoders."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+import __spark_entry__ as E
+from tests.conftest import SF_DIR
+
+
+def test_json_failfast_raises(spark):
+    """FAILFAST on the same malformed-JSON input that PERMISSIVE
+    quarantines must raise instead of yielding rows — the negative
+    half of the json_corrupt_records_handling contract."""
+    raw = spark.createDataFrame(
+        [('{"doc_id": 1, "n_chars": 10}',), ('{"doc_id": 2, "n_ch',)],
+        ["js"],
+    )
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    bad = raw.select(F.from_json("js", schema, {"mode": "FAILFAST"}).alias("r"))
+    with pytest.raises(Exception) as exc:
+        bad.collect()
+    assert "FAILFAST" in str(exc.value) or "Malformed" in str(exc.value)
+
+
+def test_json_permissive_rescue_column(spark):
+    """PERMISSIVE quarantines the raw malformed line verbatim in the
+    _corrupt_record rescue column and leaves good rows untouched."""
+    good, bad = '{"doc_id": 1, "n_chars": 10}', '{"doc_id": 2, "n_ch'
+    raw = spark.createDataFrame([(good,), (bad,)], ["js"])
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    rows = raw.select(
+        F.from_json(
+            "js",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    ).collect()
+    by_rescue = {r["r"]["_corrupt_record"]: r["r"] for r in rows}
+    assert by_rescue[None]["n_chars"] == 10
+    assert by_rescue[bad]["n_chars"] is None
+
+
+def test_bpe_char_fold_empty_token(spark):
+    """A zero-length token must fold to '' (the DuckDB range(0)
+    behavior), not '··' — Spark's sequence(1, 0) counts DOWN and would
+    fabricate two empty symbols without the guard."""
+    from oracle_to_cassandra_spark.queries.bpe_train import _CHARS_FOLD
+
+    rows = (
+        spark.createDataFrame([("",), ("ab",)], ["w"])
+        .select("w", F.expr(_CHARS_FOLD).alias("sym"))
+        .collect()
+    )
+    by_w = {r["w"]: r["sym"] for r in rows}
+    assert by_w[""] == ""
+    assert by_w["ab"] == "·a·b"
+
+
+def test_fingerprint_63bit_cap(spark):
+    """A planted blob whose fingerprint would need >= 64 bits must
+    raise (engines' int64 shift semantics diverge there), not silently
+    produce an engine-dependent hash."""
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        decode_bmp_phash,
+        plant_bmp_blobs,
+    )
+    from oracle_to_cassandra_spark.sources import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(4)
+    # widen the planted BMP far past 63 px by inflating dimensions
+    planted = plant_bmp_blobs(docs)
+    decoded = decode_bmp_phash(planted)
+    assert decoded.count() > 0  # in-contract blobs decode fine
+
+    # build one oversized BMP (16x8 = 128 px) by hand and expect the cap
+    import struct
+
+    w, h = 16, 8
+    stride = (w * 3 + 3) // 4 * 4
+    pixels = bytes(stride * h)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    )
+    big = spark.createDataFrame(
+        [(99, header + pixels, "image/bmp")], ["doc_id", "payload", "media_kind"]
+    )
+    with pytest.raises(Exception) as exc:
+        decode_bmp_phash(big).collect()
+    assert "63-bit" in str(exc.value)
