@@ -4,6 +4,8 @@ queries, plus the sink round-trip (S8/S9/S10 + P7).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark import pipelines as P
@@ -256,3 +258,198 @@ def schema_evolution_merge_read(spark, sf_dir):
         "priority_norm",
         (F.col("o_orderkey") % 2).cast("int").alias("schema_version"),
     )
+
+
+_E2E_BUCKETS = 50
+
+
+@query(
+    "oracle_to_cassandra_e2e",
+    oracle=f"""
+    SELECT o.o_orderkey % {_E2E_BUCKETS} AS bucket,
+           count(*)::BIGINT AS n_src,
+           count(*)::BIGINT AS n_dst,
+           true AS content_match
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+)
+def oracle_to_cassandra_e2e(spark, sf_dir):
+    """The reference's FULL tutorial arc as one query — the flagship
+    composition of Query-1 + Query-2 (`/root/reference/README.md:676-1022`),
+    previously spread across jdbc_roundtrip / pipelines / migration_ops:
+
+      1. S1/S3 — load customer into embedded Derby under the
+         UPPER-CASE column names an Oracle schema actually has, then
+         read it back with the 4-partition stride JDBC scan
+         (README.md:549-558).
+      2. P4 — bulk lower-case rename of the JDBC columns
+         (README.md:722-733's toDF rename motivation).
+      3. J1 — denormalization join: parquet orders fact ⋈ broadcast
+         JDBC customer dim (README.md:931).
+      4. S8 — write the denormalized table partitioned by
+         c_mktsegment, clustered by (c_custkey, o_orderkey)
+         (README.md:839,967).
+      5. S9/P7 — partition-pruned read-back of ONE segment
+         (README.md:696-703).
+      6. Reconciliation — per-bucket count + order-insensitive
+         xxhash64 digest of the read-back AGAINST an independent
+         parquet-only recompute (the at-scale upgrade of
+         README.md:875-886's count-only eyeball check).
+
+    The oracle states the closed form: every occupied bucket must
+    report n_src = n_dst and content_match = true; any row lost,
+    duplicated, truncated (Derby VARCHAR), misrouted to the wrong
+    partition, or altered anywhere in the six stages flips a bucket.
+
+    Scale: the JDBC scan parallelizes by key stride; the dim side of
+    the join is broadcast; the sink write shuffles once on the
+    partition key; the read-back prunes to one partition directory at
+    planning time; reconciliation is two map-side-combinable
+    aggregates joined on {_E2E_BUCKETS} buckets — no row-level
+    transfer between sides. The digest is xxhash64 (not the md5
+    cross-engine family) because BOTH reconciliation sides run in
+    Spark; the cross-engine guarantee comes from the oracle's count
+    comparison."""
+    from oracle_to_cassandra_spark.queries.jdbc_roundtrip import (
+        DERBY_DRIVER,
+        _derby_url,
+    )
+    from oracle_to_cassandra_spark.sources.jdbc import read_jdbc_table
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", scratch.session_path("derby.log")
+    )
+    url = _derby_url(sf_dir)
+
+    # -- stage 1a: seed Derby with the Oracle-style UPPERCASE schema --
+    cust_src = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("C_CUSTKEY"),
+        F.col("c_name").alias("C_NAME"),
+        F.col("c_mktsegment").alias("C_MKTSEGMENT"),
+    )
+    seed_key = f"{url}#CUSTOMER_ORA_E2E"
+    if seed_key not in _E2E_SEEDED:
+        (
+            cust_src.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "CUSTOMER_ORA_E2E")
+            .option("driver", DERBY_DRIVER)
+            # VARCHAR, not Derby's CLOB default: keeps predicates and
+            # the round trip comparison-clean
+            .option(
+                "createTableColumnTypes",
+                "C_NAME VARCHAR(64), C_MKTSEGMENT VARCHAR(16)",
+            )
+            .mode("overwrite")
+            .save()
+        )
+        _E2E_SEEDED.add(seed_key)
+
+    # -- stage 1b: 4-partition stride read-back (bounds from the
+    #    parquet source — same values, no extra JDBC metadata query) --
+    hi = cust_src.agg(F.max("C_CUSTKEY")).first()[0]
+    back = read_jdbc_table(
+        spark,
+        url=url,
+        dbtable="CUSTOMER_ORA_E2E",
+        driver=DERBY_DRIVER,
+        partition_column="C_CUSTKEY",
+        lower_bound=0,
+        upper_bound=int(hi) + 1,
+        num_partitions=4,
+        fetchsize=1000,
+    )
+
+    # -- stage 2: P4 bulk lower-case rename --
+    cust = back.toDF(*[c.lower() for c in back.columns])
+
+    # -- stage 3: J1 denormalization, dim side broadcast --
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    denorm = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "o_orderkey",
+        "o_orderstatus",
+        # exact integer cents — doubles don't format identically
+        # across paths, integers do
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+    )
+
+    # -- stage 4: S8 partitioned + clustered sink write (SF-specific
+    #    path so one session probing several SFs never cross-reads;
+    #    refresh drops the session's cached file listing after the
+    #    overwrite so a re-run reads the fresh files) --
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    path = scratch.session_path(f"e2e_orders_by_customer_{sf_name}")
+    write_query_table(
+        denorm,
+        path,
+        partition_by=["c_mktsegment"],
+        cluster_by=["c_custkey", "o_orderkey"],
+    )
+    spark.catalog.refreshByPath(path)
+
+    # -- stage 5: S9/P7 pruned single-partition read-back --
+    dst = read_partition(spark, path, "c_mktsegment", "BUILDING")
+
+    # -- stage 6: bucket reconciliation vs an INDEPENDENT parquet-only
+    #    recompute (no shared lineage with the Derby path) --
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "customer").filter(
+                    F.col("c_mktsegment") == "BUILDING"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        )
+    )
+
+    def bucket_digest(df, n_name, h_name):
+        row_h = F.xxhash64(
+            "c_custkey", "c_name", "o_orderkey", "o_orderstatus", "price_cents"
+        )
+        return df.groupBy(
+            (F.col("o_orderkey") % _E2E_BUCKETS).alias("bucket")
+        ).agg(F.count("*").alias(n_name), F.bit_xor(row_h).alias(h_name))
+
+    s = bucket_digest(src, "n_src", "h_src")
+    d = bucket_digest(
+        dst.select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderstatus", "price_cents"
+        ),
+        "n_dst",
+        "h_dst",
+    )
+    return (
+        s.join(d, "bucket", "full")
+        .select(
+            "bucket",
+            F.coalesce("n_src", F.lit(0)).cast("long").alias("n_src"),
+            F.coalesce("n_dst", F.lit(0)).cast("long").alias("n_dst"),
+            (
+                F.col("n_src").isNotNull()
+                & F.col("n_dst").isNotNull()
+                & (F.col("n_src") == F.col("n_dst"))
+                & (F.col("h_src") == F.col("h_dst"))
+            ).alias("content_match"),
+        )
+    )
+
+
+_E2E_SEEDED: set[str] = set()

@@ -100,7 +100,9 @@ _QUERY_MODULES = (
 #: stats_dispersion_per_segment, plus any round-7 additions that do
 #: not fit this window.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 additions (zero history, inserted as they land) ---
+    # --- round-7 additions (zero history, inserted as they land;
+    #     each insertion pushes one r1-green filler past the window) ---
+    "oracle_to_cassandra_e2e",
     # --- post-r6-window additions with zero driver history (46) ---
     "incremental_pq_encode",
     "bpe_merge_candidates",

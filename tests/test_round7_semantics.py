@@ -106,3 +106,24 @@ def test_fingerprint_63bit_cap(spark):
     with pytest.raises(Exception) as exc:
         decode_bmp_phash(big).collect()
     assert "63-bit" in str(exc.value)
+
+
+def test_e2e_flagship_plan_and_values(spark):
+    """The flagship pipeline's final plan: dim joins broadcast (both
+    the JDBC customer side and the parquet recompute side), the
+    read-back prunes to the BUILDING partition, no Python stages, and
+    every occupied bucket reconciles."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["oracle_to_cassandra_e2e"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "dim joins regressed to shuffle joins"
+    )
+    assert "PartitionFilters: [isnotnull(c_mktsegment" in plan, (
+        "read-back does not prune on the partition column"
+    )
+    rows = df.collect()
+    assert rows and all(r["content_match"] for r in rows)
+    assert all(r["n_src"] == r["n_dst"] and r["n_src"] > 0 for r in rows)
