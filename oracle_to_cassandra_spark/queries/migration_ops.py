@@ -376,6 +376,114 @@ def migration_column_profile(spark, sf_dir):
 
 
 @query(
+    "migration_column_profile_approx",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               count(*)::BIGINT AS n_rows,
+               (count(*) - count({c}))::BIGINT AS n_null,
+               count(DISTINCT {c})::BIGINT AS n_distinct_exact,
+               min({c})::VARCHAR AS min_repr,
+               max({c})::VARCHAR AS max_repr,
+               TRUE AS approx_within_tol
+        FROM orders
+        """
+        for c in _PROFILE_COLS
+    ),
+)
+def migration_column_profile_approx(spark, sf_dir):
+    """The 100 TB variant ``migration_column_profile``'s docstring
+    promises: identical long-format output, but the per-column
+    distinct counts come from approx_count_distinct (HyperLogLog++) in
+    ONE single-pass aggregate — no Expand, so the profile costs one
+    scan regardless of how many columns are profiled (the exact
+    variant's Expand multiplies rows ×N_columns into the partial
+    aggregates).
+
+    Correctness contract (the stats_funcs HLL precedent): sketch
+    estimates are implementation-defined, so the hash-checkable output
+    is the EXACT distinct count plus a boolean asserting the sketch
+    landed within 6×rsd of it (a 6σ deviation means a broken sketch,
+    not an unlucky one; HLL++ is deterministic per dataset so the
+    boolean is rerun-stable). The exact side is computed WITHOUT
+    Expand by melting the table into (column_name, value) pairs and
+    running ONE grouped single-distinct aggregate — two-stage partial
+    dedup, no row multiplication inside any aggregate node
+    (`tests/test_round7_semantics.py` asserts the whole plan is
+    Expand-free). String-cast values keep distinctness: every profiled
+    type's canonical string form is injective.
+
+    Scale: production runs the approx pass alone (one scan, constant
+    memory per column); the melt-based exact pass here is the
+    VERIFICATION harness. Its shuffle carries n_rows×N_columns pairs
+    but partial-aggregates map-side, the same cost shape as any
+    distinct count."""
+    o = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
+    rsd = 0.05
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nn"),
+            F.approx_count_distinct(F.col(c), rsd=rsd).alias(f"{c}__ad"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = o.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("__total").alias("n_rows"),
+                (F.col("__total") - F.col(f"{c}__nn")).alias("n_null"),
+                F.col(f"{c}__ad").alias("n_distinct_approx"),
+                F.col(f"{c}__min").alias("min_repr"),
+                F.col(f"{c}__max").alias("max_repr"),
+            )
+            for c in _PROFILE_COLS
+        ]
+    )
+    approx = one.select(F.explode(rows).alias("p")).select(
+        "p.column_name", "p.n_rows", "p.n_null", "p.n_distinct_approx",
+        "p.min_repr", "p.max_repr",
+    )
+    # exact distinct per column via melt + ONE grouped single-distinct
+    # aggregate (two-stage dedup, Expand-free)
+    melted = o.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("m")
+    ).select("m.column_name", "m.value")
+    exact = melted.groupBy("column_name").agg(
+        F.count_distinct("value").alias("n_distinct_exact")
+    )
+    joined = approx.join(F.broadcast(exact), "column_name", "left").withColumn(
+        # an all-null column never appears in the melt aggregate
+        "n_distinct_exact",
+        F.coalesce("n_distinct_exact", F.lit(0)).cast("long"),
+    )
+    tol = F.greatest(F.col("n_distinct_exact") * (6 * rsd), F.lit(10.0))
+    return joined.select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        "n_distinct_exact",
+        "min_repr",
+        "max_repr",
+        (
+            F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact")) <= tol
+        ).alias("approx_within_tol"),
+    )
+
+
+@query(
     "referential_integrity_audit",
     oracle="""
     SELECT 'orders.custkey -> customer' AS relationship,

@@ -103,6 +103,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- round-7 additions (zero history, inserted as they land;
     #     each insertion pushes one r1-green filler past the window) ---
     "oracle_to_cassandra_e2e",
+    "migration_column_profile_approx",
     # --- post-r6-window additions with zero driver history (46) ---
     "incremental_pq_encode",
     "bpe_merge_candidates",

@@ -127,3 +127,22 @@ def test_e2e_flagship_plan_and_values(spark):
     rows = df.collect()
     assert rows and all(r["content_match"] for r in rows)
     assert all(r["n_src"] == r["n_dst"] and r["n_src"] > 0 for r in rows)
+
+
+def test_column_profile_approx_expand_free(spark):
+    """The approx profile's whole plan must contain NO Expand node —
+    the point of the HLL variant — while the exact profile (the
+    N-distinct-in-one-agg form) does have one; and the sketch must
+    land within tolerance on every column."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    approx_df = E.queries()["migration_column_profile_approx"](spark, SF_DIR)
+    assert "Expand" not in formatted_plan(approx_df)
+    exact_df = E.queries()["migration_column_profile"](spark, SF_DIR)
+    assert "Expand" in formatted_plan(exact_df), (
+        "exact profile no longer multi-distincts in one agg — "
+        "update this contrast test"
+    )
+    rows = approx_df.collect()
+    assert len(rows) == 6
+    assert all(r["approx_within_tol"] for r in rows)
