@@ -374,3 +374,79 @@ def mixture_weighted_sample(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "temperature_mixture_weights",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*)::BIGINT AS n_docs,
+             sum(len({_TOK_SQL}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    scaled AS (
+      SELECT source, n_docs, n_tokens, sqrt(n_tokens::DOUBLE) AS p_alpha
+      FROM per_source
+    ),
+    tot AS (SELECT sum(n_tokens)::DOUBLE AS all_tokens FROM scaled),
+    z AS (SELECT sum(p_alpha) AS z FROM scaled)
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(round((s.n_tokens / t.all_tokens) * 1000000) AS BIGINT)
+             AS natural_ppm,
+           CAST(round((s.p_alpha / z.z) * 1000000) AS BIGINT)
+             AS tempered_ppm,
+           CAST(round(((s.p_alpha / z.z)
+                       / (s.n_tokens / t.all_tokens)) * 1000000) AS BIGINT)
+             AS boost_ppm
+    FROM scaled s CROSS JOIN tot t CROSS JOIN z
+    ORDER BY s.source
+    """,
+)
+def temperature_mixture_weights(spark, sf_dir):
+    """Temperature-scaled mixture sampling (the multilingual-training
+    standard): sampling share ∝ p_i^α with α = 0.5, flattening the
+    natural token distribution so small sources are up-sampled without
+    going fully uniform (`corpus_mixture_weights` is the α = 0 limit).
+    Emits per source the natural share, the tempered share, and the
+    boost multiplier (tempered/natural), all in integer ppm.
+
+    α is pinned to 0.5 because p^0.5 = sqrt(p) is CORRECTLY ROUNDED
+    under IEEE 754 — identical in Spark and DuckDB — where a general
+    pow(p, α) is only faithfully rounded and could differ by 1 ulp
+    between libm implementations; the ppm rounding then makes the
+    remaining division-order differences invisible. A production α
+    (0.3, 0.7) swaps sqrt for pow and drops the cross-engine claim.
+
+    Scale: one keyed aggregation to source granularity, then two
+    broadcast 1-row totals — the corpus scan happens once; the output
+    is sources-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(n_tok).alias("n_tokens")
+    )
+    # three consumers (totals, normalizer, output) and no CSE across
+    # plan branches — stage the sources-sized aggregate so the corpus
+    # tokenize-scan runs once, not three times
+    scaled = stage(
+        per_source.withColumn(
+            "p_alpha", F.sqrt(F.col("n_tokens").cast("double"))
+        )
+    )
+    tot = scaled.agg(F.sum(F.col("n_tokens").cast("double")).alias("all_tokens"))
+    z = scaled.agg(F.sum("p_alpha").alias("z"))
+    nat = F.col("n_tokens") / F.col("all_tokens")
+    temp = F.col("p_alpha") / F.col("z")
+    return (
+        scaled.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(nat * 1000000).cast("long").alias("natural_ppm"),
+            F.round(temp * 1000000).cast("long").alias("tempered_ppm"),
+            F.round((temp / nat) * 1000000).cast("long").alias("boost_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -206,3 +206,61 @@ def incremental_lsh_dedup(spark, sf_dir):
             F.count_distinct("s.doc_id").alias("n_snapshot_partners"),
         )
     )
+
+
+@query(
+    "fuzzy_eval_decontamination",
+    oracle=f"""
+    WITH pairs AS ({D.jaccard_verified_pairs_sql(0.6)}),
+    straddle AS (
+      SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS train_doc,
+             CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS eval_doc,
+             jaccard
+      FROM pairs
+      WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
+    )
+    SELECT train_doc, eval_doc, jaccard FROM (
+      SELECT train_doc, eval_doc, jaccard,
+             row_number() OVER (PARTITION BY train_doc
+                                ORDER BY jaccard DESC, eval_doc) AS rn
+      FROM straddle
+    ) WHERE rn = 1
+    """,
+)
+def fuzzy_eval_decontamination(spark, sf_dir):
+    """FUZZY decontamination of the training split against a held-out
+    eval set (docs with doc_id % 10 = 0 stand in for the benchmark
+    suite): MinHash→LSH candidates verified with exact shingle-set
+    Jaccard, kept only where a train doc and an eval doc exceed 0.6
+    similarity, reduced to each train doc's WORST offense (best-match
+    eval partner). These train docs must be dropped before training —
+    exact n-gram decontamination (`decontamination_overlap`) misses
+    paraphrased or lightly-edited benchmark leakage; this catches it.
+
+    Scale: identical cost shape to the dedup pipeline it reuses —
+    band-bucketed candidate generation (never all-pairs), shingle
+    table staged once, intersection join on int64 hashes; the eval
+    side is benchmark-sized, so its band index could equally be
+    broadcast. The per-train-doc argmax window partitions on
+    train_doc (bounded partitions, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.jaccard_verified_pairs(docs, threshold=0.6)
+    a_is_eval = F.col("doc_a") % 10 == 0
+    b_is_eval = F.col("doc_b") % 10 == 0
+    straddle = pairs.filter(a_is_eval != b_is_eval).select(
+        F.when(a_is_eval, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "train_doc"
+        ),
+        F.when(a_is_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "eval_doc"
+        ),
+        "jaccard",
+    )
+    w = Window.partitionBy("train_doc").orderBy(
+        F.col("jaccard").desc(), F.col("eval_doc")
+    )
+    return (
+        straddle.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("train_doc", "eval_doc", "jaccard")
+    )

@@ -585,3 +585,87 @@ def label_centroid_separation(spark, sf_dir):
             F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
         )
     )
+
+
+_DRIFT_SQL = """
+    WITH halves AS (
+      SELECT label, vec_id % 2 AS half,
+             CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    dim_sums AS (
+      SELECT label, pos,
+             sum(CASE WHEN half = 0 THEN v END)::BIGINT AS s_a,
+             sum(CASE WHEN half = 1 THEN v END)::BIGINT AS s_b
+      FROM halves GROUP BY label, pos
+    ),
+    counts AS (
+      SELECT label,
+             sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+             sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+      FROM embeddings GROUP BY label
+    )
+    SELECT d.label, c.n_a, c.n_b,
+           sum(abs(coalesce(d.s_a, 0) * c.n_b
+                   - coalesce(d.s_b, 0) * c.n_a))::BIGINT AS l1_numer,
+           (sum(abs(coalesce(d.s_a, 0) * c.n_b
+                    - coalesce(d.s_b, 0) * c.n_a)) // (c.n_a * c.n_b))::BIGINT
+             AS l1_drift_micro
+    FROM dim_sums d JOIN counts c ON d.label = c.label
+    WHERE c.n_a > 0 AND c.n_b > 0
+    GROUP BY d.label, c.n_a, c.n_b
+    """
+
+
+@query("embedding_centroid_drift", oracle=_DRIFT_SQL)
+def embedding_centroid_drift(spark, sf_dir):
+    """Embedding distribution drift between two ingestion epochs
+    (vec_id parity stands in for epoch): per label, the L1 distance
+    between the two epochs' centroids — the monitoring number that
+    catches a silently retrained or renormalized encoder before a
+    100 TB re-embedding job is wasted. Computed EXACTLY in integer
+    micro-units: the comparison |sA_d/nA − sB_d/nB| is cleared of
+    denominators to |sA_d·nB − sB_d·nA| (Σ_d, then one floor-divide
+    by nA·nB) so both engines agree bit-for-bit — no float summation
+    order anywhere.
+
+    Scale: one posexplode pass to (label, dim) partial sums
+    (mergeable, map-side combined; dims×labels rows total) plus a
+    label-sized count join. Int64 holds Σ_d |s·n| up to ~10⁹ vectors
+    per label at micro precision; beyond that the same plan runs on
+    DECIMAL(38,0)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    half = (F.col("vec_id") % 2).alias("half")
+    exploded = e.select(
+        "label",
+        half,
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select(
+        "label",
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("v") * 1000000).cast("long").alias("v"),
+    )
+    dim_sums = exploded.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("v"))).alias("s_a"),
+        F.sum(F.when(F.col("half") == 1, F.col("v"))).alias("s_b"),
+    )
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("n_b"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    term = F.abs(
+        F.coalesce(F.col("s_a"), F.lit(0)) * F.col("n_b")
+        - F.coalesce(F.col("s_b"), F.lit(0)) * F.col("n_a")
+    )
+    return (
+        dim_sums.join(F.broadcast(counts), "label")
+        .groupBy("label", "n_a", "n_b")
+        .agg(
+            F.sum(term).alias("l1_numer"),
+            F.floor(F.sum(term) / (F.col("n_a") * F.col("n_b")))
+            .cast("long")
+            .alias("l1_drift_micro"),
+        )
+    )

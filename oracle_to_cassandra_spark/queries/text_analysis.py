@@ -351,3 +351,90 @@ def bpe_merge_candidates(spark, sf_dir):
     return top.select(
         "pair", "n_occurrences", F.row_number().over(w).cast("long").alias("rnk")
     ).orderBy("rnk")
+
+
+_NOV_VOCAB_K = 1000
+
+
+@query(
+    "oov_bigram_novelty",
+    oracle=f"""
+    WITH bg AS (
+      SELECT doc_id,
+             unnest(list_transform({TX.shingles_sql(_TOK, 2)},
+                                   b -> {base31_sql("'bg:' || b")})) AS h
+      FROM documents WHERE len({_TOK}) >= 2
+    ),
+    vocab AS (
+      SELECT h FROM (
+        SELECT h, count(*) AS cnt FROM bg GROUP BY h
+      ) ORDER BY cnt DESC, h LIMIT {_NOV_VOCAB_K}
+    ),
+    per_doc AS (
+      SELECT b.doc_id,
+             count(*)::BIGINT AS n_bigrams,
+             sum(CASE WHEN v.h IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+      FROM bg b LEFT JOIN vocab v ON b.h = v.h
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_bigrams, n_oov,
+           (n_oov * 1000000) // n_bigrams AS novelty_ppm
+    FROM per_doc
+    """,
+)
+def oov_bigram_novelty(spark, sf_dir):
+    """Per-document novelty against the corpus' own bigram
+    distribution: the share of a doc's bigram OCCURRENCES falling
+    outside the global top-{_NOV_VOCAB_K} bigram vocabulary, in
+    integer ppm. High-novelty docs are either valuable long-tail
+    content or garbage — either way the docs a curation pass inspects
+    first; near-zero novelty flags boilerplate assembled from stock
+    phrases. The token-level OOV audit (`oov_rate_against_vocab`)
+    misses word-ORDER novelty; bigrams catch it.
+
+    Scale: bigrams are hashed int64 inside the row before exploding
+    (never shuffle n-gram text); the vocabulary is a bounded top-K
+    (distributed partial top-K per partition, then a {_NOV_VOCAB_K}-row
+    sort) and broadcasts into the membership probe, so the per-doc
+    pass is scan + broadcast-hash-probe + one keyed aggregate."""
+    from oracle_to_cassandra_spark.functions.hashing import base31
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    bg = (
+        d.filter(F.size(tok) >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    TX.shingles(tok, 2), lambda b: base31(F.concat(F.lit("bg:"), b))
+                )
+            ).alias("h"),
+        )
+    )
+    bg = stage(bg)  # vocab build + membership probe share one derivation
+    vocab = (
+        bg.groupBy("h")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "h")
+        .limit(_NOV_VOCAB_K)
+        .select("h", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        bg.join(F.broadcast(vocab), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_oov",
+        ((F.col("n_oov") * 1000000) / F.col("n_bigrams"))
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.advanced_ops",
     "oracle_to_cassandra_spark.queries.scale_queries",
     "oracle_to_cassandra_spark.queries.sampling",
+    "oracle_to_cassandra_spark.queries.privacy",
     "oracle_to_cassandra_spark.queries.curation",
     "oracle_to_cassandra_spark.queries.corpus_ops",
     "oracle_to_cassandra_spark.queries.corpus_quality",
@@ -100,10 +101,13 @@ _QUERY_MODULES = (
 #: stats_dispersion_per_segment, plus any round-7 additions that do
 #: not fit this window.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 additions (zero history, inserted as they land;
-    #     each insertion pushes one r1-green filler past the window) ---
+    # --- round-7 additions (zero history; the 50-window holds exactly
+    #     4 of them alongside the 46 r6 rows — the remaining r7
+    #     additions are listed AFTER the 46 and rotate in r8) ---
     "oracle_to_cassandra_e2e",
     "migration_column_profile_approx",
+    "fuzzy_eval_decontamination",
+    "kanonymity_quasi_identifier_audit",
     # --- post-r6-window additions with zero driver history (46) ---
     "incremental_pq_encode",
     "bpe_merge_candidates",
@@ -151,7 +155,13 @@ _PRIORITY: tuple[str, ...] = (
     "curation_pipeline_v2",
     "asof_join_with_tolerance",
     "event_type_association_rules",
-    # --- oldest displaced r1-only-green backfills (4, fill to 50) ---
+    # --- past the 50-window from here down: remaining r7 additions,
+    #     then the oldest displaced r1-only-green backfills — all
+    #     queue for the r8 rotation ---
+    "ldiversity_sensitive_attribute_audit",
+    "temperature_mixture_weights",
+    "oov_bigram_novelty",
+    "embedding_centroid_drift",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
