@@ -581,3 +581,60 @@ def text_normalization_stats(spark, sf_dir):
         (F.length(dirty) - F.length(clean)).cast("int").alias("n_removed"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+@query(
+    "observed_ingest_metrics",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_total,
+           sum(n_chars)::BIGINT AS total_chars,
+           sum(CASE WHEN len(string_split(lower(text), ' ')) < 20
+                    THEN 1 ELSE 0 END)::BIGINT AS n_short,
+           sum(CASE WHEN len(string_split(lower(text), ' ')) >= 20
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+    FROM documents
+    """,
+)
+def observed_ingest_metrics(spark, sf_dir):
+    """The ``Observation`` API — pipeline telemetry WITHOUT a second
+    scan: named aggregate metrics attach to a plan node and are
+    collected as a side effect of the job that runs anyway. Here an
+    ingest-shaped pipeline (scan → length gate → sink) observes input
+    volume, byte mass, and gate reject/keep counts in its single
+    pass, then RETURNS the observed metrics as the query result so
+    the DuckDB twin certifies the side channel end-to-end (a broken
+    listener or a metrics/data mismatch fails the hash compare).
+
+    This is how a 100 TB curation job reports its funnel: the
+    alternative — re-aggregating the input and the output — doubles
+    the scan cost; observe() rides the write. The one-row
+    ``createDataFrame`` at the end carries four LISTENER-delivered
+    longs to the driver, the same bounded-metadata channel as a JDBC
+    bounds fetch, not a data collect."""
+    from pyspark.sql import Observation
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    obs = Observation("ingest_funnel")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.when(n_tok < 20, 1).otherwise(0)).alias("n_short"),
+        F.sum(F.when(n_tok >= 20, 1).otherwise(0)).alias("n_kept"),
+    )
+    gated = observed.filter(n_tok >= 20)
+    # the action the metrics ride on — the pipeline's own sink write
+    gated.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_total"]),
+                int(m["total_chars"]),
+                int(m["n_short"]),
+                int(m["n_kept"]),
+            )
+        ],
+        "n_total long, total_chars long, n_short long, n_kept long",
+    )

@@ -121,3 +121,47 @@ def json_corrupt_records_handling(spark, sf_dir):
         .cast("long")
         .alias("sum_chars_parsed"),
     )
+
+
+@query(
+    "stream_custom_pysource_aggregate",
+    oracle="""
+    SELECT bucket, count(*)::BIGINT AS n, sum(score)::BIGINT AS total_score
+    FROM (
+      SELECT r % 97 AS bucket, (r * r) % 1000 AS score
+      FROM (SELECT unnest(range(0, 6000)) AS r)
+    )
+    GROUP BY bucket
+    """,
+)
+def stream_custom_pysource_aggregate(spark, sf_dir):
+    """The custom Python data source as a STREAM (Spark 4
+    DataSourceStreamReader — the full executor-parallel API:
+    latestOffset → partitions → read, each micro-batch's row range
+    split into concurrently-read slices): 6000 deterministic rows
+    arrive in four 1500-row micro-batches and fold into the same
+    per-bucket aggregate the batch source produces, fully
+    DuckDB-oracled (the oracle regenerates the rows from a range).
+    This is the wrap-a-message-queue template: swap the synthetic
+    generator for a shard reader and the offsets for queue cursors.
+
+    Scale: state is the 97-bucket aggregate (complete mode); the
+    source parallelism per micro-batch equals its slice count, sized
+    to the wrapped system's shard count in production."""
+    from oracle_to_cassandra_spark.sources.pysource import (
+        register_synthetic_stream_source,
+    )
+    from oracle_to_cassandra_spark.streaming.core import run_stream_to_memory
+
+    try:
+        register_synthetic_stream_source(spark)
+    except Exception:
+        pass  # already registered in this session
+    stream = spark.readStream.format("synthetic_events_stream").load()
+    agg = stream.groupBy("bucket").agg(
+        F.count("*").alias("n"), F.sum("score").alias("total_score")
+    )
+    # default trigger, not availableNow: the reader reveals its
+    # backlog one micro-batch at a time (like a real queue cursor),
+    # and availableNow would snapshot only the first batch
+    return run_stream_to_memory(agg, output_mode="complete", available_now=False)

@@ -142,3 +142,83 @@ def map_in_arrow_token_stats(spark, sf_dir):
     return d.mapInArrow(
         batch_stats, "doc_id long, n_bytes long, n_ws_tokens long"
     )
+
+
+@query(
+    "cogrouped_order_reconciliation",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_total_cents,
+           coalesce(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)),
+                    0)::BIGINT AS lines_total_cents,
+           count(l.l_orderkey)::BIGINT AS n_lines
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 5 = 0
+    GROUP BY o.o_orderkey, o.o_totalprice
+    """,
+)
+def cogrouped_order_reconciliation(spark, sf_dir):
+    """``cogroup(...).applyInPandas`` — the LAST tier of the Python
+    surface: both sides of a key are delivered to Python ALIGNED (one
+    pandas frame per side per key group), the escape hatch for
+    per-key logic that needs simultaneous access to two tables
+    (sequence alignment, per-entity model fitting, custom as-of
+    semantics). The demonstrator is deliberately SQL-checkable:
+    per order, the header total vs the sum of its line items in
+    integer cents — so the exact LEFT JOIN twin certifies that
+    cogroup delivered every key exactly once with ALL rows of both
+    sides (headers with zero lines included).
+
+    Scale: both sides shuffle once on the key — identical movement to
+    the equivalent join; keys stay together, so Python receives
+    bounded per-key frames (max lines per order, not partition-sized
+    frames). The % 5 key filter is pushed below the cogroup into both
+    scans."""
+    import pandas as pd
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 5 == 0)
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # line items without a header: not this audit's row
+            return pd.DataFrame(
+                columns=[
+                    "o_orderkey", "o_total_cents", "lines_total_cents", "n_lines"
+                ]
+            )
+        # floor(x*100 + 0.5), NOT .round()/round(): numpy and Python
+        # round half-to-EVEN while Spark/DuckDB round half AWAY from
+        # zero — for positive prices floor(+0.5) matches the engines
+        import numpy as np
+
+        cents = np.floor(
+            right["l_extendedprice"].to_numpy() * 100 + 0.5
+        ).astype("int64")
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(left["o_orderkey"].iloc[0])],
+                "o_total_cents": [
+                    int(np.floor(float(left["o_totalprice"].iloc[0]) * 100 + 0.5))
+                ],
+                "lines_total_cents": [int(cents.sum()) if len(right) else 0],
+                "n_lines": [len(right)],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(l.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            schema="o_orderkey long, o_total_cents long, "
+            "lines_total_cents long, n_lines long",
+        )
+    )

@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "oracle_to_cassandra_spark.queries.jdbc_roundtrip",
     "oracle_to_cassandra_spark.queries.pipelines",
     "oracle_to_cassandra_spark.queries.advanced_ops",
+    "oracle_to_cassandra_spark.queries.graph_rank",
     "oracle_to_cassandra_spark.queries.scale_queries",
     "oracle_to_cassandra_spark.queries.sampling",
     "oracle_to_cassandra_spark.queries.privacy",
@@ -162,6 +163,10 @@ _PRIORITY: tuple[str, ...] = (
     "temperature_mixture_weights",
     "oov_bigram_novelty",
     "embedding_centroid_drift",
+    "trade_graph_pagerank",
+    "stream_custom_pysource_aggregate",
+    "cogrouped_order_reconciliation",
+    "observed_ingest_metrics",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",

@@ -26,7 +26,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import LongType, StructField, StructType
 
 #: 4 × 2000 rather than 8 × 1000: the dominant cost of a Python data
@@ -100,3 +105,97 @@ class SyntheticEventsDataSource(DataSource):
 
 def register_synthetic_source(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Streaming variant (Spark 4 DataSourceStreamReader): the same
+# deterministic generator exposed as a MICRO-BATCH stream — the
+# template for wrapping a message queue / change feed as a first-class
+# ``spark.readStream`` source. This is the full executor-parallel API
+# (latestOffset → partitions → read on executors), NOT the driver-side
+# SimpleDataSourceStreamReader: each micro-batch's row range splits
+# into input partitions that read concurrently, so a wrapped queue
+# with N shards streams with N-way parallelism exactly like the batch
+# source's stride scan.
+# ---------------------------------------------------------------------------
+
+STREAM_TOTAL_ROWS = 6000
+STREAM_ROWS_PER_BATCH = 1500
+STREAM_SLICES_PER_BATCH = 2
+
+
+class _StreamSlice(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Offset = {"row": n}: rows [0, total) are emitted in
+    rows_per_batch chunks; after exhaustion latestOffset stops
+    advancing, so ``processAllAvailable`` (or an availableNow-style
+    drain loop) terminates deterministically."""
+
+    def __init__(self, options):
+        self.total = int(options.get("totalRows", STREAM_TOTAL_ROWS))
+        self.rows_per_batch = int(
+            options.get("rowsPerBatch", STREAM_ROWS_PER_BATCH)
+        )
+        self.slices = int(options.get("slicesPerBatch", STREAM_SLICES_PER_BATCH))
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self.rows_per_batch, self.total)
+        return {"row": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["row"]), int(end["row"])
+        if hi <= lo:
+            return [_StreamSlice(lo, lo)]
+        step = max(1, (hi - lo + self.slices - 1) // self.slices)
+        return [
+            _StreamSlice(s, min(s + step, hi)) for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition: _StreamSlice):
+        rid = np.arange(partition.start, partition.end, dtype=np.int64)
+        if rid.size:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rid, type=pa.int64()),
+                    pa.array(rid % 97, type=pa.int64()),
+                    pa.array((rid * rid) % 1000, type=pa.int64()),
+                ],
+                names=["rid", "bucket", "score"],
+            )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class SyntheticEventsStreamDataSource(DataSource):
+    """spark.readStream.format("synthetic_events_stream") after
+    ``spark.dataSource.register(SyntheticEventsStreamDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self):
+        return StructType(
+            [
+                StructField("rid", LongType(), False),
+                StructField("bucket", LongType(), False),
+                StructField("score", LongType(), False),
+            ]
+        )
+
+    def streamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    spark.dataSource.register(SyntheticEventsStreamDataSource)

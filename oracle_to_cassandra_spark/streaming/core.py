@@ -52,7 +52,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    result: DataFrame, output_mode: str = "complete", state_partitions: int | None = None
+    result: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+    available_now: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan to completion against the memory sink
     (synchronous: availableNow trigger + processAllAvailable) and
@@ -64,20 +67,29 @@ def run_stream_to_memory(
     opens FOUR state stores per partition, so the right width is set
     by state SIZE, not by the session's batch-shuffle default (on a
     cluster you'd size it once per checkpoint; here each run is a
-    fresh checkpoint)."""
+    fresh checkpoint).
+
+    ``available_now=False`` falls back to the default micro-batch
+    trigger: an availableNow run snapshots ``latestOffset`` ONCE at
+    start, which truncates sources that reveal their backlog one
+    micro-batch at a time (the custom Python stream reader, a
+    rate-limited queue cursor); the default trigger re-polls until
+    ``processAllAvailable`` observes no progress, draining them
+    fully."""
     spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
+        writer = (
             result.writeStream.outputMode(output_mode)
             .format("memory")
             .queryName(name)
-            .trigger(availableNow=True)
-            .start()
         )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        q = writer.start()
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
