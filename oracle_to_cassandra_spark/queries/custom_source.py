@@ -157,11 +157,22 @@ def stream_custom_pysource_aggregate(spark, sf_dir):
         register_synthetic_stream_source(spark)
     except Exception:
         pass  # already registered in this session
-    stream = spark.readStream.format("synthetic_events_stream").load()
+    # 2×3000-row micro-batches: each micro-batch costs a fixed
+    # ~1.5 s of Python-source planning + complete-mode state
+    # rewrite locally, so batch COUNT (not row count) is the cost
+    # driver — two batches exercise the multi-batch offset walk at
+    # half the price of four
+    stream = (
+        spark.readStream.format("synthetic_events_stream")
+        .option("rowsPerBatch", "3000")
+        .load()
+    )
     agg = stream.groupBy("bucket").agg(
         F.count("*").alias("n"), F.sum("score").alias("total_score")
     )
     # default trigger, not availableNow: the reader reveals its
     # backlog one micro-batch at a time (like a real queue cursor),
     # and availableNow would snapshot only the first batch
-    return run_stream_to_memory(agg, output_mode="complete", available_now=False)
+    return run_stream_to_memory(
+        agg, output_mode="complete", available_now=False, state_partitions=8
+    )
