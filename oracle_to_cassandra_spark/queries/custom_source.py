@@ -176,3 +176,50 @@ def stream_custom_pysource_aggregate(spark, sf_dir):
     return run_stream_to_memory(
         agg, output_mode="complete", available_now=False, state_partitions=8
     )
+
+
+@query(
+    "xml_roundtrip_extraction",
+    oracle="""
+    SELECT o_orderstatus, count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             AS total_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def xml_roundtrip_extraction(spark, sf_dir):
+    """Native XML support (Spark 4): each order row serializes to an
+    XML fragment with ``to_xml(struct(...))`` and parses back with
+    ``from_xml`` under an explicit schema — the interchange lane for
+    the XML feeds enterprise Oracle shops actually emit (the
+    reference's source system predates JSON APIs). The aggregate over
+    the ROUND-TRIPPED values matching the closed-form oracle proves
+    the serialize→parse cycle is lossless for keys, categories, and
+    exact integer cents.
+
+    Scale: both directions are JVM expression-tree codecs (no Python,
+    no external jar — XML is built into Spark 4's sql module), so the
+    roundtrip runs at scan speed like the CSV/JSON/ORC digests in
+    `format_roundtrip_digest`."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.to_xml(
+            F.struct(
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.round(F.col("o_totalprice") * 100).cast("long").alias(
+                    "price_cents"
+                ),
+            )
+        ).alias("xml")
+    )
+    parsed = o.select(
+        F.from_xml(
+            "xml",
+            "STRUCT<o_orderkey: BIGINT, o_orderstatus: STRING, "
+            "price_cents: BIGINT>",
+        ).alias("r")
+    )
+    return parsed.groupBy(F.col("r.o_orderstatus").alias("o_orderstatus")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum("r.price_cents").alias("total_cents"),
+    )

@@ -694,3 +694,88 @@ def merge_upsert_apply(spark, sf_dir):
             )
         )
     ).select("n_rows_after", "n_deleted", "n_updated", "content_digest")
+
+
+@query(
+    "gdpr_delete_propagation",
+    oracle="""
+    WITH tombstones AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0
+    ),
+    t_customer AS (
+      SELECT 'customer' AS table_name,
+             count(*) FILTER (c_custkey % 101 = 0)::BIGINT AS n_purge,
+             count(*) FILTER (c_custkey % 101 <> 0)::BIGINT AS n_keep
+      FROM customer
+    ),
+    t_orders AS (
+      SELECT 'orders',
+             count(*) FILTER (o_custkey % 101 = 0)::BIGINT,
+             count(*) FILTER (o_custkey % 101 <> 0)::BIGINT
+      FROM orders
+    ),
+    t_lineitem AS (
+      SELECT 'lineitem',
+             count(*) FILTER (o.o_custkey % 101 = 0)::BIGINT,
+             count(*) FILTER (o.o_custkey % 101 <> 0)::BIGINT
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    t_events AS (
+      SELECT 'events',
+             count(*) FILTER (user_id % 101 = 0)::BIGINT,
+             count(*) FILTER (user_id % 101 <> 0)::BIGINT
+      FROM events
+    )
+    SELECT * FROM t_customer UNION ALL SELECT * FROM t_orders
+    UNION ALL SELECT * FROM t_lineitem UNION ALL SELECT * FROM t_events
+    """,
+)
+def gdpr_delete_propagation(spark, sf_dir):
+    """Right-to-be-forgotten impact plan: given a tombstone set of
+    customer keys (c_custkey ≡ 0 mod 101 stands in for the deletion
+    queue), compute per table how many rows the cascade purges and how
+    many remain — customer directly, orders via its FK, lineitem via
+    the orders hop (no direct customer key — the transitive edge every
+    real schema has), events via the shared user id space. This is the
+    DRY-RUN every GDPR pipeline runs before rewriting 100 TB: the
+    counts size the rewrite and the FK walk proves the cascade reaches
+    every table the subject touches.
+
+    Scale: the tombstone set is deletion-queue-sized — it broadcasts
+    into semi-join membership probes, so each table is ONE scan with a
+    broadcast hash probe (lineitem additionally hops through orders,
+    keyed on its natural join). The actual purge would be the same
+    plans with anti-join writers; counts-first is the safety gate."""
+    tomb = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 101 == 0)
+        .select(F.col("c_custkey").alias("tomb_key"))
+    )
+
+    def audit(df, key_col, name):
+        hit = F.col("tomb_key").isNotNull()
+        return (
+            df.join(
+                F.broadcast(tomb), F.col(key_col) == F.col("tomb_key"), "left"
+            )
+            .agg(
+                F.sum(F.when(hit, 1).otherwise(0)).alias("n_purge"),
+                F.sum(F.when(hit, 0).otherwise(1)).alias("n_keep"),
+            )
+            .select(F.lit(name).alias("table_name"), "n_purge", "n_keep")
+        )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    line = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    line_cust = line.join(
+        orders.select("o_orderkey", "o_custkey"),
+        line.l_orderkey == orders.o_orderkey,
+    )
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    return (
+        audit(cust, "c_custkey", "customer")
+        .unionByName(audit(orders, "o_custkey", "orders"))
+        .unionByName(audit(line_cust, "o_custkey", "lineitem"))
+        .unionByName(audit(events, "user_id", "events"))
+    )

@@ -219,3 +219,108 @@ def keyset_pagination_page3(spark, sf_dir):
         "o_totalprice",
         F.row_number().over(w).cast("long").alias("row_in_page"),
     )
+
+
+@query(
+    "parameterized_sql_query",
+    oracle="""
+    SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+           round(avg(c_acctbal), 6) AS avg_bal
+    FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    GROUP BY c_mktsegment
+    """,
+)
+def parameterized_sql_query(spark, sf_dir):
+    """Parameterized ``spark.sql`` with named markers (Spark 3.4+):
+    the injection-safe SQL entry point — parameters bind as TYPED
+    literals in the parser, never via string concatenation, which is
+    what the reference's string-built ``sqlContext.sql`` calls
+    (README.md:781) should become in any exposed service. Catalyst
+    still constant-folds the bound literals, so pushdown/pruning are
+    identical to inlined text."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_custs,
+               round(avg(c_acctbal), 6) AS avg_bal
+        FROM customer
+        WHERE c_mktsegment = :seg AND c_acctbal > :min_bal
+        GROUP BY c_mktsegment
+        """,
+        args={"seg": "BUILDING", "min_bal": 1000.0},
+    )
+
+
+@query(
+    "collation_ci_grouping",
+    oracle="""
+    SELECT lower(o_orderpriority) AS priority_ci,
+           count(*)::BIGINT AS n_orders
+    FROM (
+      SELECT CASE WHEN o_orderkey % 3 = 0 THEN upper(o_orderpriority)
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    )
+    GROUP BY 1
+    """,
+)
+def collation_ci_grouping(spark, sf_dir):
+    """String COLLATION (Spark 4): grouping under UTF8_LCASE compares
+    case-insensitively in the JVM comparator itself — the engine-level
+    answer to dirty categorical columns (the reference's Oracle
+    extract would arrive with mixed-case codes after any manual CSV
+    hop). The planted mixed-case column groups to the SAME buckets as
+    the explicit lower() twin, proving collation-aware grouping
+    matches normalize-then-group semantics; the output key is
+    lower()ed on both sides because a collated group's REPRESENTATIVE
+    string is arrival-order nondeterministic, while its identity is
+    not.
+
+    Scale: collation lives in the comparator — no extra projection,
+    and the shuffle hash respects it, so the group-by plan is
+    unchanged vs a binary-collated column."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.upper("o_orderpriority")
+        )
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority")
+    )
+    ci = o.select(
+        F.collate(F.col("o_orderpriority"), "UTF8_LCASE").alias("pri_ci")
+    )
+    return ci.groupBy("pri_ci").agg(F.count("*").alias("n_orders")).select(
+        # normalize the nondeterministic representative for the compare
+        F.lower(F.col("pri_ci")).cast("string").alias("priority_ci"),
+        "n_orders",
+    )
+
+
+@query(
+    "hinted_shuffle_hash_join",
+    oracle="""
+    SELECT n.n_name, count(*)::BIGINT AS n_custs,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def hinted_shuffle_hash_join(spark, sf_dir):
+    """Join-strategy HINTS: the explicit override lane for when the
+    optimizer's size estimates are wrong (a common 100 TB reality —
+    stale stats after a backfill). SHUFFLE_HASH forces a hash join
+    without the sort phase of sort-merge — the right call when one
+    side is modest but above the broadcast threshold; the plan-shape
+    test pins ShuffledHashJoin so a silent fallback to SMJ (hint
+    ignored) is caught, not assumed."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

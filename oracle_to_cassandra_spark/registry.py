@@ -167,6 +167,11 @@ _PRIORITY: tuple[str, ...] = (
     "stream_custom_pysource_aggregate",
     "cogrouped_order_reconciliation",
     "observed_ingest_metrics",
+    "gdpr_delete_propagation",
+    "parameterized_sql_query",
+    "collation_ci_grouping",
+    "hinted_shuffle_hash_join",
+    "xml_roundtrip_extraction",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",

@@ -146,3 +146,30 @@ def test_column_profile_approx_expand_free(spark):
     rows = approx_df.collect()
     assert len(rows) == 6
     assert all(r["approx_within_tol"] for r in rows)
+
+
+def test_shuffle_hash_hint_respected(spark):
+    """The SHUFFLE_HASH hint must produce a ShuffledHashJoin — a
+    silently-ignored hint (falling back to broadcast or sort-merge)
+    would invalidate the query's documented purpose."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["hinted_shuffle_hash_join"](spark, SF_DIR)
+    assert "ShuffledHashJoin" in formatted_plan(df)
+
+
+def test_gdpr_cascade_consistency(spark):
+    """Purge+keep must equal each table's row count, and the orders
+    and lineitem purge fractions must reflect the same tombstone set
+    (an order is purged iff its customer is, every line of a purged
+    order is purged)."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    rows = {
+        r["table_name"]: r
+        for r in E.queries()["gdpr_delete_propagation"](spark, SF_DIR).collect()
+    }
+    for t in ("customer", "orders", "lineitem", "events"):
+        n = load_table(spark, SF_DIR, t).count()
+        assert rows[t]["n_purge"] + rows[t]["n_keep"] == n, t
+    assert rows["customer"]["n_purge"] > 0, "tombstone set empty at this SF"
