@@ -23,10 +23,11 @@ Scale: the edge list aggregates once from the fact join (staged — it
 feeds every iteration); each iteration joins the 25-row rank vector
 (broadcast) to the edges and re-aggregates per destination — the
 standard distributed PageRank round, where edges shuffle ONCE at
-build and only the rank vector moves per iteration. Dangling-mass
-redistribution is omitted (every nation has outgoing trade in TPC-H);
-a production crawl graph adds the dangling term as one more broadcast
-scalar per round.
+build and only the rank vector moves per iteration. Dangling nodes (no
+outgoing edges — at small SFs most nations have customers but no
+suppliers) spray their whole rank uniformly over the node set, as one
+extra broadcast scalar per round; without it ~60% of total mass
+bleeds away in 3 rounds (measured on the sf0.001 fixture).
 """
 
 from __future__ import annotations
@@ -59,11 +60,19 @@ _EDGES_SQL = """
 
 def _round_sql(k: int) -> str:
     return f"""
+    dang{k} AS (
+      SELECT coalesce(sum(r.pr), 0)::BIGINT AS dmass
+      FROM r{k - 1} r LEFT JOIN outw o ON o.src = r.node
+      WHERE o.src IS NULL
+    ),
     r{k} AS (
       SELECT n.node,
              ({(100 - _D_NUM) * PR_SCALE} // {_D_DEN})
                // (SELECT count(*) FROM nodes)
-             + ({_D_NUM} * coalesce(m.mass, 0)) // {_D_DEN} AS pr
+             + ({_D_NUM} * (coalesce(m.mass, 0)
+                            + (SELECT dmass FROM dang{k})
+                              // (SELECT count(*) FROM nodes)))
+               // {_D_DEN} AS pr
       FROM nodes n LEFT JOIN (
         SELECT e.dst AS node, sum((r.pr * e.w) // o.w_out)::BIGINT AS mass
         FROM edges e
@@ -136,22 +145,34 @@ def trade_graph_pagerank(spark, sf_dir):
                 ).alias("mass")
             )
         )
+        # dangling nodes (no outgoing edges) spray their whole rank
+        # uniformly — dropping it instead bleeds ~60% of total mass in
+        # 3 rounds when only part of the node set has out-edges (the
+        # sf0.001 fixture has 10 supplier nations vs 25 nodes)
+        dangling = (
+            ranks.join(
+                outw.select(F.col("src").alias("node")), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dmass"))
+        )
         teleport = (
             F.floor(
                 F.floor(F.lit((100 - _D_NUM) * PR_SCALE) / F.lit(_D_DEN))
                 / F.col("n_nodes")
             )
         ).cast("long")
+        dshare = F.floor(F.col("dmass") / F.col("n_nodes")).cast("long")
         ranks = (
             nodes.join(mass, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     teleport
                     + F.floor(
                         F.lit(_D_NUM)
-                        * F.coalesce(F.col("mass"), F.lit(0))
+                        * (F.coalesce(F.col("mass"), F.lit(0)) + dshare)
                         / F.lit(_D_DEN)
                     ).cast("long")
                 ).alias("pr"),

@@ -201,3 +201,50 @@ def asof_join_with_tolerance(spark, sf_dir):
         ),
         (F.col("asof_p_ts").isNotNull() & ~fresh).alias("is_stale"),
     )
+
+
+@query(
+    "null_safe_join_reconciliation",
+    oracle="""
+    WITH src AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE o_orderpriority END AS pri_key,
+             count(*)::BIGINT AS n_src
+      FROM orders GROUP BY 1
+    ),
+    dst AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE o_orderpriority END AS pri_key,
+             count(*)::BIGINT AS n_dst
+      FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+    )
+    SELECT s.pri_key, s.n_src, d.n_dst
+    FROM src s JOIN dst d ON s.pri_key IS NOT DISTINCT FROM d.pri_key
+    """,
+)
+def null_safe_join_reconciliation(spark, sf_dir):
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    join predicate under which NULL matches NULL — required whenever
+    the join key is a DERIVED nullable (here a priority code with one
+    value nulled out, the shape every sentinel-to-NULL cleanup
+    produces). A plain equi-join silently DROPS the NULL group on
+    both sides; the reconciliation row for the nulled key is exactly
+    what it would lose.
+
+    Scale: eqNullSafe compiles to the same hash join as ``=`` (the
+    null bucket hashes like any value) — no nested-loop fallback, and
+    the tiny grouped sides broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit(None)
+    ).otherwise(F.col("o_orderpriority"))
+    src = o.groupBy(key.alias("pri_key")).agg(F.count("*").alias("n_src"))
+    dst = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(key.alias("pri_key"))
+        .agg(F.count("*").alias("n_dst"))
+    )
+    d = dst.withColumnRenamed("pri_key", "pri_key_d")
+    return src.join(
+        F.broadcast(d), src.pri_key.eqNullSafe(d.pri_key_d)
+    ).select("pri_key", "n_src", "n_dst")

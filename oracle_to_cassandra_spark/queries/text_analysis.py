@@ -438,3 +438,68 @@ def oov_bigram_novelty(spark, sf_dir):
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+@query(
+    "unigram_cross_entropy_per_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest({_TOK}) AS w FROM documents
+    ),
+    lm AS (
+      SELECT w, count(*) AS n_w FROM tok GROUP BY w
+    ),
+    total AS (SELECT sum(n_w)::DOUBLE AS n_total FROM lm),
+    scored AS (
+      SELECT t.source, -ln(l.n_w / tt.n_total) AS surprise
+      FROM tok t JOIN lm l ON t.w = l.w CROSS JOIN total tt
+    )
+    SELECT source, count(*)::BIGINT AS n_tokens,
+           round((sum(CAST(round(surprise * 1000000) AS BIGINT))::DOUBLE
+                  / 1000000.0) / count(*), 6) AS cross_entropy_nats
+    FROM scored GROUP BY source
+    """,
+)
+def unigram_cross_entropy_per_source(spark, sf_dir):
+    """Per-source cross-entropy against the corpus-wide unigram LM:
+    each token occurrence contributes its code length −ln p(w); the
+    per-source mean is the nats-per-token the corpus model spends on
+    that source. Sources far ABOVE the corpus norm are
+    distribution-shifted (a quality/mixture review flag); far below
+    are repetitive/templated. This is the cheapest member of the
+    LM-quality family — the unigram floor under the bigram novelty
+    audit (`oov_bigram_novelty`) and the Markov surprise score
+    (`markov_surprise_anomaly_users`), and the same surprise-sum
+    discipline: ln values fold as integer micro-units so the mean
+    cannot flip on a rounding boundary across engines.
+
+    Scale: the LM is vocabulary-sized and BROADCAST back against the
+    token stream; both aggregates are map-side combinable; nothing
+    shuffles at corpus scale except the vocabulary count itself."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = stage(
+        d.select("source", F.explode(TX.tokens(F.col("text"))).alias("w"))
+    )
+    lm = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = lm.agg(F.sum("n_w").cast("double").alias("n_total"))
+    scored = (
+        tok.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            (-F.log(F.col("n_w") / F.col("n_total"))).alias("surprise"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(
+            (
+                F.sum(F.round(F.col("surprise") * 1000000).cast("long")).cast(
+                    "double"
+                )
+                / 1000000.0
+            )
+            / F.count("*"),
+            6,
+        ).alias("cross_entropy_nats"),
+    )

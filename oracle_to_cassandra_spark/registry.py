@@ -172,6 +172,8 @@ _PRIORITY: tuple[str, ...] = (
     "collation_ci_grouping",
     "hinted_shuffle_hash_join",
     "xml_roundtrip_extraction",
+    "unigram_cross_entropy_per_source",
+    "null_safe_join_reconciliation",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",

@@ -173,3 +173,40 @@ def test_gdpr_cascade_consistency(spark):
         n = load_table(spark, SF_DIR, t).count()
         assert rows[t]["n_purge"] + rows[t]["n_keep"] == n, t
     assert rows["customer"]["n_purge"] > 0, "tombstone set empty at this SF"
+
+
+def test_pagerank_mass_conservation(spark):
+    """Integer PageRank invariants: every node's rank is at least the
+    teleport floor, total mass never exceeds the scale (floor
+    divisions only LOSE mass), and at least ~95% of the mass
+    survives 3 rounds of truncation."""
+    from oracle_to_cassandra_spark.queries.graph_rank import PR_SCALE
+
+    rows = E.queries()["trade_graph_pagerank"](spark, SF_DIR).collect()
+    n = len(rows)
+    teleport = ((15 * PR_SCALE) // 100) // n
+    total = sum(r["pagerank_nano"] for r in rows)
+    assert all(r["pagerank_nano"] >= teleport for r in rows)
+    assert total <= PR_SCALE
+    assert total >= int(0.95 * PR_SCALE), f"too much floored mass: {total}"
+
+
+def test_kanonymity_bands_partition_rows(spark):
+    """The k-band histogram must partition the customer table exactly
+    and each band's min/max class sizes must respect its boundaries."""
+    from oracle_to_cassandra_spark.sources import load_table
+
+    rows = E.queries()["kanonymity_quasi_identifier_audit"](
+        spark, SF_DIR
+    ).collect()
+    n_customers = load_table(spark, SF_DIR, "customer").count()
+    assert sum(r["n_rows"] for r in rows) == n_customers
+    bounds = {
+        "k=1 (unique)": (1, 1),
+        "k in [2,5)": (2, 4),
+        "k in [5,20)": (5, 19),
+        "k >= 20": (20, 10**9),
+    }
+    for r in rows:
+        lo, hi = bounds[r["k_band"]]
+        assert lo <= r["min_k"] <= r["max_k"] <= hi, r
