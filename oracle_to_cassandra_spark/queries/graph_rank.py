@@ -178,6 +178,13 @@ def trade_graph_pagerank(spark, sf_dir):
                 ).alias("pr"),
             )
         )
+        # each iteration reads `ranks` TWICE (mass join + dangling
+        # anti-join), so an unstaged rank vector doubles the plan per
+        # round — 80 exchanges by iteration 3. Stage the 25-row vector
+        # (the iterative-state handoff, as in operators/graph.py) so
+        # every round starts from a materialized leaf: 6 exchanges
+        # total and per-round cost independent of round number.
+        ranks = stage(ranks, eager=True)
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("pr").alias("pagerank_nano")
     )
