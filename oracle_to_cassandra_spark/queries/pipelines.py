@@ -453,3 +453,77 @@ def oracle_to_cassandra_e2e(spark, sf_dir):
 
 
 _E2E_SEEDED: set[str] = set()
+
+
+@query(
+    "secondary_index_dpp_lookup",
+    oracle="""
+    SELECT o_orderkey % 16 AS pbucket,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+             AS total_cents
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def secondary_index_dpp_lookup(spark, sf_dir):
+    """The Cassandra secondary-index / lookup-table pattern
+    (`/root/reference/README.md:660-668`'s query-first data modeling:
+    a table per access path) executed Spark-first: the base table is
+    laid out by its PARTITION KEY (an orderkey hash bucket), a
+    separate index table is laid out by the SECONDARY attribute
+    (priority), and a query on the secondary attribute probes the
+    index partition (static pruning), then fetches from the base via
+    a broadcast join that triggers DYNAMIC PARTITION PRUNING — the
+    base scan reads only the hash buckets the index says contain
+    matches, decided at runtime from the broadcast side.
+
+    At 100 TB this is the difference between scanning the full base
+    table for a secondary predicate and touching only the matching
+    partitions — Spark's runtime answer to Cassandra's
+    `CREATE INDEX`, with the planner inserting the pruning subquery
+    instead of a second storage engine. The plan-shape test pins
+    `dynamicpruning` in the base scan's partition filters.
+
+    Scale: index write shuffles once on priority; lookups move
+    index-partition-sized data (broadcast), and the base read is
+    pruned to the bucket subset; the final aggregate is map-side
+    combinable."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "default"
+    base_path = scratch.session_path(f"sidx_base_{sf_name}")
+    idx_path = scratch.session_path(f"sidx_index_{sf_name}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
+        (F.col("o_orderkey") % 16).alias("pbucket"),
+    )
+    write_query_table(
+        orders.select("o_orderkey", "price_cents", "pbucket"),
+        base_path,
+        partition_by=["pbucket"],
+        cluster_by=["o_orderkey"],
+    )
+    write_query_table(
+        orders.select("o_orderpriority", "pbucket", "o_orderkey"),
+        idx_path,
+        partition_by=["o_orderpriority"],
+        cluster_by=["pbucket", "o_orderkey"],
+    )
+    spark.catalog.refreshByPath(base_path)
+    spark.catalog.refreshByPath(idx_path)
+    # probe: static pruning on the index's partition column
+    idx = read_partition(
+        spark, idx_path, "o_orderpriority", "1-URGENT"
+    ).select("pbucket", "o_orderkey")
+    base = spark.read.parquet(base_path)
+    # fetch: broadcast the index hits; DPP prunes base partitions at
+    # runtime to the buckets present in the broadcast side
+    fetched = base.join(
+        F.broadcast(idx),
+        ["pbucket", "o_orderkey"],
+    )
+    return fetched.groupBy("pbucket").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("price_cents").alias("total_cents"),
+    )

@@ -174,6 +174,7 @@ _PRIORITY: tuple[str, ...] = (
     "xml_roundtrip_extraction",
     "unigram_cross_entropy_per_source",
     "null_safe_join_reconciliation",
+    "secondary_index_dpp_lookup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",

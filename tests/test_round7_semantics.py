@@ -210,3 +210,16 @@ def test_kanonymity_bands_partition_rows(spark):
     for r in rows:
         lo, hi = bounds[r["k_band"]]
         assert lo <= r["min_k"] <= r["max_k"] <= hi, r
+
+
+def test_secondary_index_dpp(spark):
+    """The base-table scan must carry a dynamic-pruning partition
+    filter fed by the broadcast index side (checked on the
+    pre-execution plan — AQE substitutes the materialized subquery
+    after the first run), plus no Python stages."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["secondary_index_dpp_lookup"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "dynamicpruning" in plan, "base scan lost dynamic partition pruning"
+    assert "Python" not in plan
