@@ -223,3 +223,78 @@ def xml_roundtrip_extraction(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum("r.price_cents").alias("total_cents"),
     )
+
+
+@query(
+    "dead_letter_replay_recovery",
+    oracle="""
+    SELECT count(*)::BIGINT AS n_quarantined,
+           sum(CASE WHEN doc_id < 10000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_recovered,
+           coalesce(sum(CASE WHEN doc_id < 10000 THEN doc_id END), 0)::BIGINT
+             AS recovered_id_sum
+    FROM documents WHERE doc_id % 7 = 3
+    """,
+)
+def dead_letter_replay_recovery(spark, sf_dir):
+    """The dead-letter REPLAY half of the corrupt-records contract
+    (`json_corrupt_records_handling` quarantines; this recovers):
+    rows whose JSON was truncated mid-record still carry a parsable
+    prefix — a salvage rule (regex over the raw rescue text) extracts
+    the record key so the quarantined rows can be re-fetched from the
+    source instead of being dropped. Emits quarantine volume, salvage
+    rate, and a checksum over the recovered keys; the oracle states
+    the planted truncation pattern in closed form, so a salvage regex
+    that over- or under-matches fails the hash.
+
+    Scale: the replay runs over the dead-letter table only
+    (quarantine-sized, not corpus-sized); regexp_extract is a codegen
+    expression — the whole salvage pass is scan-speed."""
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents")
+    line = F.to_json(F.struct("doc_id", "n_chars", "lang"))
+    corrupted = F.when(
+        F.col("doc_id") % 7 == 3, F.substring(line, 1, 15)
+    ).otherwise(line)
+    raw = d.select(corrupted.alias("js"))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    parsed = raw.select(
+        F.from_json(
+            "js",
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("r")
+    )
+    dead_letter = parsed.filter(F.col("r._corrupt_record").isNotNull()).select(
+        F.col("r._corrupt_record").alias("raw")
+    )
+    # salvage: the doc_id survives in the truncated prefix — but ONLY
+    # if its terminating comma does too. A bare \d+ would silently
+    # extract a TRUNCATED number for ids longer than the prefix allows
+    # (5+ digits under the 15-char cut) — recovering a WRONG id is
+    # worse than recovering none, so the rule demands the delimiter
+    # and the oracle mirrors the resulting 4-digit bound.
+    recovered = dead_letter.select(
+        F.regexp_extract(F.col("raw"), r'"doc_id":(\d+),', 1).alias("id_str")
+    ).select(
+        F.when(F.col("id_str") != "", F.col("id_str").cast("long")).alias(
+            "doc_id"
+        )
+    )
+    return recovered.agg(
+        F.count(F.lit(1)).alias("n_quarantined"),
+        F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0)).alias(
+            "n_recovered"
+        ),
+        F.coalesce(F.sum("doc_id"), F.lit(0)).cast("long").alias(
+            "recovered_id_sum"
+        ),
+    )

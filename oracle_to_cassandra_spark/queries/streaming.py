@@ -403,3 +403,76 @@ def stream_trending_event_types(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("window_start", "event_type", "n_events", "rnk")
     )
+
+
+@query(
+    "stream_crash_resume_reconciliation",
+    oracle="""
+    SELECT event_type, count(*)::BIGINT AS n_events,
+           sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT AS value_micro
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_crash_resume_reconciliation(spark, sf_dir):
+    """Checkpoint-recovery evidence AS AN ORACLED QUERY: the events
+    table is laid down as four files, a foreachBatch ingest is KILLED
+    by a planted fault after the second micro-batch's sink write (the
+    at-least-once redelivery window — written but not committed), then
+    RESUMED from the same checkpoint; the reconciliation aggregate
+    over the recovered sink must equal the closed-form oracle over
+    the source. Any lost batch, duplicated redelivery, or
+    offset-tracking error fails the hash compare. The idempotent
+    batch_id-keyed writer (`streaming/recovery.py`) is what absorbs
+    the redelivered batch.
+
+    Scale: this is the property a 100 TB streaming ingest's
+    exactly-once claim actually rests on — checkpointed source
+    offsets + idempotent per-batch sink writes; the test harness twin
+    (`tests/test_streaming_recovery.py`) additionally asserts the
+    no-op restart."""
+    import uuid as _uuid
+
+    from oracle_to_cassandra_spark import scratch
+    from oracle_to_cassandra_spark.streaming.recovery import run_resumable_ingest
+
+    from oracle_to_cassandra_spark.sources import load_table
+
+    run_id = _uuid.uuid4().hex[:8]
+    in_dir = scratch.session_path("crashres", run_id, "input")
+    out_dir = scratch.session_path("crashres", run_id, "out")
+    ckpt = scratch.session_path("crashres", run_id, "ckpt")
+    # lay the stream input down as four files = four micro-batches
+    src = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+    def _source():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+
+    class _PlantedCrash(RuntimeError):
+        pass
+
+    def crash_after_two(batch_df, batch_id):
+        if batch_id == 1:
+            raise _PlantedCrash("planted crash after batch 1")
+
+    try:
+        run_resumable_ingest(
+            spark, _source(), out_dir, ckpt, on_batch=crash_after_two
+        )
+    except Exception:
+        pass  # the planted crash — the stream died mid-ingest
+    # resume from the same checkpoint; redelivered batch 1 overwrites
+    run_resumable_ingest(spark, _source(), out_dir, ckpt)
+    sink = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return sink.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+            "value_micro"
+        ),
+    )

@@ -503,3 +503,80 @@ def unigram_cross_entropy_per_source(spark, sf_dir):
             6,
         ).alias("cross_entropy_nats"),
     )
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOK}) AS w FROM documents),
+    vocab AS (
+      SELECT w, count(*) AS n_w,
+             row_number() OVER (ORDER BY count(*) DESC, w) AS rnk
+      FROM tok GROUP BY w
+    ),
+    total AS (SELECT sum(n_w)::BIGINT AS n_total FROM vocab)
+    SELECT k,
+           (SELECT count(*) FROM vocab WHERE rnk <= k)::BIGINT AS vocab_size,
+           (SELECT coalesce(sum(n_w), 0) FROM vocab WHERE rnk <= k)::BIGINT
+             AS covered_tokens,
+           ((SELECT coalesce(sum(n_w), 0) FROM vocab WHERE rnk <= k)
+            * 1000000 // t.n_total)::BIGINT AS coverage_ppm
+    FROM (SELECT unnest([100, 1000, 10000]) AS k) CROSS JOIN total t
+    """,
+)
+def vocab_coverage_curve(spark, sf_dir):
+    """Vocabulary-sizing curve: what fraction of all token OCCURRENCES
+    the top-K surface forms cover, at K in {100, 1000, 10000} — the
+    number that decides a tokenizer's vocab budget and predicts the
+    UNK/byte-fallback rate at each size (the Zipf-fit audit's
+    actionable companion: Zipf says the curve's SHAPE, this reports
+    the three points you'd actually pick between). Integer ppm, exact
+    in both engines; ties in the frequency ranking break on the
+    surface form so the rank is total and cross-engine stable.
+
+    Scale: one vocabulary aggregate; the global rank is only needed up
+    to max(K), so the rank window runs over a DISTRIBUTED top-10000
+    (TakeOrdered — per-partition pre-top-K, no vocab-wide sort), and
+    the token total is a separate map-side-combinable sum. Only the
+    bounded top set and two scalars move."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = stage(d.select(F.explode(TX.tokens(F.col("text"))).alias("w")))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("n_w"))
+    total = tok.agg(F.count("*").cast("long").alias("n_total"))
+    # rank only the top-10000 (distributed TakeOrdered), then window
+    # over that bounded set
+    top = vocab.orderBy(F.col("n_w").desc(), "w").limit(10000)
+    ranked = top.select(
+        "n_w",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_w").desc(), "w"))
+        .alias("rnk"),
+    )
+    ks = spark.createDataFrame([(100,), (1000,), (10000,)], "k long")
+    per_k = (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count("*").alias("vocab_size"),
+            F.sum("n_w").alias("covered_tokens"),
+        )
+    )
+    return (
+        ks.join(per_k, "k", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.coalesce("vocab_size", F.lit(0)).cast("long").alias("vocab_size"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.floor(
+                F.coalesce("covered_tokens", F.lit(0))
+                * 1000000
+                / F.col("n_total")
+            )
+            .cast("long")
+            .alias("coverage_ppm"),
+        )
+    )

@@ -175,6 +175,9 @@ _PRIORITY: tuple[str, ...] = (
     "unigram_cross_entropy_per_source",
     "null_safe_join_reconciliation",
     "secondary_index_dpp_lookup",
+    "stream_crash_resume_reconciliation",
+    "vocab_coverage_curve",
+    "dead_letter_replay_recovery",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
