@@ -459,3 +459,52 @@ def multimodal_y4m_temporal_fingerprint(spark, sf_dir):
             F.lit(0).cast("long"),
         ).alias("vfp")
     )
+
+
+@query(
+    "multimodal_tar_webdataset_decode",
+    oracle="""
+    SELECT doc_id, member_name, member_size, content_md5 FROM (
+      SELECT doc_id,
+             doc_id::VARCHAR || '.txt' AS member_name,
+             octet_length(encode(text))::BIGINT AS member_size,
+             md5(text) AS content_md5
+      FROM documents WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id,
+             doc_id::VARCHAR || '.json',
+             octet_length(encode('{"doc_id": ' || doc_id::VARCHAR || '}'))::BIGINT,
+             md5('{"doc_id": ' || doc_id::VARCHAR || '}')
+      FROM documents WHERE doc_id % 4 = 1
+      UNION ALL
+      SELECT doc_id,
+             doc_id::VARCHAR || '.lang',
+             octet_length(encode(lang))::BIGINT,
+             md5(lang)
+      FROM documents WHERE doc_id % 4 = 1
+    )
+    """,
+)
+def multimodal_tar_webdataset_decode(spark, sf_dir):
+    """WebDataset-style TAR shard decode — the standard packaging for
+    multimodal training corpora (each sample = a group of same-stem
+    members inside a POSIX tar): plant a real ustar archive per
+    document (text payload + JSON metadata + language tag members),
+    then WALK the 512-byte block structure by hand in Arrow-batched
+    Python — parse each header's name and octal size, RE-VERIFY its
+    octal checksum (blanked-field unsigned sum), slice the member
+    data, seek past the padding. One row per member with an md5
+    content digest the oracle recomputes from the source columns —
+    any header-arithmetic or padding bug breaks a size, a name, or a
+    digest.
+
+    Scale: tar shards are read SEQUENTIALLY (pointer arithmetic per
+    member, no random access) — the property that lets a 100 TB
+    WebDataset corpus stream at storage bandwidth; blobs ride Arrow
+    batches, never shuffles."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    return M.decode_tar_members(M.plant_tar_blobs(d))

@@ -178,6 +178,8 @@ _PRIORITY: tuple[str, ...] = (
     "stream_crash_resume_reconciliation",
     "vocab_coverage_curve",
     "dead_letter_replay_recovery",
+    "stream_rocksdb_state_aggregate",
+    "multimodal_tar_webdataset_decode",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",

@@ -223,3 +223,24 @@ def test_secondary_index_dpp(spark):
     plan = formatted_plan(df)
     assert "dynamicpruning" in plan, "base scan lost dynamic partition pruning"
     assert "Python" not in plan
+
+
+def test_tar_decoder_rejects_corrupt_header(spark):
+    """Flipping one payload byte inside a tar header must trip the
+    checksum re-verification — a corrupt shard fails loudly."""
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        decode_tar_members,
+        plant_tar_blobs,
+    )
+    from oracle_to_cassandra_spark.sources import load_table
+
+    d = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") == 1)
+    planted = plant_tar_blobs(d)
+    blob = bytearray(planted.collect()[0]["payload"])
+    blob[5] ^= 0xFF  # corrupt inside the first header's name field
+    bad = spark.createDataFrame(
+        [(1, bytes(blob))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception) as exc:
+        decode_tar_members(bad).collect()
+    assert "checksum mismatch" in str(exc.value)
