@@ -324,3 +324,70 @@ def hinted_shuffle_hash_join(spark, sf_dir):
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+_REACH_EDGES = """
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+"""
+
+
+@query(
+    "recursive_cte_trade_reachability",
+    oracle=f"""
+    WITH RECURSIVE edges AS ({_REACH_EDGES}),
+    reach(node, hops) AS (
+      SELECT 0, 0
+      UNION ALL
+      SELECT e.dst, r.hops + 1
+      FROM reach r JOIN edges e ON e.src = r.node
+      WHERE r.hops < 3
+    )
+    SELECT node AS nationkey, min(hops)::BIGINT AS min_hops,
+           count(*)::BIGINT AS n_paths
+    FROM reach GROUP BY node
+    """,
+)
+def recursive_cte_trade_reachability(spark, sf_dir):
+    """RECURSIVE CTE (Spark 4.0, SPARK-24497): breadth-bounded
+    reachability over the nation trade graph from nation 0 — which
+    nations its goods can reach within 3 shipping hops, with the
+    shortest hop count and the path multiplicity. Recursion is the one
+    relational shape the reference's SQL surface could never express
+    (its Oracle source has CONNECT BY; Spark 4 closes that parity
+    gap with the standard WITH RECURSIVE form, identical text in
+    DuckDB).
+
+    The hop bound is the termination guarantee on a CYCLIC graph —
+    unbounded closure would diverge; production reachability either
+    bounds depth (as here) or dedups per level (semi-naive
+    evaluation, the connected-components operator's approach at
+    `operators/graph.py`).
+
+    Scale: each recursion level is one self-join against the
+    edge list — the same per-round movement as the PageRank loop,
+    planned by the engine instead of a Python driver loop."""
+    from oracle_to_cassandra_spark.sources import register_views
+
+    register_views(
+        spark, sf_dir, ("lineitem", "orders", "customer", "supplier")
+    )
+    return spark.sql(
+        f"""
+        WITH RECURSIVE edges AS ({_REACH_EDGES}),
+        reach(node, hops) AS (
+          SELECT 0, 0
+          UNION ALL
+          SELECT e.dst, r.hops + 1
+          FROM reach r JOIN edges e ON e.src = r.node
+          WHERE r.hops < 3
+        )
+        SELECT node AS nationkey, CAST(min(hops) AS BIGINT) AS min_hops,
+               count(*) AS n_paths
+        FROM reach GROUP BY node
+        """
+    )

@@ -180,6 +180,8 @@ _PRIORITY: tuple[str, ...] = (
     "dead_letter_replay_recovery",
     "stream_rocksdb_state_aggregate",
     "multimodal_tar_webdataset_decode",
+    "recursive_cte_trade_reachability",
+    "arrow_udf_embedding_l1_norm",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
