@@ -182,6 +182,7 @@ _PRIORITY: tuple[str, ...] = (
     "multimodal_tar_webdataset_decode",
     "recursive_cte_trade_reachability",
     "arrow_udf_embedding_l1_norm",
+    "analyze_table_cbo_stats",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
