@@ -563,3 +563,132 @@ def temporal_embargo_split(spark, sf_dir):
             F.date_format(F.max("ts"), fmt).alias("max_ts"),
         )
     )
+
+
+#: role template shared by the SFT render and its loss-mask twin —
+#: 'assistant' turns are the completions a supervised fine-tune
+#: computes loss on; everything else is masked context
+_SFT_ROLE = (
+    "CASE WHEN event_type IN ('purchase', 'signup') THEN 'assistant' "
+    "ELSE 'user' END"
+)
+_SFT_TURN = (
+    "'<|' || ({role}) || '|>' || event_type || '\n'"
+)
+
+
+@query(
+    "sft_conversation_render",
+    oracle=f"""
+    WITH turns AS (
+      SELECT user_id, ts, event_id,
+             {_SFT_TURN.format(role=_SFT_ROLE)} AS txt
+      FROM events
+    )
+    SELECT user_id,
+           count(*)::BIGINT AS n_turns,
+           sum(octet_length(encode(txt)))::BIGINT AS n_chars,
+           md5(string_agg(txt, '' ORDER BY ts, event_id)) AS render_md5
+    FROM turns GROUP BY user_id
+    """,
+)
+def sft_conversation_render(spark, sf_dir):
+    """Conversation → training-example rendering (the SFT data-prep
+    step): each user's event stream becomes an ordered multi-turn
+    transcript under a chat template ('<|role|>' headers), reduced to
+    its length and an md5 so the oracle certifies BYTE-EXACT rendering
+    including turn order — the property chat-template bugs silently
+    break (a swapped turn changes the md5, not the count).
+
+    Spark side renders with ``array_sort(collect_list(struct(...)))``
+    + ``array_join`` — per-user state is one aggregation buffer, no
+    window shuffle beyond the groupBy; DuckDB's ordered
+    ``string_agg`` is the literal twin.
+
+    Scale: one keyed aggregation; transcript bytes concatenate inside
+    the aggregate (bounded by the longest single conversation, the
+    same bound the training example itself must satisfy)."""
+    ev = load_table(spark, sf_dir, "events")
+    turn = F.expr(_SFT_TURN.format(role=_SFT_ROLE))
+    return (
+        ev.select("user_id", "ts", "event_id", turn.alias("txt"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.octet_length("txt")).alias("n_chars"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "txt"))
+                        ),
+                        lambda s: s["txt"],
+                    ),
+                    "",
+                )
+            ).alias("render_md5"),
+        )
+    )
+
+
+@query(
+    "sft_loss_mask_spans",
+    oracle=f"""
+    WITH turns AS (
+      SELECT user_id, ts, event_id,
+             {_SFT_ROLE} AS role,
+             octet_length(encode({_SFT_TURN.format(role=_SFT_ROLE)}))::BIGINT
+               AS turn_len
+      FROM events
+    ),
+    offsets AS (
+      SELECT user_id, ts, event_id, role, turn_len,
+             coalesce(sum(turn_len) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0)::BIGINT AS span_begin,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             )::BIGINT AS turn_idx
+      FROM turns
+    )
+    SELECT user_id, turn_idx, span_begin,
+           (span_begin + turn_len)::BIGINT AS span_end
+    FROM offsets WHERE role = 'assistant'
+    """,
+)
+def sft_loss_mask_spans(spark, sf_dir):
+    """The loss-mask companion to the conversation render: byte spans
+    [begin, end) of every ASSISTANT turn inside each user's rendered
+    transcript — exactly the offsets a supervised fine-tune feeds its
+    loss mask (context masked, completions scored). Offsets are a
+    running sum over the SAME (ts, event_id) order the render uses,
+    so the two queries are consistent by construction: span_end of
+    the last turn equals the render's n_chars.
+
+    Scale: one partitioned running-sum window per user (bounded
+    partitions — conversation-sized), no global sort; pairs with
+    ``packed_sequence_offsets`` which does the same arithmetic at the
+    chunk-packing tier."""
+    ev = load_table(spark, sf_dir, "events")
+    role = F.expr(_SFT_ROLE)
+    turn_len = F.octet_length(F.expr(_SFT_TURN.format(role=_SFT_ROLE)))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    offs = ev.select(
+        "user_id",
+        role.alias("role"),
+        turn_len.cast("long").alias("turn_len"),
+        F.coalesce(
+            F.sum(turn_len.cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("span_begin"),
+        F.row_number().over(w).cast("long").alias("turn_idx"),
+    )
+    return offs.filter(F.col("role") == "assistant").select(
+        "user_id",
+        "turn_idx",
+        "span_begin",
+        (F.col("span_begin") + F.col("turn_len")).alias("span_end"),
+    )

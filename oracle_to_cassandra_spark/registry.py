@@ -183,6 +183,8 @@ _PRIORITY: tuple[str, ...] = (
     "recursive_cte_trade_reachability",
     "arrow_udf_embedding_l1_norm",
     "analyze_table_cbo_stats",
+    "sft_conversation_render",
+    "sft_loss_mask_spans",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",

@@ -244,3 +244,25 @@ def test_tar_decoder_rejects_corrupt_header(spark):
     with pytest.raises(Exception) as exc:
         decode_tar_members(bad).collect()
     assert "checksum mismatch" in str(exc.value)
+
+
+def test_sft_spans_consistent_with_render(spark):
+    """Loss-mask spans must lie inside the rendered transcript and be
+    strictly ascending and non-overlapping per user — the render and
+    the spans share one turn order by construction."""
+    qs = E.queries()
+    render = {
+        r["user_id"]: r["n_chars"]
+        for r in qs["sft_conversation_render"](spark, SF_DIR).collect()
+    }
+    spans = {}
+    for r in qs["sft_loss_mask_spans"](spark, SF_DIR).collect():
+        spans.setdefault(r["user_id"], []).append(
+            (r["turn_idx"], r["span_begin"], r["span_end"])
+        )
+    assert spans, "no assistant turns at this SF"
+    for uid, ss in spans.items():
+        ss.sort()
+        assert ss[-1][2] <= render[uid], f"user {uid}: span past transcript end"
+        for (_, b, e), (_, b2, _e2) in zip(ss, ss[1:]):
+            assert b < e <= b2, f"user {uid}: overlapping/unordered spans"
