@@ -9,6 +9,9 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql
+from oracle_to_cassandra_spark.queries.text_analysis import (
+    QUALITY_SQL as _QUALITY_SQL,
+)
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
@@ -691,4 +694,170 @@ def sft_loss_mask_spans(spark, sf_dir):
         "turn_idx",
         "span_begin",
         (F.col("span_begin") + F.col("turn_len")).alias("span_end"),
+    )
+
+
+_DPO_SQL = """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             CAST(round(({q}) * 1000000) AS BIGINT) AS quality_micro,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY CAST(round(({q}) * 1000000) AS BIGINT) DESC, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT a.lang,
+           a.doc_id AS chosen_id,
+           b.doc_id AS rejected_id,
+           (a.quality_micro - b.quality_micro)::BIGINT AS quality_gap_micro
+    FROM ranked a JOIN ranked b
+      ON a.lang = b.lang AND b.rk = a.rk + 1
+    WHERE a.quality_micro > b.quality_micro
+    """
+
+
+@query("dpo_preference_pairs", oracle=_DPO_SQL.format(q=_QUALITY_SQL))
+def dpo_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for DPO/RLHF data prep: within
+    each language, documents rank by an integer quality score and
+    ADJACENT ranks pair as (chosen, rejected) — adjacent rather than
+    best-vs-worst because preference training wants pairs the model
+    can actually confuse (hard pairs carry gradient; easy pairs are
+    noise). Ties are excluded deterministically (gap must be strictly
+    positive): a pair with no real preference teaches nothing and
+    flips arbitrarily between engines.
+
+    Scale: one ranking window per language partition and one
+    self-join on (lang, rank) — both shuffle on lang; the quality
+    score is the corpus-wide deterministic formula
+    (`operators/text.quality_score`), micro-unit-integer so rank
+    order is engine-exact."""
+    from oracle_to_cassandra_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    qm = F.round(quality_score(F.col("text")) * 1000000).cast("long")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_micro").desc(), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "lang", qm.alias("quality_micro")
+    ).withColumn("rk", F.row_number().over(w))
+    a = ranked.select(
+        F.col("lang"),
+        F.col("doc_id").alias("chosen_id"),
+        F.col("quality_micro").alias("q_a"),
+        F.col("rk"),
+    )
+    b = ranked.select(
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("rejected_id"),
+        F.col("quality_micro").alias("q_b"),
+        (F.col("rk") - 1).alias("rk_b"),
+    )
+    return (
+        a.join(b, (a.lang == b.lang_b) & (a.rk == b.rk_b))
+        .filter(F.col("q_a") > F.col("q_b"))
+        .select(
+            "lang",
+            "chosen_id",
+            "rejected_id",
+            (F.col("q_a") - F.col("q_b")).alias("quality_gap_micro"),
+        )
+    )
+
+
+@query(
+    "contrastive_inbatch_collision_audit",
+    oracle="""
+    WITH batched AS (
+      SELECT vec_id % 32 AS batch_id, label FROM embeddings
+    ),
+    per_label AS (
+      SELECT batch_id, label, count(*)::BIGINT AS n
+      FROM batched GROUP BY batch_id, label
+    )
+    SELECT batch_id,
+           sum(n)::BIGINT AS batch_size,
+           sum(n * (n - 1) / 2)::BIGINT AS n_false_negative_pairs
+    FROM per_label GROUP BY batch_id
+    """,
+)
+def contrastive_inbatch_collision_audit(spark, sf_dir):
+    """In-batch negative sampling audit for contrastive training:
+    with dataloader batches simulated by ``vec_id % 32``, count per
+    batch how many same-label pairs exist — each is a FALSE NEGATIVE
+    (the loss pushes apart embeddings that should attract), the
+    quiet recall-killer of contrastive runs on label-skewed data.
+    The fix this audit sizes: label-aware batch assignment or a
+    false-negative mask.
+
+    Scale: two keyed aggregations (batch×label, then batch) — both
+    map-side combinable; no pair enumeration (C(n,2) is computed
+    from group counts, never materialized)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    per_label = (
+        e.select((F.col("vec_id") % 32).alias("batch_id"), "label")
+        .groupBy("batch_id", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    return per_label.groupBy("batch_id").agg(
+        F.sum("n").alias("batch_size"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2)
+        .cast("long")
+        .alias("n_false_negative_pairs"),
+    )
+
+
+@query(
+    "kv_cache_block_allocation",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source, {_TOKENS}::BIGINT AS n_tokens,
+             CAST(ceil({_TOKENS} / 16.0) AS BIGINT) AS n_blocks
+      FROM documents
+    )
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS total_tokens,
+           sum(n_blocks)::BIGINT AS total_blocks,
+           (sum(n_blocks) * 16 - sum(n_tokens))::BIGINT AS wasted_slots,
+           ((sum(n_blocks) * 16 - sum(n_tokens)) * 1000000
+            // (sum(n_blocks) * 16))::BIGINT AS frag_ppm
+    FROM per_doc GROUP BY source
+    """,
+)
+def kv_cache_block_allocation(spark, sf_dir):
+    """Paged-attention KV-cache sizing (the serving-side twin of
+    sequence packing): with 16-token blocks, each sequence occupies
+    ceil(len/16) blocks and wastes the remainder of its last block —
+    this reports per source the block demand and the internal
+    fragmentation ppm, the two numbers a vLLM-style serving fleet is
+    capacity-planned from. High-fragmentation sources (many short
+    sequences) argue for smaller blocks or request coalescing.
+
+    Scale: pure per-row arithmetic + one keyed aggregate; the same
+    query over real request logs sizes a production cache."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " ")).cast("long")
+    per_doc = d.select(
+        "source",
+        n_tok.alias("n_tokens"),
+        F.ceil(n_tok / 16.0).cast("long").alias("n_blocks"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_blocks").alias("total_blocks"),
+    )
+    wasted = F.col("total_blocks") * 16 - F.col("total_tokens")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_blocks",
+        wasted.alias("wasted_slots"),
+        F.floor(wasted * 1000000 / (F.col("total_blocks") * 16))
+        .cast("long")
+        .alias("frag_ppm"),
     )

@@ -185,6 +185,9 @@ _PRIORITY: tuple[str, ...] = (
     "analyze_table_cbo_stats",
     "sft_conversation_render",
     "sft_loss_mask_spans",
+    "dpo_preference_pairs",
+    "contrastive_inbatch_collision_audit",
+    "kv_cache_block_allocation",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
