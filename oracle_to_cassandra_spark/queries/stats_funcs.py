@@ -443,3 +443,96 @@ def benford_first_digit_audit(spark, sf_dir):
             "chi2_term"
         ),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds in ppm — fixed literals shared by
+#: both engines (cumulative e^{-1} Σ 1/k!), capped at 7 draws
+_POISSON1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
+
+_BOOT_B = 8
+
+from oracle_to_cassandra_spark.queries.text_analysis import (  # noqa: E402
+    QUALITY_SQL as _QUALITY_SQL_BOOT,
+)
+
+
+def _poisson_count_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POISSON1_CDF_PPM)
+    )
+    return f"(CASE {branches} ELSE 7 END)"
+
+
+_BOOT_SQL = f"""
+    WITH reps AS (SELECT unnest(range({_BOOT_B})) AS replicate_id),
+    draws AS (
+      SELECT r.replicate_id,
+             {_poisson_count_sql(
+                 "(('0x' || substr(md5('boot:' || r.replicate_id::VARCHAR"
+                 " || ':' || d.doc_id::VARCHAR), 1, 15))::INT64 % 1000000)"
+             )} AS cnt,
+             CAST(round(({{q}}) * 1000000) AS BIGINT) AS q_micro
+      FROM documents d CROSS JOIN reps r
+    )
+    SELECT replicate_id::BIGINT AS replicate_id,
+           sum(cnt)::BIGINT AS n_eff,
+           (sum(cnt * q_micro) // sum(cnt))::BIGINT AS mean_quality_micro
+    FROM draws GROUP BY replicate_id
+    """
+
+
+@query(
+    "bootstrap_replicate_means",
+    oracle=_BOOT_SQL.format(q=_QUALITY_SQL_BOOT),
+)
+def bootstrap_replicate_means(spark, sf_dir):
+    """Deterministic POISSON BOOTSTRAP over the corpus quality score:
+    each of {_BOOT_B} replicates re-weights every document by a
+    Poisson(1) draw derived from md5(replicate, doc_id) through the
+    fixed inverse-CDF thresholds — the standard single-pass bootstrap
+    for distributed data (no resampling shuffle, no shared RNG
+    state), here fully integer-exact so both engines produce
+    identical replicate means. The spread across replicate means IS
+    the standard error of the corpus mean quality — the error bar
+    every dataset-card statistic should carry.
+
+    Scale: ONE pass over the corpus emits {_BOOT_B} weighted partial
+    sums per partition (the cross join with the replicate spine is a
+    broadcast of 8 rows); this is how bootstrap CIs are computed on
+    100 TB without materializing a single resample."""
+    from oracle_to_cassandra_spark.functions.hashing import md5_int64
+    from oracle_to_cassandra_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    reps = spark.range(_BOOT_B).select(
+        F.col("id").cast("long").alias("replicate_id")
+    )
+    u = md5_int64(
+        F.concat(
+            F.lit("boot:"),
+            F.col("replicate_id").cast("string"),
+            F.lit(":"),
+            F.col("doc_id").cast("string"),
+        )
+    ) % 1000000
+    cnt = F.lit(7)
+    for k, t in reversed(list(enumerate(_POISSON1_CDF_PPM))):
+        cnt = F.when(u < t, k).otherwise(cnt)
+    draws = (
+        d.select(
+            "doc_id",
+            F.round(quality_score(F.col("text")) * 1000000)
+            .cast("long")
+            .alias("q_micro"),
+        )
+        .crossJoin(F.broadcast(reps))
+        .select("replicate_id", cnt.cast("long").alias("cnt"), "q_micro")
+    )
+    return draws.groupBy("replicate_id").agg(
+        F.sum("cnt").alias("n_eff"),
+        F.floor(
+            F.sum(F.col("cnt") * F.col("q_micro")) / F.sum("cnt")
+        )
+        .cast("long")
+        .alias("mean_quality_micro"),
+    )

@@ -188,6 +188,8 @@ _PRIORITY: tuple[str, ...] = (
     "dpo_preference_pairs",
     "contrastive_inbatch_collision_audit",
     "kv_cache_block_allocation",
+    "bootstrap_replicate_means",
+    "lsh_dedup_recall_vs_exact",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
