@@ -450,3 +450,74 @@ def temperature_mixture_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "epoch_reshuffle_prefix_overlap",
+    oracle=f"""
+    WITH epochs AS (SELECT unnest(range(3)) AS epoch),
+    ordered AS (
+      SELECT e.epoch, d.doc_id,
+             row_number() OVER (
+               PARTITION BY e.epoch
+               ORDER BY {base31_sql("'epoch:' || e.epoch::VARCHAR || ':' || d.doc_id::VARCHAR")}, d.doc_id
+             ) AS pos
+      FROM documents d CROSS JOIN epochs e
+    ),
+    prefixes AS (SELECT epoch, doc_id FROM ordered WHERE pos <= 100)
+    SELECT a.epoch AS epoch_a, b.epoch AS epoch_b,
+           count(*)::BIGINT AS prefix_overlap
+    FROM prefixes a JOIN prefixes b
+      ON a.doc_id = b.doc_id AND a.epoch < b.epoch
+    GROUP BY 1, 2
+    """,
+)
+def epoch_reshuffle_prefix_overlap(spark, sf_dir):
+    """Multi-epoch reshuffling audit: each training epoch orders the
+    corpus by an epoch-seeded hash (`corpus_global_shuffle` is the
+    single-epoch primitive); this measures the overlap of the first
+    100 positions between every epoch pair. A correct reshuffle gives
+    hypergeometric overlap (~100²/N documents — near zero here); a
+    BROKEN one (seed ignored, hash reused) gives 100, and the batch
+    a model sees first every epoch stops being i.i.d. The ordering
+    hash includes the epoch, the tiebreak is doc_id, so both engines
+    produce identical prefixes.
+
+    Scale: the per-epoch top-100 prefix is a distributed TakeOrdered
+    per epoch (window shown for SQL parity; the production form is
+    orderBy+limit per epoch); the overlap join is 300 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = d.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        base31(
+            F.concat(
+                F.lit("epoch:"),
+                F.col("epoch").cast("string"),
+                F.lit(":"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("epoch").orderBy("h", "doc_id")
+    prefixes = (
+        keyed.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 100)
+        .select("epoch", "doc_id")
+    )
+    a = prefixes.select(
+        F.col("epoch").alias("epoch_a"), F.col("doc_id").alias("doc_id")
+    )
+    b = prefixes.select(
+        F.col("epoch").alias("epoch_b"), F.col("doc_id").alias("doc_id_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("doc_id_b"))
+            & (F.col("epoch_a") < F.col("epoch_b")),
+        )
+        .groupBy("epoch_a", "epoch_b")
+        .agg(F.count("*").alias("prefix_overlap"))
+    )

@@ -861,3 +861,79 @@ def kv_cache_block_allocation(spark, sf_dir):
         .cast("long")
         .alias("frag_ppm"),
     )
+
+
+@query(
+    "length_bucketed_batching_waste",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id, {_TOKENS}::BIGINT AS n_tokens,
+             CAST(floor(log2(greatest({_TOKENS}, 1))) AS BIGINT) AS bucket
+      FROM documents
+    ),
+    batched AS (
+      SELECT bucket, n_tokens,
+             (row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1)
+               // 8 AS batch_idx
+      FROM sized
+    ),
+    per_batch AS (
+      SELECT bucket, batch_idx, count(*)::BIGINT AS n_seqs,
+             max(n_tokens)::BIGINT AS max_len,
+             sum(n_tokens)::BIGINT AS used
+      FROM batched GROUP BY bucket, batch_idx
+    )
+    SELECT bucket,
+           count(*)::BIGINT AS n_batches,
+           sum(used)::BIGINT AS used_tokens,
+           sum(max_len * n_seqs - used)::BIGINT AS padding_tokens,
+           (sum(max_len * n_seqs - used) * 1000000
+            // greatest(sum(max_len * n_seqs), 1))::BIGINT AS waste_ppm
+    FROM per_batch GROUP BY bucket
+    """,
+)
+def length_bucketed_batching_waste(spark, sf_dir):
+    """Dataloader padding economics: sequences grouped into power-of-2
+    LENGTH BUCKETS, batched 8 at a time within each bucket (arrival
+    order), padding waste = Σ(batch_max − len) per batch — the number
+    that justifies length bucketing over naive batching (same-bucket
+    sequences are within 2× of each other, bounding waste at ~50%
+    worst case; naive batching has no bound). Complements
+    `kv_cache_block_allocation` (serving-side) and the packing family
+    (`packed_sequence_offsets` eliminates padding entirely at the cost
+    of attention masking).
+
+    Scale: bucket assignment is per-row arithmetic; the batch index
+    window partitions by bucket (bounded partitions after the
+    power-of-2 split); two keyed aggregates."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.lower("text"), " ")).cast("long")
+    sized = d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(F.log2(F.greatest(n_tok, F.lit(1)))).cast("long").alias(
+            "bucket"
+        ),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    batched = sized.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / 8).cast("long")
+    )
+    per_batch = batched.groupBy("bucket", "batch_idx").agg(
+        F.count("*").alias("n_seqs"),
+        F.max("n_tokens").alias("max_len"),
+        F.sum("n_tokens").alias("used"),
+    )
+    padded = F.col("max_len") * F.col("n_seqs")
+    return per_batch.groupBy("bucket").agg(
+        F.count("*").alias("n_batches"),
+        F.sum("used").alias("used_tokens"),
+        F.sum(padded - F.col("used")).alias("padding_tokens"),
+        F.floor(
+            F.sum(padded - F.col("used"))
+            * 1000000
+            / F.greatest(F.sum(padded), F.lit(1))
+        )
+        .cast("long")
+        .alias("waste_ppm"),
+    )

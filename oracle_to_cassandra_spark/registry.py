@@ -190,6 +190,8 @@ _PRIORITY: tuple[str, ...] = (
     "kv_cache_block_allocation",
     "bootstrap_replicate_means",
     "lsh_dedup_recall_vs_exact",
+    "epoch_reshuffle_prefix_overlap",
+    "length_bucketed_batching_waste",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
