@@ -779,3 +779,109 @@ def gdpr_delete_propagation(spark, sf_dir):
         .unionByName(audit(line_cust, "o_custkey", "lineitem"))
         .unionByName(audit(events, "user_id", "events"))
     )
+
+
+@query(
+    "cassandra_partition_size_audit",
+    oracle="""
+    WITH per_part AS (
+      SELECT o_custkey AS partition_key,
+             count(*)::BIGINT AS n_rows,
+             sum(octet_length(encode(o_orderstatus))
+                 + octet_length(encode(o_orderpriority)) + 24)::BIGINT
+               AS est_bytes
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CASE WHEN n_rows >= 100 THEN 'oversized'
+                WHEN n_rows >= 40 THEN 'warn'
+                ELSE 'ok' END AS size_band,
+           count(*)::BIGINT AS n_partitions,
+           sum(n_rows)::BIGINT AS total_rows,
+           sum(est_bytes)::BIGINT AS total_bytes,
+           max(n_rows)::BIGINT AS widest_partition_rows
+    FROM per_part GROUP BY 1
+    """,
+)
+def cassandra_partition_size_audit(spark, sf_dir):
+    """The data-modeling audit the reference's Cassandra target makes
+    mandatory (`/root/reference/README.md:660-668`: tables are
+    partition-organized around a partition key): per partition key
+    (customer, for orders_by_customer), row count and estimated
+    serialized bytes, banded into ok / warn / oversized. Cassandra's
+    operational guidance caps partitions (~100 MB / ~100k rows);
+    a key chosen without this audit produces hot, unsplittable
+    partitions that degrade reads AND repair — the single most common
+    migration design error. The banded histogram is what signs off a
+    partition-key choice BEFORE 100 TB lands in it; the thresholds
+    here are scaled to the test fixture (row-count bands), production
+    uses byte bands from the same per-partition aggregate.
+
+    Scale: one keyed aggregate (map-side combinable) + a band
+    re-aggregate — identical shape to the k-anonymity audit; no row
+    data moves."""
+    o = load_table(spark, sf_dir, "orders")
+    per_part = o.groupBy(F.col("o_custkey").alias("partition_key")).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.octet_length("o_orderstatus")
+            + F.octet_length("o_orderpriority")
+            + F.lit(24)
+        ).alias("est_bytes"),
+    )
+    band = (
+        F.when(F.col("n_rows") >= 100, "oversized")
+        .when(F.col("n_rows") >= 40, "warn")
+        .otherwise("ok")
+    )
+    return per_part.groupBy(band.alias("size_band")).agg(
+        F.count("*").alias("n_partitions"),
+        F.sum("n_rows").alias("total_rows"),
+        F.sum("est_bytes").alias("total_bytes"),
+        F.max("n_rows").alias("widest_partition_rows"),
+    )
+
+
+@query(
+    "ttl_expiry_compaction_plan",
+    oracle="""
+    WITH horizon AS (SELECT max(ts) AS now_ts FROM events)
+    SELECT e.event_type,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN e.ts < h.now_ts - INTERVAL 30 DAY
+                    THEN 1 ELSE 0 END)::BIGINT AS n_expired,
+           sum(CASE WHEN e.ts < h.now_ts - INTERVAL 30 DAY
+                    THEN octet_length(encode(e.props)) + 32
+                    ELSE 0 END)::BIGINT AS reclaim_bytes
+    FROM events e CROSS JOIN horizon h
+    GROUP BY e.event_type
+    """,
+)
+def ttl_expiry_compaction_plan(spark, sf_dir):
+    """TTL-expiry planning — Cassandra's row-level TTL is a core
+    feature of the reference's target system, and its flip side is
+    compaction debt: expired rows occupy space until compacted. This
+    is the dry run: per event type, how many rows are past a 30-day
+    TTL (measured from the dataset's own time horizon, so the check
+    is rerun-stable) and how many bytes compaction would reclaim.
+    The Spark-side equivalent of the purge is a partition-overwrite
+    of the affected date partitions — the same counts-first gate as
+    `gdpr_delete_propagation`.
+
+    Scale: the horizon is a 1-row broadcast; the scan is one pass
+    with map-side-combinable conditional aggregates. On a
+    time-partitioned table the TTL predicate prunes to the expired
+    date partitions and the 'scan' is metadata-only."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(F.max("ts").alias("now_ts"))
+    expired = F.col("ts") < F.col("now_ts") - F.expr("INTERVAL 30 DAY")
+    return (
+        ev.crossJoin(F.broadcast(horizon))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(expired, 1).otherwise(0)).alias("n_expired"),
+            F.sum(
+                F.when(expired, F.octet_length("props") + 32).otherwise(0)
+            ).alias("reclaim_bytes"),
+        )
+    )

@@ -192,6 +192,8 @@ _PRIORITY: tuple[str, ...] = (
     "lsh_dedup_recall_vs_exact",
     "epoch_reshuffle_prefix_overlap",
     "length_bucketed_batching_waste",
+    "cassandra_partition_size_audit",
+    "ttl_expiry_compaction_plan",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
