@@ -628,3 +628,82 @@ def event_type_association_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "temporal_label_join_no_leakage",
+    oracle="""
+    WITH horizon AS (
+      SELECT max(ts) - INTERVAL 30 DAY AS cutoff FROM events
+    ),
+    features AS (
+      SELECT e.user_id,
+             count(*)::BIGINT AS n_events_before,
+             sum(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+               AS n_purchases_before,
+             sum(CAST(round(e.value * 1000000) AS BIGINT))::BIGINT
+               AS value_micro_before
+      FROM events e CROSS JOIN horizon h
+      WHERE e.ts < h.cutoff
+      GROUP BY e.user_id
+    ),
+    labels AS (
+      SELECT DISTINCT e.user_id, TRUE AS purchased_after
+      FROM events e CROSS JOIN horizon h
+      WHERE e.ts >= h.cutoff AND e.event_type = 'purchase'
+    )
+    SELECT f.user_id, f.n_events_before, f.n_purchases_before,
+           f.value_micro_before,
+           coalesce(l.purchased_after, FALSE) AS label_purchased
+    FROM features f LEFT JOIN labels l ON f.user_id = l.user_id
+    """,
+)
+def temporal_label_join_no_leakage(spark, sf_dir):
+    """Leakage-free supervised label construction — the feature/label
+    temporal split every churn/propensity model needs and every naive
+    join gets wrong: FEATURES aggregate strictly BEFORE the cutoff
+    (30 days before the data horizon), the LABEL (purchased after) is
+    computed strictly AT-OR-AFTER it, and the two only meet in the
+    final key join — no path exists from post-cutoff data into a
+    feature column. The temporal-embargo split
+    (`temporal_embargo_split`) partitions EXAMPLES by time; this
+    builds the example CONTENT across the boundary.
+
+    Scale: both sides are one filtered pass each (a time-partitioned
+    table prunes to its own side of the cutoff); the label side
+    contracts to distinct purchasers before the join. Any 100 TB
+    feature store backfill is this exact plan per label horizon."""
+    ev = load_table(spark, sf_dir, "events")
+    horizon = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 DAY")).alias("cutoff")
+    )
+    with_h = ev.crossJoin(F.broadcast(horizon))
+    features = (
+        with_h.filter(F.col("ts") < F.col("cutoff"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events_before"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchases_before"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
+                "value_micro_before"
+            ),
+        )
+    )
+    labels = (
+        with_h.filter(
+            (F.col("ts") >= F.col("cutoff"))
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("purchased_after", F.lit(True))
+    )
+    return features.join(labels, "user_id", "left").select(
+        "user_id",
+        "n_events_before",
+        "n_purchases_before",
+        "value_micro_before",
+        F.coalesce("purchased_after", F.lit(False)).alias("label_purchased"),
+    )

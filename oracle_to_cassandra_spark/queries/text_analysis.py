@@ -580,3 +580,166 @@ def vocab_coverage_curve(spark, sf_dir):
             .alias("coverage_ppm"),
         )
     )
+
+
+_MRR_QMOD = 499
+
+
+def _mrr_sql() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+      FROM documents
+    ),
+    doclen AS (
+      SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avg_dl FROM doclen
+    ),
+    qterms AS (
+      SELECT doc_id AS query_id, t FROM (
+        SELECT doc_id, t, row_number() OVER (
+                 PARTITION BY doc_id ORDER BY ord) AS rn
+        FROM (
+          SELECT doc_id, t, min(ord) AS ord FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t,
+                   generate_subscripts(string_split(lower(text), ' '), 1) AS ord
+            FROM documents WHERE doc_id % {_MRR_QMOD} = 0
+          ) GROUP BY doc_id, t
+        )
+      ) WHERE rn <= 3
+    ),
+    tf AS (
+      SELECT k.doc_id, k.t, q.query_id, count(*)::DOUBLE AS tf
+      FROM tok k JOIN qterms q ON k.t = q.t
+      GROUP BY k.doc_id, k.t, q.query_id
+    ),
+    df AS (
+      SELECT t, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY t
+    ),
+    scored AS (
+      SELECT tf.query_id, tf.doc_id,
+             round(sum(
+               ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * ({BM25_K1} + 1.0)
+               / (tf.tf + {BM25_K1}
+                  * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avg_dl))
+             ), 6) AS score
+      FROM tf
+      JOIN df ON df.t = tf.t
+      JOIN doclen dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.query_id, tf.doc_id, dl.dl, s.n_docs, s.avg_dl
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id
+             )::BIGINT AS rnk
+      FROM scored
+    ),
+    self_rank AS (
+      SELECT query_id, rnk FROM ranked WHERE query_id = doc_id
+    )
+    SELECT count(*)::BIGINT AS n_queries,
+           sum(CASE WHEN rnk <= 10 THEN 1 ELSE 0 END)::BIGINT AS n_top10,
+           (sum(CASE WHEN rnk <= 10 THEN 1000000 // rnk ELSE 0 END)
+            // count(*))::BIGINT AS mrr_ppm
+    FROM self_rank
+    """
+
+
+@query("bm25_self_retrieval_mrr", oracle=_mrr_sql())
+def bm25_self_retrieval_mrr(spark, sf_dir):
+    """Retrieval-quality EVAL for the BM25 scorer: self-retrieval MRR
+    — each probe document's first 3 distinct tokens become a query,
+    the whole corpus is BM25-ranked for it, and the metric is the
+    mean reciprocal rank at which the probe finds ITSELF (the
+    standard sanity eval when no labeled qrels exist). Reciprocal
+    ranks are integer ppm (10⁶//rank), so the aggregate is exact;
+    ranks order on the 6-dp-rounded score with doc_id tiebreak, the
+    BM25 family's established determinism contract.
+
+    Scale: query terms are a probe-set-sized broadcast; the per-
+    (query, doc) score table is |probes| × |matching docs| — bounded
+    by probe count (1/{_MRR_QMOD} of the corpus), and each query's
+    ranking is an independent window partition. This is the eval
+    pattern every retrieval change should gate on — the BM25/hybrid
+    queries report scores, this reports QUALITY."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = stage(
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("t"))
+    )
+    doclen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avg_dl"),
+    )
+    probes = d.filter(F.col("doc_id") % _MRR_QMOD == 0)
+    qterms = (
+        probes.select(
+            F.col("doc_id").alias("query_id"),
+            F.slice(F.array_distinct(TX.tokens(F.col("text"))), 1, 3).alias(
+                "ts"
+            ),
+        )
+        .select("query_id", F.explode("ts").alias("t"))
+    )
+    tf = (
+        tok.join(F.broadcast(qterms), "t")
+        .groupBy("doc_id", "t", "query_id")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    tf = stage(tf)
+    df_tbl = tf.groupBy("t").agg(
+        F.count_distinct("doc_id").cast("double").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(df_tbl), "t")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id", "dl", "n_docs", "avg_dl")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log(
+                        (F.col("n_docs") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)
+                        + 1.0
+                    )
+                    * F.col("tf")
+                    * (BM25_K1 + 1.0)
+                    / (
+                        F.col("tf")
+                        + BM25_K1
+                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    self_rank = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("query_id") == F.col("doc_id"))
+        .select("query_id", "rnk")
+    )
+    return self_rank.agg(
+        F.count("*").alias("n_queries"),
+        F.sum(F.when(F.col("rnk") <= 10, 1).otherwise(0)).alias("n_top10"),
+        F.floor(
+            F.sum(
+                F.when(
+                    F.col("rnk") <= 10,
+                    F.floor(F.lit(1000000) / F.col("rnk")).cast("long"),
+                ).otherwise(0)
+            )
+            / F.count("*")
+        )
+        .cast("long")
+        .alias("mrr_ppm"),
+    )

@@ -194,6 +194,8 @@ _PRIORITY: tuple[str, ...] = (
     "length_bucketed_batching_waste",
     "cassandra_partition_size_audit",
     "ttl_expiry_compaction_plan",
+    "bm25_self_retrieval_mrr",
+    "temporal_label_join_no_leakage",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
