@@ -94,6 +94,10 @@ def analyze_table_cbo_stats(spark, sf_dir):
     )
 
     def col_stats(col):
+        # DESCRIBE EXTENDED <col> returns ~10 fixed metadata rows from
+        # the catalog (no table data, no scan) — the same bounded
+        # driver-side metadata channel as a JDBC bounds fetch; this is
+        # NOT a data collect
         rows = {
             r["info_name"]: r["info_value"]
             for r in spark.sql(f"DESCRIBE EXTENDED {tbl} {col}").collect()
