@@ -618,13 +618,14 @@ def functional_dependency_audit(spark, sf_dir):
              CASE WHEN o_orderkey % 50 = 0 THEN 'D'
                   WHEN o_orderkey % 50 = 1 THEN 'U'
                   ELSE NULL END AS op,
-             round(o_totalprice * 1.1, 2) AS new_price
+             CAST(round(o_totalprice * 110) AS BIGINT) AS new_cents
       FROM orders WHERE o_orderkey % 50 IN (0, 1)
     ),
     merged AS (
       SELECT o.o_orderkey,
-             CASE WHEN c.op = 'U' THEN c.new_price
-                  ELSE round(o.o_totalprice, 2) END AS o_totalprice
+             CASE WHEN c.op = 'U' THEN c.new_cents
+                  ELSE CAST(round(o.o_totalprice * 100) AS BIGINT)
+             END AS price_cents
       FROM orders o LEFT JOIN changes c USING (o_orderkey)
       WHERE c.op IS NULL OR c.op <> 'D'
     )
@@ -632,7 +633,7 @@ def functional_dependency_audit(spark, sf_dir):
            (SELECT count(*) FROM changes WHERE op = 'D')::BIGINT AS n_deleted,
            (SELECT count(*) FROM changes WHERE op = 'U')::BIGINT AS n_updated,
            bit_xor(('0x' || substr(md5(o_orderkey::VARCHAR || '|' ||
-                     printf('%.2f', o_totalprice)), 1, 15))::INT64)::BIGINT
+                     price_cents::VARCHAR), 1, 15))::INT64)::BIGINT
              AS content_digest
     FROM merged
     """,
@@ -659,7 +660,11 @@ def merge_upsert_apply(spark, sf_dir):
         .select(
             "o_orderkey",
             F.when(F.col("o_orderkey") % 50 == 0, "D").otherwise("U").alias("op"),
-            F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+            # +10% in integer cents (x*110 is ONE multiply — the same
+            # double in both engines — where round(x*1.1, 2) and a
+            # %.2f format each diverge at decimal boundaries; the
+            # digest flipped at sf0.1 under the float form)
+            F.round(F.col("o_totalprice") * 110).cast("long").alias("new_cents"),
         )
     )
     merged = (
@@ -667,9 +672,9 @@ def merge_upsert_apply(spark, sf_dir):
         .filter(F.col("op").isNull() | (F.col("op") != "D"))
         .select(
             "o_orderkey",
-            F.when(F.col("op") == "U", F.col("new_price"))
-            .otherwise(F.round("o_totalprice", 2))
-            .alias("o_totalprice"),
+            F.when(F.col("op") == "U", F.col("new_cents"))
+            .otherwise(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .alias("price_cents"),
         )
     )
     from oracle_to_cassandra_spark.functions.hashing import md5_int64
@@ -678,7 +683,7 @@ def merge_upsert_apply(spark, sf_dir):
     digest_row = F.concat(
         F.col("o_orderkey").cast("string"),
         F.lit("|"),
-        F.format_string("%.2f", F.col("o_totalprice")),
+        F.col("price_cents").cast("string"),
     )
     return merged.agg(
         F.count("*").alias("n_rows_after"),

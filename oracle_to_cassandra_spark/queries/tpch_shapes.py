@@ -16,7 +16,8 @@ from oracle_to_cassandra_spark.sources import load_table
     "tpch_q3_shipping_priority",
     oracle="""
     SELECT l.l_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+               AS BIGINT))::BIGINT AS revenue_cents,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority AS o_orderpriority
     FROM customer c
@@ -47,13 +48,19 @@ def tpch_q3_shipping_priority(spark, sf_dir):
     joined = li.join(o, li.l_orderkey == o.o_orderkey).join(
         F.broadcast(c), o.o_custkey == c.c_custkey
     )
+    # integer cents summed, not a rounded float SUM: the per-row
+    # product double is identical in both engines, but a float sum's
+    # accumulation ORDER is not — round(sum(...), 2) flipped by 0.01
+    # at sf0.1 (observed); round each product to cents, sum exactly
     return joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+            ).cast("long")
+        ).alias("revenue_cents")
     ).select(
         "l_orderkey",
-        "revenue",
+        "revenue_cents",
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
         "o_orderpriority",
     )

@@ -39,17 +39,18 @@ _TS = "yyyy-MM-dd"
     oracle="""
     WITH ps AS (
       SELECT l_partkey, l_suppkey,
-             round(min(l_extendedprice / l_quantity), 4) AS supplycost
+             CAST(round(min(l_extendedprice / l_quantity) * 10000) AS BIGINT)
+               AS supplycost_tmil
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ), cand AS (
-      SELECT p.p_partkey, p.p_name, ps.l_suppkey, ps.supplycost,
-             min(ps.supplycost) OVER (PARTITION BY p.p_partkey) AS best
+      SELECT p.p_partkey, p.p_name, ps.l_suppkey, ps.supplycost_tmil,
+             min(ps.supplycost_tmil) OVER (PARTITION BY p.p_partkey) AS best
       FROM part p JOIN ps ON ps.l_partkey = p.p_partkey
       WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
     )
-    SELECT s.s_name, c.p_partkey, c.p_name, c.supplycost
+    SELECT s.s_name, c.p_partkey, c.p_name, c.supplycost_tmil
     FROM cand c JOIN supplier s ON s.s_suppkey = c.l_suppkey
-    WHERE c.supplycost = c.best
+    WHERE c.supplycost_tmil = c.best
     """,
 )
 def tpch_q2_min_cost_supplier(spark, sf_dir):
@@ -63,26 +64,34 @@ def tpch_q2_min_cost_supplier(spark, sf_dir):
 
     Scale: ps is a groupBy on (partkey, suppkey) — the shuffle carries
     one row per pair, not per lineitem (map-side partial min). The
-    part filter broadcasts; supplier broadcasts. Equality on a 4-dp
-    rounded min is engine-stable (min over identical rounded sets).
+    part filter broadcasts; supplier broadcasts. Equality on the integer
+    tenth-mil cost is engine-exact (see the scaling comment below).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # integer tenth-mil units, scaled BEFORE the decimal round:
+    # round(x, 4) disagrees between engines by 1 ulp at a 4-dp
+    # boundary (Spark rounds the exact decimal expansion, DuckDB
+    # rescales in doubles — observed once at sf0.1), while
+    # round(x * 10000) to an integer rounds the SAME product double
+    # in both
     ps = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias(
-            "supplycost"
+        F.round(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")) * 10000
         )
+        .cast("long")
+        .alias("supplycost_tmil")
     )
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
     )
     s = load_table(spark, sf_dir, "supplier")
     cand = ps.join(F.broadcast(p), ps.l_partkey == p.p_partkey).withColumn(
-        "best", F.min("supplycost").over(Window.partitionBy("p_partkey"))
+        "best", F.min("supplycost_tmil").over(Window.partitionBy("p_partkey"))
     )
     return (
-        cand.filter(F.col("supplycost") == F.col("best"))
+        cand.filter(F.col("supplycost_tmil") == F.col("best"))
         .join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
-        .select("s_name", "p_partkey", "p_name", "supplycost")
+        .select("s_name", "p_partkey", "p_name", "supplycost_tmil")
     )
 
 
