@@ -890,3 +890,87 @@ def ttl_expiry_compaction_plan(spark, sf_dir):
             ).alias("reclaim_bytes"),
         )
     )
+
+
+@query(
+    "layout_skipping_comparison",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_custkey::BIGINT AS ck,
+             date_diff('day', TIMESTAMP '{_EPOCH} 00:00:00',
+                       o_orderdate)::BIGINT AS d
+      FROM orders
+    ),
+    linear_bins AS (
+      SELECT ck // 64 AS bin,
+             max(ck) - min(ck) AS ck_span, max(d) - min(d) AS d_span
+      FROM keyed GROUP BY 1
+    ),
+    z_bins AS (
+      SELECT ({_zvalue_sql("ck", "d")} >> {_BIN_SHIFT}) AS bin,
+             max(ck) - min(ck) AS ck_span, max(d) - min(d) AS d_span
+      FROM keyed GROUP BY 1
+    )
+    SELECT 'linear_by_custkey' AS layout,
+           count(*)::BIGINT AS n_bins,
+           (sum(ck_span) // count(*))::BIGINT AS avg_ck_span,
+           (sum(d_span) // count(*))::BIGINT AS avg_day_span
+    FROM linear_bins
+    UNION ALL
+    SELECT 'zorder', count(*)::BIGINT,
+           (sum(ck_span) // count(*))::BIGINT,
+           (sum(d_span) // count(*))::BIGINT
+    FROM z_bins
+    """,
+)
+def layout_skipping_comparison(spark, sf_dir):
+    """The NUMBERS behind the Z-order claim (`zorder_layout_audit`
+    asserts the layout; this measures the alternative): the same
+    orders keyed by (custkey, order-day) binned two ways — linear
+    custkey ranges (what a single-column sort/range-partition write
+    produces) vs Morton-curve prefixes — and per layout the average
+    per-file min/max SPAN in each dimension. Linear bins have tight
+    custkey spans but each covers essentially the FULL date range
+    (avg_day_span ≈ the dataset's whole span → a date predicate
+    skips nothing); Z-order bounds both spans, which is the entire
+    argument for multi-dimensional clustering stated as data instead
+    of doctrine.
+
+    Scale: both binnings are closed-form per-row arithmetic (no
+    global sort — the linear layout is modeled by key-range bins,
+    exactly what a range-partitioned write approximates) + one
+    map-side-combinable aggregate each."""
+    o = load_table(spark, sf_dir, "orders")
+    keyed = o.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("timestamp"))
+        .cast("long")
+        .alias("d"),
+    )
+
+    def spans(binned, name):
+        per_bin = binned.groupBy("bin").agg(
+            (F.max("ck") - F.min("ck")).alias("ck_span"),
+            (F.max("d") - F.min("d")).alias("d_span"),
+        )
+        return per_bin.agg(
+            F.lit(name).alias("layout"),
+            F.count("*").alias("n_bins"),
+            F.floor(F.sum("ck_span") / F.count("*")).cast("long").alias(
+                "avg_ck_span"
+            ),
+            F.floor(F.sum("d_span") / F.count("*")).cast("long").alias(
+                "avg_day_span"
+            ),
+        ).select("layout", "n_bins", "avg_ck_span", "avg_day_span")
+
+    linear = keyed.withColumn("bin", F.floor(F.col("ck") / 64).cast("long"))
+    zord = keyed.withColumn(
+        "bin",
+        F.shiftright(
+            _zvalue_spark(F.col("ck"), F.col("d")), _BIN_SHIFT
+        ).cast("long"),
+    )
+    return spans(linear, "linear_by_custkey").unionByName(
+        spans(zord, "zorder")
+    )

@@ -348,3 +348,53 @@ def compaction_bin_packing(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@query(
+    "salt_balance_audit",
+    oracle="""
+    WITH salted AS (
+      SELECT o_orderstatus, o_orderkey % 16 AS salt,
+             count(*)::BIGINT AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_salts,
+           sum(n)::BIGINT AS n_rows,
+           min(n)::BIGINT AS min_salt_rows,
+           max(n)::BIGINT AS max_salt_rows,
+           ((max(n) - min(n)) * 1000000 // greatest(max(n), 1))::BIGINT
+             AS imbalance_ppm
+    FROM salted GROUP BY o_orderstatus
+    """,
+)
+def salt_balance_audit(spark, sf_dir):
+    """The measurement behind `salted_skew_aggregate`'s claim: per hot
+    key, how evenly the 16-way salt actually spreads its rows —
+    min/max rows per (key, salt) cell and the relative imbalance in
+    ppm. A salt derived from a SKEWED column (user error: salting on
+    a correlated value) shows up here as a high imbalance before it
+    shows up as one straggler task in a 1000-executor stage; near-zero
+    imbalance certifies the salt column is independent of the key.
+
+    Scale: this audit is exactly the stage-1 aggregate of the salted
+    plan itself (map-side combined, one row per key×salt) plus a
+    key-sized re-aggregate — it costs what the real job's first stage
+    costs and can piggyback on it."""
+    o = load_table(spark, sf_dir, "orders")
+    salted = o.groupBy(
+        "o_orderstatus", (F.col("o_orderkey") % 16).alias("salt")
+    ).agg(F.count("*").alias("n"))
+    return salted.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_salts"),
+        F.sum("n").alias("n_rows"),
+        F.min("n").alias("min_salt_rows"),
+        F.max("n").alias("max_salt_rows"),
+        F.floor(
+            (F.max("n") - F.min("n"))
+            * 1000000
+            / F.greatest(F.max("n"), F.lit(1))
+        )
+        .cast("long")
+        .alias("imbalance_ppm"),
+    )

@@ -206,6 +206,8 @@ _PRIORITY: tuple[str, ...] = (
     "ttl_expiry_compaction_plan",
     "bm25_self_retrieval_mrr",
     "temporal_label_join_no_leakage",
+    "salt_balance_audit",
+    "layout_skipping_comparison",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
