@@ -521,3 +521,89 @@ def epoch_reshuffle_prefix_overlap(spark, sf_dir):
         .groupBy("epoch_a", "epoch_b")
         .agg(F.count("*").alias("prefix_overlap"))
     )
+
+
+_BUDGET_TOKENS = 1_000_000
+
+
+@query(
+    "token_budget_apportionment",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, sum(len({_TOK_SQL}))::BIGINT AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(n_tokens)::BIGINT AS all_tokens,
+                   count(*)::BIGINT AS n_sources FROM per_source),
+    quotas AS (
+      SELECT p.source, p.n_tokens,
+             (p.n_tokens * {_BUDGET_TOKENS}) // t.all_tokens AS floor_alloc,
+             (p.n_tokens * {_BUDGET_TOKENS}) % t.all_tokens AS remainder,
+             t.all_tokens, t.n_sources
+      FROM per_source p CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT source, n_tokens, floor_alloc,
+             row_number() OVER (ORDER BY remainder DESC, source) AS rem_rank,
+             {_BUDGET_TOKENS} - sum(floor_alloc) OVER () AS leftover
+      FROM quotas
+    )
+    SELECT source, n_tokens,
+           (floor_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END)
+             ::BIGINT AS budget_tokens
+    FROM ranked
+    """,
+)
+def token_budget_apportionment(spark, sf_dir):
+    """Exact integer allocation of a fixed token budget across sources
+    in proportion to their natural mass — the LARGEST-REMAINDER
+    (Hamilton) method: floor each proportional share, then hand the
+    leftover tokens to the sources with the largest fractional
+    remainders (deterministic tiebreak on source). The allocations
+    sum EXACTLY to the budget — the property naive per-source
+    rounding violates (off-by-a-few totals that break a downstream
+    packer's accounting) — and the whole computation is integer
+    arithmetic, identical in both engines. Compose with
+    `temperature_mixture_weights` by swapping the proportional mass
+    for the tempered one.
+
+    Scale: source-granular throughout (one corpus aggregate, then
+    arithmetic over a sources-sized table); the remainder ranking is
+    a window over that tiny table."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    per_source = stage(
+        d.groupBy("source").agg(F.sum(n_tok).alias("n_tokens"))
+    )
+    tot = per_source.agg(F.sum("n_tokens").alias("all_tokens"))
+    quotas = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * _BUDGET_TOKENS / F.col("all_tokens"))
+        .cast("long")
+        .alias("floor_alloc"),
+        ((F.col("n_tokens") * _BUDGET_TOKENS) % F.col("all_tokens")).alias(
+            "remainder"
+        ),
+    )
+    w_rank = Window.orderBy(F.col("remainder").desc(), "source")
+    w_all = Window.partitionBy()
+    ranked = quotas.select(
+        "source",
+        "n_tokens",
+        "floor_alloc",
+        F.row_number().over(w_rank).alias("rem_rank"),
+        (F.lit(_BUDGET_TOKENS) - F.sum("floor_alloc").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_tokens",
+        (
+            F.col("floor_alloc")
+            + F.when(F.col("rem_rank") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("budget_tokens"),
+    )

@@ -208,6 +208,7 @@ _PRIORITY: tuple[str, ...] = (
     "temporal_label_join_no_leakage",
     "salt_balance_audit",
     "layout_skipping_comparison",
+    "token_budget_apportionment",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
