@@ -182,3 +182,62 @@ def late_data_watermark_semantics(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "props_key_profile",
+    oracle="""
+    SELECT array_to_string(list_sort(json_keys(props)), ',') AS key_signature,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def props_key_profile(spark, sf_dir):
+    """Semi-structured SCHEMA-DRIFT profile: every event's JSON props
+    reduced to its SORTED key set, counted per distinct signature — a
+    new producer version shipping an extra/renamed field shows up as
+    a new signature row long before anything downstream breaks on the
+    missing column. Keys are sorted before signing because the
+    profile must be insensitive to producer serialization order (both
+    engines' key extractors preserve document order, which is
+    exactly the noise to remove).
+
+    Scale: per-row key extraction is a codegen JSON expression; the
+    aggregate is map-side combinable on signature strings (bounded by
+    schema-variant count, not event count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.array_join(
+            F.array_sort(F.json_object_keys("props")), ","
+        ).alias("key_signature")
+    ).groupBy("key_signature").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "timezone_local_date_rollup",
+    oracle="""
+    SELECT strftime((ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York'),
+                    '%Y-%m-%d') AS local_date,
+           count(*)::BIGINT AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def timezone_local_date_rollup(spark, sf_dir):
+    """Timezone-correct daily rollup: UTC event times converted to an
+    operating timezone (America/New_York) BEFORE the date bucket —
+    the difference between this and a naive UTC date() is every
+    business-day report that looked wrong by a few hours, and the DST
+    transitions inside the data are the cases a hand-rolled offset
+    gets wrong (both engines delegate to the IANA tz database, so
+    agreement here certifies the conversion path end to end, spring
+    and fall edges included).
+
+    Scale: the conversion is a per-row codegen expression; the rollup
+    is one map-side-combinable aggregate on the local date."""
+    ev = load_table(spark, sf_dir, "events")
+    local = F.convert_timezone(
+        F.lit("UTC"), F.lit("America/New_York"), F.col("ts")
+    )
+    return ev.select(
+        F.date_format(local, "yyyy-MM-dd").alias("local_date")
+    ).groupBy("local_date").agg(F.count("*").alias("n_events"))

@@ -209,6 +209,8 @@ _PRIORITY: tuple[str, ...] = (
     "salt_balance_audit",
     "layout_skipping_comparison",
     "token_budget_apportionment",
+    "props_key_profile",
+    "timezone_local_date_rollup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
