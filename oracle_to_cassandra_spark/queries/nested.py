@@ -113,3 +113,49 @@ def unpivot_stack_measures(spark, sf_dir):
     ).select(
         "l_orderkey", "l_linenumber", "measure", F.round("raw", 2).alias("value")
     )
+
+
+@query(
+    "map_higher_order_battery",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, count(*)::BIGINT AS n
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type, (n * 10)::BIGINT AS boosted_count
+    FROM counts WHERE n >= 3
+    """,
+)
+def map_higher_order_battery(spark, sf_dir):
+    """MAP higher-order functions end to end: per user the event
+    stream folds into a MapType column (map_from_entries over
+    collected pairs), then ``map_filter`` drops rare entries
+    (n < 3), ``transform_values`` rescales the survivors, and
+    ``explode`` returns to rows. The oracle states the relational
+    equivalent (grouped counts, filtered, scaled), so the hash
+    compare certifies the entire map pipeline — construction,
+    filtering, value transformation, and entry explosion — preserves
+    exactly the relational semantics it should.
+
+    Scale: the map lives per user row (bounded by event-type
+    cardinality, never corpus-sized); all four operators are codegen
+    expressions — this is the idiom for carrying per-entity feature
+    maps through a pipeline without exploding them until the end."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    as_map = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    transformed = as_map.select(
+        "user_id",
+        F.transform_values(
+            F.map_filter("m", lambda k, v: v >= 3), lambda k, v: v * 10
+        ).alias("m"),
+    )
+    return transformed.select(
+        "user_id", F.explode("m").alias("event_type", "boosted_count")
+    )

@@ -218,3 +218,59 @@ def first_last_value_frames(spark, sf_dir):
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(w).alias("last_order"),
     )
+
+
+@query(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment,
+           CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT)
+             AS pct_rank_ppm,
+           CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT)
+             AS cume_dist_ppm,
+           CAST(round(nth_value(c_acctbal, 3) OVER (
+             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) * 100) AS BIGINT) AS third_lowest_bal_cents
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_mktsegment, pct_rank_ppm, c_custkey
+    LIMIT 200
+    """,
+)
+def window_distribution_functions(spark, sf_dir):
+    """The DISTRIBUTION window family — percent_rank (relative rank in
+    [0,1]), cume_dist (fraction of rows at-or-below), nth_value (the
+    k-th value of the full frame) — per market segment over account
+    balances. The floats are emitted as ppm integers derived from the
+    built-ins: both engines compute (rank−1)/(n−1) as the same
+    correctly-rounded division of the same integers, so the floored
+    ppm is engine-exact without a rounding-boundary hazard (the
+    `round(x, 6)` form is the family that flipped at sf0.1).
+    Ordering carries a unique tiebreak so ranks are total.
+
+    Scale: one window per segment partition; nth_value with an
+    unbounded frame evaluates once per partition, not per row."""
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.percent_rank().over(w) * 1000000)
+            .cast("long")
+            .alias("pct_rank_ppm"),
+            F.floor(F.cume_dist().over(w) * 1000000)
+            .cast("long")
+            .alias("cume_dist_ppm"),
+            F.round(F.nth_value("c_acctbal", 3).over(w_full) * 100)
+            .cast("long")
+            .alias("third_lowest_bal_cents"),
+        )
+        .orderBy("c_mktsegment", "pct_rank_ppm", "c_custkey")
+        .limit(200)
+    )

@@ -211,6 +211,8 @@ _PRIORITY: tuple[str, ...] = (
     "token_budget_apportionment",
     "props_key_profile",
     "timezone_local_date_rollup",
+    "window_distribution_functions",
+    "map_higher_order_battery",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
