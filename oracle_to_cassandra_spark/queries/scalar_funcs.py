@@ -268,3 +268,61 @@ def explode_collect_roundtrip(spark, sf_dir):
         F.min("l_partkey").alias("min_part"),
         F.max("l_partkey").alias("max_part"),
     )
+
+
+@query(
+    "try_arithmetic_null_semantics",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_rows,
+           sum(CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_div,
+           coalesce(sum(CASE WHEN o_orderkey % 10 <> 0 THEN
+             CAST(round(round(o_totalprice * 100)
+                        / (o_orderkey % 10)) AS BIGINT)
+           END), 0)::BIGINT AS sum_div_cents,
+           sum(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)::BIGINT
+             AS n_null_cast
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def try_arithmetic_null_semantics(spark, sf_dir):
+    """ANSI-mode error containment — Spark 4 runs under ANSI SQL by
+    default, where division by zero and overflowing casts THROW and
+    kill the job; the ``try_*`` family (try_divide, try_cast, ...)
+    converts those to NULL per row, which is the only viable contract
+    for a 100 TB batch (one poisoned row must not cost a 1000-executor
+    stage retry loop). Planted hazards: every 10th key divides by
+    zero (try_divide → NULL), prices at or over 100000.00 overflow a
+    deliberately narrow decimal cast (try_cast → NULL). The oracle
+    states the NULL pattern in closed form, so the query certifies
+    BOTH that errors became NULLs and that no healthy row was
+    nulled.
+
+    Scale: all codegen expressions; the point IS the absence of a
+    failure path."""
+    o = load_table(spark, sf_dir, "orders")
+    div = F.try_divide(
+        F.round(F.col("o_totalprice") * 100),
+        (F.col("o_orderkey") % 10).cast("double"),
+    )
+    narrow = F.try_to_number(
+        F.format_string("%.2f", F.col("o_totalprice")),
+        F.lit("99999.99"),
+    )
+    return o.select(
+        "o_orderstatus",
+        F.round(div).cast("long").alias("div_cents"),
+        narrow.alias("narrow_price"),
+    ).groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(F.col("div_cents").isNull(), 1).otherwise(0)
+        ).alias("n_null_div"),
+        F.coalesce(F.sum("div_cents"), F.lit(0)).cast("long").alias(
+            "sum_div_cents"
+        ),
+        F.sum(
+            F.when(F.col("narrow_price").isNull(), 1).otherwise(0)
+        ).alias("n_null_cast"),
+    )

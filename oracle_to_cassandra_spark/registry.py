@@ -213,6 +213,7 @@ _PRIORITY: tuple[str, ...] = (
     "timezone_local_date_rollup",
     "window_distribution_functions",
     "map_higher_order_battery",
+    "try_arithmetic_null_semantics",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
