@@ -536,3 +536,83 @@ def bootstrap_replicate_means(spark, sf_dir):
         .cast("long")
         .alias("mean_quality_micro"),
     )
+
+
+@query(
+    "percentile_disc_per_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(round(quantile_disc(c_acctbal, 0.5) * 100) AS BIGINT)
+             AS p50_cents,
+           CAST(round(quantile_disc(c_acctbal, 0.9) * 100) AS BIGINT)
+             AS p90_cents
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def percentile_disc_per_segment(spark, sf_dir):
+    """DISCRETE percentiles (percentile_disc / WITHIN GROUP): the
+    reported value is an ACTUAL data point (smallest value whose CDF
+    reaches p), not an interpolation — which makes it cross-engine
+    exact by construction (both engines select the same element of
+    the same sorted multiset; no float arithmetic exists to diverge).
+    The interpolated twin (`approx_quantiles_acctbal`) needs the
+    sketch-tolerance contract; DISC needs none — the right default
+    for reporting thresholds that must correspond to a real row
+    (e.g. 'the p90 account', not a synthetic balance).
+
+    Scale: one sort-based aggregate per group, same cost shape as
+    median; emitted in integer cents."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("p50"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("p90"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("p50") * 100).cast("long").alias("p50_cents"),
+            F.round(F.col("p90") * 100).cast("long").alias("p90_cents"),
+        )
+    )
+
+
+@query(
+    "bitmap_distinct_rollup",
+    oracle="""
+    SELECT c_mktsegment, count(DISTINCT c_custkey)::BIGINT AS n_distinct
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def bitmap_distinct_rollup(spark, sf_dir):
+    """EXACT distinct counting via the bitmap aggregate family
+    (Spark 3.5 bitmap_construct_agg): keys bucket into 32k-bit
+    bitmaps (bitmap_bucket_number / bitmap_bit_position), each
+    (group, bucket) folds to one bitmap whose bits ARE the distinct
+    keys, and the per-group sum of bitmap_counts is the exact
+    distinct count. Unlike HLL this is exact, and unlike
+    count(DISTINCT) the partial state is MERGEABLE bitmaps — the
+    incremental-rollup property: tomorrow's bitmaps OR into today's
+    without rescanning (the exact-count sibling of
+    `hll_sketch_union_rollup`).
+
+    Scale: state per (group, bucket) is a fixed 4 KB bitmap; dense
+    key spaces make this strictly better than a distinct shuffle. The
+    oracle certifies against count(DISTINCT)."""
+    c = load_table(spark, sf_dir, "customer")
+    per_bucket = c.groupBy(
+        "c_mktsegment",
+        F.expr("bitmap_bucket_number(c_custkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(c_custkey)))"
+        ).alias("n_bits")
+    )
+    return per_bucket.groupBy("c_mktsegment").agg(
+        F.sum("n_bits").cast("long").alias("n_distinct")
+    )

@@ -214,6 +214,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_distribution_functions",
     "map_higher_order_battery",
     "try_arithmetic_null_semantics",
+    "percentile_disc_per_segment",
+    "bitmap_distinct_rollup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
