@@ -391,3 +391,39 @@ def recursive_cte_trade_reachability(spark, sf_dir):
         FROM reach GROUP BY node
         """
     )
+
+
+@query(
+    "listagg_ordered_rollup",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_custkey)
+             FILTER (c_acctbal > 9000) AS top_names,
+           count(*) FILTER (c_acctbal > 9000)::BIGINT AS n_top
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def listagg_ordered_rollup(spark, sf_dir):
+    """LISTAGG (SQL:2023, Spark 4) — deterministic ordered string
+    aggregation WITHIN GROUP: per segment, the names of
+    high-balance customers concatenated in explicit (balance DESC,
+    key) order. The WITHIN GROUP ordering is the point — an unordered
+    collect produces arrival-order strings that differ per
+    partitioning and rerun; listagg's result is a FUNCTION of the
+    data alone, which is what makes a concatenated column hashable,
+    diffable, and safe to store. DuckDB's ordered string_agg is the
+    literal twin.
+
+    Scale: sort-based aggregation per group; the filter prunes before
+    any string concatenation buffers."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr(
+            "listagg(CASE WHEN c_acctbal > 9000 THEN c_name END, ',') "
+            "WITHIN GROUP (ORDER BY c_acctbal DESC, c_custkey)"
+        ).alias("top_names"),
+        F.sum(F.when(F.col("c_acctbal") > 9000, 1).otherwise(0)).alias(
+            "n_top"
+        ),
+    )

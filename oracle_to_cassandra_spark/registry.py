@@ -216,6 +216,7 @@ _PRIORITY: tuple[str, ...] = (
     "try_arithmetic_null_semantics",
     "percentile_disc_per_segment",
     "bitmap_distinct_rollup",
+    "listagg_ordered_rollup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
