@@ -298,3 +298,41 @@ def dead_letter_replay_recovery(spark, sf_dir):
             "recovered_id_sum"
         ),
     )
+
+
+@query(
+    "xpath_sidecar_extraction",
+    oracle="""
+    SELECT lang,
+           count(*)::BIGINT AS n_docs,
+           sum(doc_id)::BIGINT AS id_checksum
+    FROM documents WHERE doc_id % 3 = 0
+    GROUP BY lang
+    """,
+)
+def xpath_sidecar_extraction(spark, sf_dir):
+    """XPath extraction (the legacy-XML sibling of from_xml): each
+    document gets a planted XML SIDECAR (the metadata-file pattern of
+    old content pipelines), and ``xpath_int`` / ``xpath_string`` pull
+    the id and language back out of the markup for a grouped rollup
+    the oracle states directly from the source columns — a lossy
+    xpath (wrong axis, missed text node) breaks the checksum.
+
+    Scale: xpath expressions are JVM codegen over the string column —
+    sidecar parsing at scan speed, no Python."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    sidecar = F.concat(
+        F.lit("<meta><id>"),
+        F.col("doc_id").cast("string"),
+        F.lit("</id><lang>"),
+        F.col("lang"),
+        F.lit("</lang></meta>"),
+    )
+    parsed = d.select(sidecar.alias("xml")).select(
+        F.expr("xpath_long(xml, '/meta/id')").alias("doc_id"),
+        F.expr("xpath_string(xml, '/meta/lang')").alias("lang"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

@@ -326,3 +326,37 @@ def try_arithmetic_null_semantics(spark, sf_dir):
             F.when(F.col("narrow_price").isNull(), 1).otherwise(0)
         ).alias("n_null_cast"),
     )
+
+
+@query(
+    "multibyte_length_semantics",
+    oracle="""
+    SELECT (doc_id % 5)::BIGINT AS n_accents,
+           count(*)::BIGINT AS n_docs,
+           sum(length(repeat('é', doc_id % 5) || lang))::BIGINT
+             AS char_len_sum,
+           sum(octet_length(encode(repeat('é', doc_id % 5) || lang)))::BIGINT
+             AS byte_len_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def multibyte_length_semantics(spark, sf_dir):
+    """CHARACTER vs BYTE length under multibyte UTF-8 — the i18n
+    pitfall every 'truncate to N' pipeline hits: planted accented
+    prefixes make the two lengths diverge ('é' is 1 character, 2
+    bytes), and the query certifies both engines agree on BOTH
+    measures (length() counts codepoints, octet_length counts
+    encoded bytes). A tokenizer byte budget sized with character
+    lengths over-admits exactly the byte_len − char_len gap this
+    reports.
+
+    Scale: per-row string expressions, one aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.expr("repeat('é', CAST(doc_id % 5 AS INT))"), F.col("lang")
+    )
+    return d.groupBy((F.col("doc_id") % 5).alias("n_accents")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(s)).alias("char_len_sum"),
+        F.sum(F.octet_length(s)).alias("byte_len_sum"),
+    )

@@ -217,6 +217,8 @@ _PRIORITY: tuple[str, ...] = (
     "percentile_disc_per_segment",
     "bitmap_distinct_rollup",
     "listagg_ordered_rollup",
+    "xpath_sidecar_extraction",
+    "multibyte_length_semantics",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
