@@ -360,3 +360,51 @@ def multibyte_length_semantics(spark, sf_dir):
         F.sum(F.length(s)).alias("char_len_sum"),
         F.sum(F.octet_length(s)).alias("byte_len_sum"),
     )
+
+
+@query(
+    "url_parse_host_rollup",
+    oracle="""
+    SELECT 'crawl-' || source || '.example.com' AS host,
+           count(*)::BIGINT AS n_pages,
+           sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+           sum(doc_id)::BIGINT AS id_checksum
+    FROM documents GROUP BY source
+    """,
+)
+def url_parse_host_rollup(spark, sf_dir):
+    """URL structural parsing (``parse_url``) — the first operator of
+    every crawl pipeline (per-host quotas, robots gating, domain
+    mixing all key on the parsed HOST, never on string prefixes):
+    planted URLs are built from the source columns, then HOST, the
+    path's document id, and a QUERY parameter are parsed back out for
+    a per-host rollup the oracle states from the columns directly —
+    a parser that mangles any component (scheme confusion, query
+    splitting, path decoding) breaks a count or the checksum.
+
+    Scale: parse_url is JVM codegen; host extraction at scan speed
+    feeds the same broadcast-quota join `quota_cap_per_source`
+    demonstrates."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://crawl-"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    parsed = d.select(url.alias("u")).select(
+        F.parse_url(F.col("u"), F.lit("HOST")).alias("host"),
+        F.regexp_extract(
+            F.parse_url(F.col("u"), F.lit("PATH")), r"/docs/(\d+)", 1
+        )
+        .cast("long")
+        .alias("doc_id"),
+        F.parse_url(F.col("u"), F.lit("QUERY"), F.lit("lang")).alias("lang"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("n_en"),
+        F.sum("doc_id").alias("id_checksum"),
+    )

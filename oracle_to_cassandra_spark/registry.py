@@ -219,6 +219,7 @@ _PRIORITY: tuple[str, ...] = (
     "listagg_ordered_rollup",
     "xpath_sidecar_extraction",
     "multibyte_length_semantics",
+    "url_parse_host_rollup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
