@@ -362,3 +362,46 @@ def lsh_dedup_recall_vs_exact(spark, sf_dir):
             .alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "lsh_candidate_precision_audit",
+    oracle=f"""
+    WITH cands AS ({D.lsh_candidate_pairs_sql()}),
+    found AS ({D.jaccard_verified_pairs_sql(0.6)})
+    SELECT (SELECT count(*) FROM cands)::BIGINT AS n_candidates,
+           (SELECT count(*) FROM found)::BIGINT AS n_verified,
+           CASE WHEN (SELECT count(*) FROM cands) = 0 THEN 1000000
+                ELSE (SELECT count(*) FROM found) * 1000000
+                     // (SELECT count(*) FROM cands) END::BIGINT
+             AS precision_ppm
+    """,
+)
+def lsh_candidate_precision_audit(spark, sf_dir):
+    """The PRECISION companion to `lsh_dedup_recall_vs_exact`: of the
+    pairs the LSH bands surface, what fraction survives exact Jaccard
+    verification. Low precision means the verify stage — the
+    pipeline's expensive part (shingle-intersection joins) — burns
+    its budget on band-collision noise; the banding parameters trade
+    exactly this number against recall (more rows per band → higher
+    precision, lower recall). Together the two audits measure both
+    sides of that trade, which is how the 2×4 banding here is
+    JUSTIFIED rather than assumed.
+
+    Scale: candidate and verified counts are aggregates of pipelines
+    the dedup queries already run; the audit adds two scalars."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(docs))
+    found = D.jaccard_verified_pairs(docs, threshold=0.6)
+    n_c = cands.agg(F.count("*").alias("n_candidates"))
+    n_f = found.agg(F.count("*").alias("n_verified"))
+    return n_c.crossJoin(F.broadcast(n_f)).select(
+        "n_candidates",
+        "n_verified",
+        F.when(F.col("n_candidates") == 0, F.lit(1000000))
+        .otherwise(
+            F.floor(F.col("n_verified") * 1000000 / F.col("n_candidates"))
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+    )

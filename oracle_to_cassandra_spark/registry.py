@@ -220,6 +220,7 @@ _PRIORITY: tuple[str, ...] = (
     "xpath_sidecar_extraction",
     "multibyte_length_semantics",
     "url_parse_host_rollup",
+    "lsh_candidate_precision_audit",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
