@@ -159,3 +159,48 @@ def map_higher_order_battery(spark, sf_dir):
     return transformed.select(
         "user_id", F.explode("m").alias("event_type", "boosted_count")
     )
+
+
+@query(
+    "struct_field_surgery",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*)::BIGINT AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT) + 1)::BIGINT
+             AS adjusted_cents_sum
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def struct_field_surgery(spark, sf_dir):
+    """Nested-struct SURGERY (Column.withField / dropFields): mutate
+    one field deep inside a struct column WITHOUT rebuilding it —
+    the operator that makes wide nested schemas (the shape parquet
+    event logs and protobuf drops actually have) maintainable: a
+    rebuild-the-struct expression must re-list every sibling field
+    and silently drops any it forgets; withField is closed over the
+    rest of the schema. Here an order struct gains an adjusted price
+    (+1 cent planted delta), loses a scratch field, and the aggregate
+    over the EXTRACTED mutated field proves the surgery touched
+    exactly the intended leaf.
+
+    Scale: withField compiles to an UpdateFields expression — no
+    shuffle, no re-serialization of sibling fields."""
+    o = load_table(spark, sf_dir, "orders")
+    nested = o.select(
+        "o_orderstatus",
+        F.struct(
+            F.col("o_orderkey").alias("key"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.lit("scratch").alias("tmp"),
+        ).alias("order_rec"),
+    )
+    mutated = nested.withColumn(
+        "order_rec",
+        F.col("order_rec")
+        .withField("cents", F.col("order_rec.cents") + 1)
+        .dropFields("tmp"),
+    )
+    return mutated.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("order_rec.cents").alias("adjusted_cents_sum"),
+    )

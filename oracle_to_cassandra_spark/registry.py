@@ -221,6 +221,7 @@ _PRIORITY: tuple[str, ...] = (
     "multibyte_length_semantics",
     "url_parse_host_rollup",
     "lsh_candidate_precision_audit",
+    "struct_field_surgery",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
