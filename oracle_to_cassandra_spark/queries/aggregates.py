@@ -453,3 +453,33 @@ def supplier_concentration_hhi(spark, sf_dir):
         F.round(F.min("hhi"), 6).alias("min_hhi"),
         F.round(F.max("hhi"), 6).alias("max_hhi"),
     )
+
+
+@query(
+    "distinct_set_sorted_rollup",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',')
+             AS event_types,
+           len(list_distinct(list(event_type)))::BIGINT AS n_types
+    FROM events GROUP BY user_id
+    """,
+)
+def distinct_set_sorted_rollup(spark, sf_dir):
+    """Deterministic SET aggregation: per user the distinct event
+    types as a SORTED joined string. ``collect_set`` alone is
+    arrival-order nondeterministic — the same data hashes differently
+    per partitioning and rerun — so every stored/compared set column
+    must pass through ``array_sort`` first; this query certifies the
+    sorted form is a pure function of the data (the hash compare
+    fails on any order leak).
+
+    Scale: set state is bounded by type cardinality per user; the
+    aggregate is map-side combinable."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("event_type")), ","
+        ).alias("event_types"),
+        F.size(F.collect_set("event_type")).cast("long").alias("n_types"),
+    )

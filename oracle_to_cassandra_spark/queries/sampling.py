@@ -169,3 +169,40 @@ def weighted_sample_without_replacement(spark, sf_dir):
         F.round("w", 6).alias("weight"),
         F.row_number().over(wk).cast("long").alias("rnk"),
     )
+
+
+@query(
+    "stratified_exact_n_sample",
+    oracle=f"""
+    SELECT lang, doc_id FROM (
+      SELECT lang, doc_id,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat:' || doc_id::VARCHAR), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 5
+    """,
+)
+def stratified_exact_n_sample(spark, sf_dir):
+    """EXACT-size stratified sampling: precisely 5 documents per
+    language stratum, selected by smallest seeded hash — the eval-set
+    builder's contract (`sampleBy` is Bernoulli: per-stratum counts
+    are random, and a 5-example-per-language benchmark cannot be
+    'approximately 5'). Hash-ranked selection is reproducible across
+    engines, partitionings, and reruns, and re-seedable by changing
+    the literal.
+
+    Scale: per-stratum top-k — the rank window partitions by the
+    stratum; for small k the production form is the per-partition
+    pre-top-k (TakeOrdered within stratum), never a full sort."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("strat:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "doc_id")
+    )

@@ -222,6 +222,8 @@ _PRIORITY: tuple[str, ...] = (
     "url_parse_host_rollup",
     "lsh_candidate_precision_audit",
     "struct_field_surgery",
+    "stratified_exact_n_sample",
+    "distinct_set_sorted_rollup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
