@@ -241,3 +241,37 @@ def timezone_local_date_rollup(spark, sf_dir):
     return ev.select(
         F.date_format(local, "yyyy-MM-dd").alias("local_date")
     ).groupBy("local_date").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "date_trunc_granularity_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+             AS quarter_start,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d')
+             AS week_start,
+           count(*)::BIGINT AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def date_trunc_granularity_rollup(spark, sf_dir):
+    """Calendar-truncation semantics across granularities: orders
+    rolled up by QUARTER start and ISO WEEK start simultaneously —
+    the two truncations with genuine convention risk (does the week
+    start Monday or Sunday? does Q1 start Jan 1 or a fiscal month?).
+    Hash agreement certifies both engines implement the same ISO
+    conventions (Monday weeks, calendar quarters), which is what
+    makes truncated keys safe to join across systems — the subtle
+    reporting bug this guards against is a Sunday-week system joined
+    to a Monday-week one, where 6/7ths of keys silently mismatch.
+
+    Scale: truncation is per-row codegen; the rollup is one map-side
+    combinable aggregate on ~400 (quarter, week) keys."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd")
+        .alias("quarter_start"),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd")
+        .alias("week_start"),
+    ).agg(F.count("*").alias("n_orders"))

@@ -224,6 +224,7 @@ _PRIORITY: tuple[str, ...] = (
     "struct_field_surgery",
     "stratified_exact_n_sample",
     "distinct_set_sorted_rollup",
+    "date_trunc_granularity_rollup",
     "rename_bulk_customer",
     "filter_eq_numeric",
     "self_join_adjacent_lines",
