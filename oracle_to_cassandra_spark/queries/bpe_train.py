@@ -163,7 +163,7 @@ def bpe_train_merges(spark, sf_dir):
         )
     out = merges[0]
     for m in merges[1:]:
-        out = out.unionAll(m)
+        out = out.union(m)
     return out.orderBy("round")
 
 

@@ -266,21 +266,42 @@ def fuzzy_eval_decontamination(spark, sf_dir):
     )
 
 
+#: df-cap for the ground-truth inverted index: a shingle present in
+#: more than max(50, 1% of docs) documents identifies nothing — its
+#: index join contributes df² candidate rows while any pair it alone
+#: connects has near-zero Jaccard. Hot shingles are EXCLUDED from
+#: candidate GENERATION only; every surviving candidate is verified
+#: with exact Jaccard over the FULL shingle sets, so the cap can only
+#: hide a pair whose every shared shingle is hot (reported via
+#: n_capped_shingles so the audit's own blind spot is pinned).
 _RECALL_TRUTH_SQL = f"""
     sh_tbl AS ({D.doc_shingle_hashes_sql()}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_tbl GROUP BY doc_id),
-    shared AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh_tbl a JOIN sh_tbl b
-        ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+    hot AS (
+      SELECT h31 FROM sh_tbl GROUP BY h31
+      HAVING count(*) > greatest(50, (SELECT count(*) FROM documents) // 100)
+    ),
+    cold AS (
+      SELECT s.doc_id, s.h31 FROM sh_tbl s
+      WHERE s.h31 NOT IN (SELECT h31 FROM hot)
+    ),
+    tcand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM cold a JOIN cold b ON a.h31 = b.h31 AND a.doc_id < b.doc_id
+    ),
+    tinter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+      FROM tcand c
+      JOIN sh_tbl sa ON sa.doc_id = c.doc_a
+      JOIN sh_tbl sb ON sb.doc_id = c.doc_b AND sb.h31 = sa.h31
       GROUP BY 1, 2
     ),
     truth AS (
-      SELECT s.doc_a, s.doc_b
-      FROM shared s
-      JOIN sizes za ON za.doc_id = s.doc_a
-      JOIN sizes zb ON zb.doc_id = s.doc_b
-      WHERE s.n_inter * 1.0 / (za.n_sh + zb.n_sh - s.n_inter) >= 0.6
+      SELECT i.doc_a, i.doc_b
+      FROM tinter i
+      JOIN sizes za ON za.doc_id = i.doc_a
+      JOIN sizes zb ON zb.doc_id = i.doc_b
+      WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= 0.6
     )
 """
 
@@ -295,47 +316,76 @@ _RECALL_TRUTH_SQL = f"""
            CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 1000000
                 ELSE (SELECT count(*) FROM found) * 1000000
                      // (SELECT count(*) FROM truth) END::BIGINT
-             AS recall_ppm
+             AS recall_ppm,
+           (SELECT count(*) FROM hot)::BIGINT AS n_capped_shingles
     """,
 )
 def lsh_dedup_recall_vs_exact(spark, sf_dir):
     """MEASURED recall of the MinHash/LSH dedup pipeline against the
-    EXACT near-duplicate ground truth — the number that justifies (or
-    indicts) the banding parameters. Ground truth is computed without
-    any n² pass: the shingle INVERTED INDEX generates exactly the
-    pairs sharing >= 1 shingle (a pair with Jaccard >= 0.6 must share
-    shingles, so the index misses nothing), each verified with exact
-    set Jaccard; the LSH side is the production pipeline
-    (`jaccard_verified_pairs`). found ⊆ truth by construction (both
-    verify exactly), so recall = found/truth in integer ppm.
+    exact near-duplicate ground truth — the number that justifies (or
+    indicts) the banding parameters. Ground truth comes from the
+    DF-CAPPED shingle inverted index: shingles in more than
+    max(50, 1% of docs) documents are dropped from candidate
+    generation (each hot value costs df² index-join rows while
+    identifying nothing), then every surviving candidate pair is
+    verified with exact set Jaccard over the FULL shingle sets. The
+    cap can only hide a pair whose every shared shingle is hot —
+    `n_capped_shingles` reports that blind spot alongside the recall
+    so the audit prices its own approximation. The LSH side is the
+    production pipeline (`jaccard_verified_pairs`); recall =
+    found/truth in integer ppm (both sides verify exactly, and both
+    engines run the identical cap + int64 // arithmetic).
 
-    Scale: the index join's cost concentrates in hot shingles (df²
-    per shingle value) — at 100 TB the practice is df-capping the
-    index (a shingle in >1% of docs identifies nothing) plus this
-    same audit run on a SAMPLE to price what the cap loses; the
-    banding parameters are then tuned until measured recall meets the
-    dedup SLA. The audit itself shuffles on int64 shingle hashes
-    only."""
+    Scale: this is the 100 TB shape — the index join no longer scales
+    with df² of hot shingles (the r7 audit's cost driver); candidates
+    join back to full shingle sets only candidate-many times. The
+    audit shuffles on int64 shingle hashes only."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.stage(D.doc_shingle_hashes(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    shared = (
+    # df-cap as a broadcast 1-row frame (no driver constant): hot =
+    # shingles whose document frequency exceeds max(50, n_docs div 100)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    hot = (
+        sh.groupBy("h31")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") > F.greatest(F.lit(50), F.expr("n_docs div 100")))
+        .select("h31")
+    )
+    # hot is by construction a SHORT list of distinct values — it
+    # broadcasts into the anti-join that prunes the index
+    cold = sh.join(F.broadcast(hot), "h31", "left_anti")
+    a = cold.alias("a")
+    b = cold.alias("b")
+    tcand = (
         a.join(
             b,
             (F.col("a.h31") == F.col("b.h31"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
+        .distinct()
+    )
+    # exact verification over FULL shingle sets, candidates only
+    sa = sh.alias("sa")
+    sb = sh.alias("sb")
+    tinter = (
+        tcand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sb,
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.h31") == F.col("sa.h31")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     truth = (
-        shared.join(za, "doc_a")
+        tinter.join(za, "doc_a")
         .join(zb, "doc_b")
         .filter(
             F.col("n_inter")
@@ -349,17 +399,18 @@ def lsh_dedup_recall_vs_exact(spark, sf_dir):
     )
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_found = found.agg(F.count("*").alias("n_found"))
+    n_capped = hot.agg(F.count("*").alias("n_capped_shingles"))
     return (
         n_truth.crossJoin(F.broadcast(n_found))
+        .crossJoin(F.broadcast(n_capped))
         .select(
             "n_truth",
             "n_found",
             F.when(F.col("n_truth") == 0, F.lit(1000000))
-            .otherwise(
-                F.floor(F.col("n_found") * 1000000 / F.col("n_truth"))
-            )
+            .otherwise(F.expr("n_found * 1000000L div n_truth"))
             .cast("long")
             .alias("recall_ppm"),
+            "n_capped_shingles",
         )
     )
 
@@ -399,9 +450,7 @@ def lsh_candidate_precision_audit(spark, sf_dir):
         "n_candidates",
         "n_verified",
         F.when(F.col("n_candidates") == 0, F.lit(1000000))
-        .otherwise(
-            F.floor(F.col("n_verified") * 1000000 / F.col("n_candidates"))
-        )
+        .otherwise(F.expr("n_verified * 1000000L div n_candidates"))
         .cast("long")
         .alias("precision_ppm"),
     )

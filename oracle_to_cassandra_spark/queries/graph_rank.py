@@ -127,8 +127,12 @@ def trade_graph_pagerank(spark, sf_dir):
     # the node count and teleport mass are scalars of a 25-row table;
     # carry them as a broadcast 1-row frame, not a driver constant
     n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    # `div` is Spark's INTEGRAL division (long div long -> long) — the
+    # exact twin of DuckDB's `//`.  A `/` here would cast both sides to
+    # double and round once pr*w exceeds 2^53 (~sf1000 edge counts),
+    # silently diverging from the oracle's int64 recurrence.
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", (F.lit(PR_SCALE) / F.col("n_nodes")).cast("long").alias("pr")
+        "node", F.expr(f"{PR_SCALE}L div n_nodes").alias("pr")
     )
     weighted = edges.join(outw, "src")
     for _ in range(PR_ITERATIONS):
@@ -137,13 +141,7 @@ def trade_graph_pagerank(spark, sf_dir):
                 F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(
-                F.sum(
-                    F.floor((F.col("pr") * F.col("w")) / F.col("w_out")).cast(
-                        "long"
-                    )
-                ).alias("mass")
-            )
+            .agg(F.sum(F.expr("(pr * w) div w_out")).alias("mass"))
         )
         # dangling nodes (no outgoing edges) spray their whole rank
         # uniformly — dropping it instead bleeds ~60% of total mass in
@@ -155,13 +153,9 @@ def trade_graph_pagerank(spark, sf_dir):
             )
             .agg(F.coalesce(F.sum("pr"), F.lit(0)).alias("dmass"))
         )
-        teleport = (
-            F.floor(
-                F.floor(F.lit((100 - _D_NUM) * PR_SCALE) / F.lit(_D_DEN))
-                / F.col("n_nodes")
-            )
-        ).cast("long")
-        dshare = F.floor(F.col("dmass") / F.col("n_nodes")).cast("long")
+        teleport = F.expr(
+            f"({(100 - _D_NUM) * PR_SCALE}L div {_D_DEN}L) div n_nodes"
+        )
         ranks = (
             nodes.join(mass, "node", "left")
             .crossJoin(F.broadcast(n_nodes))
@@ -170,11 +164,10 @@ def trade_graph_pagerank(spark, sf_dir):
                 "node",
                 (
                     teleport
-                    + F.floor(
-                        F.lit(_D_NUM)
-                        * (F.coalesce(F.col("mass"), F.lit(0)) + dshare)
-                        / F.lit(_D_DEN)
-                    ).cast("long")
+                    + F.expr(
+                        f"({_D_NUM}L * (coalesce(mass, 0L) + dmass div n_nodes))"
+                        f" div {_D_DEN}L"
+                    )
                 ).alias("pr"),
             )
         )

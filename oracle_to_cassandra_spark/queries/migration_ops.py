@@ -539,13 +539,13 @@ def referential_integrity_audit(spark, sf_dir):
         )
 
     out = audit(o, "o_custkey", c, "c_custkey", "orders.custkey -> customer")
-    out = out.unionAll(
+    out = out.union(
         audit(
             li, "l_orderkey", o, "o_orderkey",
             "lineitem.orderkey -> orders", broadcast_parent=False,
         )
     )
-    return out.unionAll(
+    return out.union(
         audit(s, "s_nationkey", n, "n_nationkey", "supplier.nationkey -> nation")
     )
 
@@ -602,10 +602,10 @@ def functional_dependency_audit(spark, sf_dir):
     n = load_table(spark, sf_dir, "nation")
     o = load_table(spark, sf_dir, "orders")
     out = fd(s, "s_suppkey", "s_nationkey", "supplier: s_suppkey -> s_nationkey")
-    out = out.unionAll(
+    out = out.union(
         fd(n, "n_nationkey", "n_regionkey", "nation: n_nationkey -> n_regionkey")
     )
-    return out.unionAll(
+    return out.union(
         fd(o, "o_orderkey", "o_custkey", "orders: o_orderkey -> o_custkey")
     )
 
@@ -707,28 +707,32 @@ def merge_upsert_apply(spark, sf_dir):
     WITH tombstones AS (
       SELECT c_custkey FROM customer WHERE c_custkey % 101 = 0
     ),
+    -- every table keys off ACTUAL tombstone membership (the cascade
+    -- the implementation runs), not the bare mod predicate — so the
+    -- two engines stay in lockstep even if a fixture regeneration
+    -- widens events.user_id beyond the customer key range
     t_customer AS (
       SELECT 'customer' AS table_name,
-             count(*) FILTER (c_custkey % 101 = 0)::BIGINT AS n_purge,
-             count(*) FILTER (c_custkey % 101 <> 0)::BIGINT AS n_keep
+             count(*) FILTER (c_custkey IN (SELECT c_custkey FROM tombstones))::BIGINT AS n_purge,
+             (count(*) - count(*) FILTER (c_custkey IN (SELECT c_custkey FROM tombstones)))::BIGINT AS n_keep
       FROM customer
     ),
     t_orders AS (
       SELECT 'orders',
-             count(*) FILTER (o_custkey % 101 = 0)::BIGINT,
-             count(*) FILTER (o_custkey % 101 <> 0)::BIGINT
+             count(*) FILTER (o_custkey IN (SELECT c_custkey FROM tombstones))::BIGINT,
+             (count(*) - count(*) FILTER (o_custkey IN (SELECT c_custkey FROM tombstones)))::BIGINT
       FROM orders
     ),
     t_lineitem AS (
       SELECT 'lineitem',
-             count(*) FILTER (o.o_custkey % 101 = 0)::BIGINT,
-             count(*) FILTER (o.o_custkey % 101 <> 0)::BIGINT
+             count(*) FILTER (o.o_custkey IN (SELECT c_custkey FROM tombstones))::BIGINT,
+             (count(*) - count(*) FILTER (o.o_custkey IN (SELECT c_custkey FROM tombstones)))::BIGINT
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     ),
     t_events AS (
       SELECT 'events',
-             count(*) FILTER (user_id % 101 = 0)::BIGINT,
-             count(*) FILTER (user_id % 101 <> 0)::BIGINT
+             count(*) FILTER (user_id IN (SELECT c_custkey FROM tombstones))::BIGINT,
+             (count(*) - count(*) FILTER (user_id IN (SELECT c_custkey FROM tombstones)))::BIGINT
       FROM events
     )
     SELECT * FROM t_customer UNION ALL SELECT * FROM t_orders

@@ -207,7 +207,7 @@ def format_roundtrip_digest(spark, sf_dir):
         )
     res = out[0]
     for nxt in out[1:]:
-        res = res.unionAll(nxt)
+        res = res.union(nxt)
     return res.orderBy("fmt")
 
 

@@ -41,7 +41,7 @@ def _filled_order_custkeys(spark, sf_dir):
 )
 def union_all_custkeys(spark, sf_dir):
     """UNION ALL — bag union, duplicates kept, no shuffle."""
-    return _building_custkeys(spark, sf_dir).unionAll(
+    return _building_custkeys(spark, sf_dir).union(
         _filled_order_custkeys(spark, sf_dir)
     )
 

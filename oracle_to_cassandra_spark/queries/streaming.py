@@ -461,12 +461,30 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
         if batch_id == 1:
             raise _PlantedCrash("planted crash after batch 1")
 
+    crashed = False
     try:
         run_resumable_ingest(
             spark, _source(), out_dir, ckpt, on_batch=crash_after_two
         )
-    except Exception:
-        pass  # the planted crash — the stream died mid-ingest
+    except Exception as exc:  # noqa: BLE001 - filtered just below
+        # Only the PLANTED crash may pass: an unrelated run-1 failure
+        # before batch 0 commits would let run 2 ingest everything and
+        # still hash-match, silently voiding the resume-after-partial-
+        # write property this query exists to certify.
+        if "planted crash" not in str(exc):
+            raise
+        crashed = True
+    if not crashed:
+        raise AssertionError("fault injection did not fire in run 1")
+    # the crash must have landed MID-stream: some batches written,
+    # some not — otherwise run 2 is a cold start, not a resume
+    partial = spark.read.option("basePath", out_dir).parquet(out_dir)
+    n_partial = partial.count()
+    n_src = src.count()
+    if not (0 < n_partial < n_src):
+        raise AssertionError(
+            f"crash not mid-stream: {n_partial} of {n_src} rows in sink"
+        )
     # resume from the same checkpoint; redelivered batch 1 overwrites
     run_resumable_ingest(spark, _source(), out_dir, ckpt)
     sink = spark.read.option("basePath", out_dir).parquet(out_dir)

@@ -152,6 +152,14 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         return {"row": self._pos}
 
     def partitions(self, start: dict, end: dict):
+        # Restart-from-checkpoint path: the engine replans the last
+        # uncommitted batch with CHECKPOINTED offsets while _pos is
+        # still 0 in this fresh reader instance.  Walk _pos forward to
+        # the engine-supplied high-water mark so the next
+        # latestOffset() advances from the committed frontier instead
+        # of re-emitting already-committed row ranges (duplicates) —
+        # the monotone-offset contract any wrapped message queue needs.
+        self._pos = max(self._pos, int(end["row"]))
         lo, hi = int(start["row"]), int(end["row"])
         if hi <= lo:
             return [_StreamSlice(lo, lo)]
@@ -173,7 +181,9 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
             )
 
     def commit(self, end: dict) -> None:
-        pass
+        # Same monotone guard on the commit path (engine-supplied
+        # offsets outrank driver-local state after a resume).
+        self._pos = max(self._pos, int(end["row"]))
 
 
 class SyntheticEventsStreamDataSource(DataSource):
