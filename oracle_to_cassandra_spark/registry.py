@@ -102,73 +102,27 @@ _QUERY_MODULES = (
 #: stats_dispersion_per_segment, plus any round-7 additions that do
 #: not fit this window.
 #:
-#: r8 HARDENING item: ~35 queries still emit `round(SUM(float), k)` /
-#: `round(x, k)` compare columns — the family that flipped 3 queries
-#: at sf0.1 in round 7 (fixed: q2/q3/merge_upsert; see the verify
-#: SKILL.md gotcha). All 35 are green at sf0.001/0.01/0.1 TODAY (full
-#: sweep, round 7), but any testdata regeneration can land one on a
-#: rounding boundary. Convert them to the integer-units form
-#: (`sum(round(x*100)::BIGINT)`, divide once at the end) — schema
-#: renames reset their driver history, so batch the conversion with
-#: the r8 rotation rather than piecemeal.
+#: ROUND-8 rotation (executes item 1 of the round-7 verdict): the
+#: 50-window = 50 of the 56 zero-driver-history oracled queries
+#: (every late-r7 addition past the r7 window), in their r7 queue
+#: order, with lsh_candidate_precision_audit promoted into the 50
+#: because round 8 changed it (integral-div ppm) alongside
+#: lsh_dedup_recall_vs_exact (df-capped ground truth). The 6
+#: deferred zero-history rows + the 31 r1-stale rows queue for the
+#: r9 window (37 items, 13 slots spare for re-verifying round-8
+#: integer-units conversions).
+#:
+#: ROUND-8 hardening (executes item 2): every `round(SUM(float), k)`
+#: / `round(AVG(float), k)` compare column — the accumulation-order-
+#: dependent family that flipped 3 queries at sf0.1 in round 7 — is
+#: converted to integer-units form (per-row `round(x*scale)::BIGINT`,
+#: exact int64 sum, at most ONE float division at the end, which is
+#: deterministic across engines because both divide the same exact
+#: integer). Deterministic round() sites are NOT converted: integer/
+#: integer ratios, per-row rounds of 2-dp money columns, and exact
+#: quantile interpolation are order-insensitive by construction.
 _PRIORITY: tuple[str, ...] = (
-    # --- round-7 additions (zero history; the 50-window holds exactly
-    #     4 of them alongside the 46 r6 rows — the remaining r7
-    #     additions are listed AFTER the 46 and rotate in r8) ---
-    "oracle_to_cassandra_e2e",
-    "migration_column_profile_approx",
-    "fuzzy_eval_decontamination",
-    "kanonymity_quasi_identifier_audit",
-    # --- post-r6-window additions with zero driver history (46) ---
-    "incremental_pq_encode",
-    "bpe_merge_candidates",
-    "bpe_apply_tokenize",
-    "migration_column_profile",
-    "hard_negative_mining",
-    "rag_chunking_overlap",
-    "stratified_split_audit",
-    "quality_quantile_normalization",
-    "token_length_psi_drift",
-    "stream_gopher_quality_gate",
-    "ab_assignment_srm_check",
-    "schema_evolution_merge_read",
-    "weighted_sample_without_replacement",
-    "event_transition_matrix",
-    "markov_surprise_anomaly_users",
-    "quality_length_regression_per_source",
-    "corpus_snapshot_delta",
-    "scd2_interval_build",
-    "label_centroid_separation",
-    "temporal_embargo_split",
-    "matryoshka_prefix_recall",
-    "robust_quality_outliers",
-    "pmi_collocations_topk",
-    "text_normalization_stats",
-    "stream_trending_event_types",
-    "zipf_fit_per_corpus",
-    "json_corrupt_records_handling",
-    "pareto_revenue_concentration",
-    "rfm_customer_segments",
-    "monthly_revenue_yoy_growth",
-    "supplier_concentration_hhi",
-    "funnel_time_to_convert",
-    "referential_integrity_audit",
-    "benford_first_digit_audit",
-    "functional_dependency_audit",
-    "unpivot_order_measures",
-    "lateral_top2_orders_per_customer",
-    "keyset_pagination_page3",
-    "merge_upsert_apply",
-    "event_path_trigrams",
-    "purchase_regularity_churn_signal",
-    "weekly_event_spike_alerts",
-    "user_behavior_entropy",
-    "curation_pipeline_v2",
-    "asof_join_with_tolerance",
-    "event_type_association_rules",
-    # --- past the 50-window from here down: remaining r7 additions,
-    #     then the oldest displaced r1-only-green backfills — all
-    #     queue for the r8 rotation ---
+    # --- r8 window: 50 zero-history rows (drains the backlog) ---
     "ldiversity_sensitive_attribute_audit",
     "temperature_mixture_weights",
     "oov_bigram_novelty",
@@ -200,6 +154,7 @@ _PRIORITY: tuple[str, ...] = (
     "kv_cache_block_allocation",
     "bootstrap_replicate_means",
     "lsh_dedup_recall_vs_exact",
+    "lsh_candidate_precision_audit",
     "epoch_reshuffle_prefix_overlap",
     "length_bucketed_batching_waste",
     "cassandra_partition_size_audit",
@@ -218,17 +173,46 @@ _PRIORITY: tuple[str, ...] = (
     "bitmap_distinct_rollup",
     "listagg_ordered_rollup",
     "xpath_sidecar_extraction",
+    # --- r9 queue: 6 deferred zero-history rows ---
     "multibyte_length_semantics",
     "url_parse_host_rollup",
-    "lsh_candidate_precision_audit",
     "struct_field_surgery",
     "stratified_exact_n_sample",
     "distinct_set_sorted_rollup",
     "date_trunc_granularity_rollup",
+    # --- r9 queue: 31 rows whose driver evidence is r1-only,
+    #     predating two testdata regenerations (replica-green) ---
+    "full_scan_region",
+    "projection_orders",
     "rename_bulk_customer",
     "filter_eq_numeric",
+    "global_counts",
+    "distinct_departments",
+    "static_column_per_partition",
+    "top_orders_limit",
+    "clustering_order_scan",
     "self_join_adjacent_lines",
     "count_distinct_custkeys",
+    "conditional_aggregation",
+    "cube_order_status_priority",
+    "rollup_region_nation",
+    "grouping_sets_status_priority",
+    "stats_dispersion_per_segment",
+    "having_filter_hot_parts",
+    "revenue_per_nation",
+    "moving_avg_3_orders",
+    "running_total_per_customer",
+    "rank_dense_rank_orders",
+    "ntile_quartiles",
+    "percent_rank_cume_dist",
+    "first_last_value_frames",
+    "range_frame_value_neighborhood",
+    "topk_orders_per_customer",
+    "union_all_custkeys",
+    "union_distinct_custkeys",
+    "intersect_custkeys",
+    "except_custkeys",
+    "semi_anti_join_customers",
 )
 
 _loaded = False
