@@ -11,6 +11,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators import aggregates as A
+from oracle_to_cassandra_spark.functions import exactnum as X
 from oracle_to_cassandra_spark.operators import relational as R
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
@@ -18,16 +19,16 @@ from oracle_to_cassandra_spark.sources import load_table
 
 @query(
     "tpch_q1_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                   AS sum_qty,
-           round(sum(l_extendedprice), 2)                              AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           round(avg(l_quantity), 6)                                   AS avg_qty,
-           round(avg(l_extendedprice), 6)                              AS avg_price,
-           round(avg(l_discount), 6)                                   AS avg_disc,
-           count(*)::BIGINT                                            AS count_order
+           {X.exact_sum_sql("l_quantity")}                                  AS sum_qty,
+           {X.exact_sum_sql("l_extendedprice")}                             AS sum_base_price,
+           {X.exact_sum_sql("l_extendedprice * (1 - l_discount)")}          AS sum_disc_price,
+           {X.exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {X.exact_avg_sql("l_quantity")}                                  AS avg_qty,
+           {X.exact_avg_sql("l_extendedprice")}                             AS avg_price,
+           {X.exact_avg_sql("l_discount")}                                  AS avg_disc,
+           count(*)::BIGINT                                                 AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -35,22 +36,24 @@ from oracle_to_cassandra_spark.sources import load_table
 )
 def tpch_q1_pricing_summary(spark, sf_dir):
     """TPC-H Q1 shape: the canonical scan → filter → 8-way grouped
-    aggregate. Scale: map-side partial aggregation means the shuffle
-    carries ≤ (partitions × 6 groups) rows regardless of input size;
-    the filter pushes down to the parquet scan."""
+    aggregate, with every float aggregate in the integer-units compare
+    form (`functions/exactnum.py`) so partition merge order cannot
+    move a rounded digit. Scale: map-side partial aggregation means
+    the shuffle carries ≤ (partitions × 6 groups) rows regardless of
+    input size; the filter pushes down to the parquet scan."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return A.grouped_summary(
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")),
         ["l_returnflag", "l_linestatus"],
         [
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            X.exact_sum(F.col("l_quantity")).alias("sum_qty"),
+            X.exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            X.exact_sum(disc_price).alias("sum_disc_price"),
+            X.exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            X.exact_avg(F.col("l_quantity")).alias("avg_qty"),
+            X.exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            X.exact_avg(F.col("l_discount")).alias("avg_disc"),
             F.count("*").alias("count_order"),
         ],
     )
@@ -61,10 +64,12 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            count(*)::BIGINT            AS n_customers,
-           round(avg(c_acctbal), 6)    AS avg_bal,
+           round((sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+                  / 100.0) / count(c_acctbal), 6) AS avg_bal,
            round(min(c_acctbal), 2)    AS min_bal,
            round(max(c_acctbal), 2)    AS max_bal,
-           round(sum(c_acctbal), 2)    AS sum_bal
+           round(sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+                 / 100.0, 2)           AS sum_bal
     FROM customer GROUP BY c_mktsegment
     """,
 )
@@ -75,10 +80,10 @@ def group_customer_stats(spark, sf_dir):
         ["c_mktsegment"],
         [
             F.count("*").alias("n_customers"),
-            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            X.exact_avg(F.col("c_acctbal")).alias("avg_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            X.exact_sum(F.col("c_acctbal")).alias("sum_bal"),
         ],
     )
 
@@ -111,7 +116,8 @@ def count_distinct_custkeys(spark, sf_dir):
     oracle="""
     SELECT r.r_name AS r_name, n.n_name AS n_name,
            count(*)::BIGINT         AS n_customers,
-           round(sum(c.c_acctbal), 2) AS sum_bal
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT
+                 / 100.0, 2)          AS sum_bal
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -135,7 +141,10 @@ def rollup_region_nation(spark, sf_dir):
     return A.rollup_summary(
         joined,
         ["r_name", "n_name"],
-        [F.count("*").alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal")],
+        [
+            F.count("*").alias("n_customers"),
+            X.exact_sum(F.col("c_acctbal")).alias("sum_bal"),
+        ],
     )
 
 
@@ -144,7 +153,8 @@ def rollup_region_nation(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*)::BIGINT              AS n_orders,
-           round(sum(o_totalprice), 2)   AS sum_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                 / 100.0, 2)             AS sum_price
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
 )
@@ -153,7 +163,10 @@ def cube_order_status_priority(spark, sf_dir):
     return A.cube_summary(
         load_table(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority"],
-        [F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price")],
+        [
+            F.count("*").alias("n_orders"),
+            X.exact_sum(F.col("o_totalprice")).alias("sum_price"),
+        ],
     )
 
 
@@ -231,7 +244,8 @@ def stats_dispersion_per_segment(spark, sf_dir):
     "having_filter_hot_parts",
     oracle="""
     SELECT l_partkey, count(*)::BIGINT AS n_lines,
-           round(sum(l_quantity), 2) AS total_qty
+           round(sum(CAST(round(l_quantity) AS BIGINT))::BIGINT / 1.0, 2)
+             AS total_qty
     FROM lineitem
     GROUP BY l_partkey
     HAVING count(*) >= 40
@@ -244,7 +258,9 @@ def having_filter_hot_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_lines"),
-            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+            F.round(
+                F.sum(F.round(F.col("l_quantity")).cast("long")) / 1.0, 2
+            ).alias("total_qty"),
         )
         .filter(F.col("n_lines") >= 40)
     )
@@ -257,7 +273,8 @@ def having_filter_hot_parts(spark, sf_dir):
            count(*)::BIGINT AS n_orders,
            count(*) FILTER (WHERE o.o_orderstatus = 'F')::BIGINT AS n_filled,
            round(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
-                          THEN o.o_totalprice ELSE 0 END), 2) AS urgent_value
+                          THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                          ELSE 0 END)::BIGINT / 100.0, 2) AS urgent_value
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n   ON c.c_nationkey = n.n_nationkey
@@ -282,8 +299,12 @@ def conditional_aggregation(spark, sf_dir):
         F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
         F.round(
             F.sum(
-                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0)
-            ),
+                F.when(
+                    F.col("o_orderpriority") == "1-URGENT",
+                    F.round(F.col("o_totalprice") * 100).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            / 100.0,
             2,
         ).alias("urgent_value"),
     )
@@ -293,7 +314,9 @@ def conditional_aggregation(spark, sf_dir):
     "revenue_per_nation",
     oracle="""
     SELECT n.n_name AS n_name, r.r_name AS r_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT))::BIGINT / 10000.0, 2)
+             AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -324,7 +347,15 @@ def revenue_per_nation(spark, sf_dir):
         ],
     )
     return joined.groupBy("n_name", "r_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue")
     )
 
 
@@ -332,23 +363,23 @@ def revenue_per_nation(spark, sf_dir):
     "pareto_revenue_concentration",
     oracle="""
     WITH per_cust AS (
-      SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+      SELECT o_custkey,
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
-      SELECT o_custkey, revenue,
-             row_number() OVER (ORDER BY revenue DESC, o_custkey) AS rnk,
-             sum(revenue) OVER (ORDER BY revenue DESC, o_custkey
-                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             sum(revenue) OVER () AS tot_rev,
+      SELECT o_custkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                              ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_c,
+             sum(rev_c) OVER ()::BIGINT AS tot_c,
              count(*) OVER () AS n_cust
       FROM per_cust
     )
     SELECT count(*)::BIGINT AS n_customers_for_80pct,
            any_value(n_cust)::BIGINT AS n_customers_total,
            round(count(*) * 1.0 / any_value(n_cust), 4) AS share_of_customers,
-           round(any_value(tot_rev), 2) AS total_revenue
-    FROM ranked WHERE cum_rev - revenue < 0.8 * tot_rev
+           round(any_value(tot_c) / 100.0, 2) AS total_revenue
+    FROM ranked WHERE (cum_c - rev_c) * 10 < 8 * tot_c
     """,
 )
 def pareto_revenue_concentration(spark, sf_dir):
@@ -363,23 +394,25 @@ def pareto_revenue_concentration(spark, sf_dir):
     partials); the cumulative ranking is a single total-order window
     over CUSTOMER-count rows (not orders) — bounded, and at 100 TB
     replaced by a two-pass block-offset cumsum exactly like
-    dense_global_ids. Revenues are rounded to 2 dp BEFORE ranking so
-    the order (ties broken by custkey) is engine-stable."""
+    dense_global_ids. Revenues are integer CENTS end-to-end — the
+    ranking order, the cumulative sum, and the 80% threshold test
+    ((cum − rev)·10 < 8·tot) are all exact int64 arithmetic, so no
+    accumulation order or rounding boundary can move the answer."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
     )
-    w_ord = Window.orderBy(F.desc("revenue"), "o_custkey")
+    w_ord = Window.orderBy(F.desc("rev_c"), "o_custkey")
     w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     w_all = Window.partitionBy()
     ranked = per_cust.select(
-        "revenue",
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(w_all).alias("tot_rev"),
+        "rev_c",
+        F.sum("rev_c").over(w_cum).alias("cum_c"),
+        F.sum("rev_c").over(w_all).alias("tot_c"),
         F.count("*").over(w_all).alias("n_cust"),
     )
     hit = ranked.filter(
-        F.col("cum_rev") - F.col("revenue") < 0.8 * F.col("tot_rev")
+        (F.col("cum_c") - F.col("rev_c")) * 10 < 8 * F.col("tot_c")
     )
     return hit.agg(
         F.count("*").alias("n_customers_for_80pct"),
@@ -387,7 +420,7 @@ def pareto_revenue_concentration(spark, sf_dir):
         F.round(F.count("*") / F.any_value("n_cust"), 4).alias(
             "share_of_customers"
         ),
-        F.round(F.any_value("tot_rev"), 2).alias("total_revenue"),
+        F.round(F.any_value("tot_c") / 100.0, 2).alias("total_revenue"),
     )
 
 
@@ -396,22 +429,24 @@ def pareto_revenue_concentration(spark, sf_dir):
     oracle="""
     WITH shares AS (
       SELECT l_partkey, l_suppkey,
-             sum(l_quantity) AS q,
-             sum(sum(l_quantity)) OVER (PARTITION BY l_partkey) AS tot
+             sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS q,
+             sum(sum(CAST(round(l_quantity) AS BIGINT)))
+               OVER (PARTITION BY l_partkey)::BIGINT AS tot
       FROM lineitem GROUP BY l_partkey, l_suppkey
     ),
     hhi AS (
       SELECT l_partkey,
              count(*)::BIGINT AS n_suppliers,
-             round(sum((q / tot) * (q / tot)), 6) AS hhi
+             sum(CAST(round((q * 1.0 / tot) * (q * 1.0 / tot)
+                            * 1000000000000) AS BIGINT))::BIGINT AS hhi_pico
       FROM shares GROUP BY l_partkey
     )
-    SELECT CASE WHEN hhi >= 0.25 THEN 'concentrated'
-                WHEN hhi >= 0.15 THEN 'moderate'
+    SELECT CASE WHEN hhi_pico >= 250000000000 THEN 'concentrated'
+                WHEN hhi_pico >= 150000000000 THEN 'moderate'
                 ELSE 'competitive' END AS concentration_band,
            count(*)::BIGINT AS n_parts,
-           round(min(hhi), 6) AS min_hhi,
-           round(max(hhi), 6) AS max_hhi
+           round(min(hhi_pico) / 1000000000000.0, 6) AS min_hhi,
+           round(max(hhi_pico) / 1000000000000.0, 6) AS max_hhi
     FROM hhi GROUP BY 1
     """,
 )
@@ -429,29 +464,32 @@ def supplier_concentration_hhi(spark, sf_dir):
     operand order per part group — rounded at 6 dp both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     shares = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("q")
+        F.sum(F.round(F.col("l_quantity")).cast("long")).alias("q")
     )
     w = Window.partitionBy("l_partkey")
+    # per-supplier squared share in integer PICO units (share² ≤ 1 →
+    # ≤ 10¹²): the per-part sum, the band thresholds, and min/max are
+    # all exact int64 — only the final /10¹² display op is float
+    share = F.col("q") * 1.0 / F.col("tot")
     hhi = (
         shares.withColumn("tot", F.sum("q").over(w))
         .groupBy("l_partkey")
         .agg(
             F.count("*").alias("n_suppliers"),
-            F.round(
-                F.sum((F.col("q") / F.col("tot")) * (F.col("q") / F.col("tot"))),
-                6,
-            ).alias("hhi"),
+            F.sum(
+                F.round(share * share * 1000000000000).cast("long")
+            ).alias("hhi_pico"),
         )
     )
     band = (
-        F.when(F.col("hhi") >= 0.25, "concentrated")
-        .when(F.col("hhi") >= 0.15, "moderate")
+        F.when(F.col("hhi_pico") >= 250000000000, "concentrated")
+        .when(F.col("hhi_pico") >= 150000000000, "moderate")
         .otherwise("competitive")
     )
     return hhi.groupBy(band.alias("concentration_band")).agg(
         F.count("*").alias("n_parts"),
-        F.round(F.min("hhi"), 6).alias("min_hhi"),
-        F.round(F.max("hhi"), 6).alias("max_hhi"),
+        F.round(F.min("hhi_pico") / 1000000000000.0, 6).alias("min_hhi"),
+        F.round(F.max("hhi_pico") / 1000000000000.0, 6).alias("max_hhi"),
     )
 
 

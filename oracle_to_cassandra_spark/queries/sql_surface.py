@@ -225,7 +225,8 @@ def keyset_pagination_page3(spark, sf_dir):
     "parameterized_sql_query",
     oracle="""
     SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
-           round(avg(c_acctbal), 6) AS avg_bal
+           round((sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+                  / 100.0) / count(*), 6) AS avg_bal
     FROM customer
     WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
     GROUP BY c_mktsegment
@@ -240,10 +241,13 @@ def parameterized_sql_query(spark, sf_dir):
     still constant-folds the bound literals, so pushdown/pruning are
     identical to inlined text."""
     register_views(spark, sf_dir, ("customer",))
+    # integer-cents mean (exact int64 sum, ONE float division at the
+    # end) — the accumulation-order-proof compare form
     return spark.sql(
         """
         SELECT c_mktsegment, count(*) AS n_custs,
-               round(avg(c_acctbal), 6) AS avg_bal
+               round((sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                      / 100.0D) / count(*), 6) AS avg_bal
         FROM customer
         WHERE c_mktsegment = :seg AND c_acctbal > :min_bal
         GROUP BY c_mktsegment
@@ -301,7 +305,8 @@ def collation_ci_grouping(spark, sf_dir):
     "hinted_shuffle_hash_join",
     oracle="""
     SELECT n.n_name, count(*)::BIGINT AS n_custs,
-           round(sum(c.c_acctbal), 2) AS total_bal
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT
+                 / 100.0, 2) AS total_bal
     FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
     GROUP BY n.n_name
     """,
@@ -321,7 +326,10 @@ def hinted_shuffle_hash_join(spark, sf_dir):
         .groupBy("n_name")
         .agg(
             F.count("*").alias("n_custs"),
-            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("total_bal"),
         )
     )
 

@@ -620,12 +620,12 @@ def _mrr_sql() -> str:
     ),
     scored AS (
       SELECT tf.query_id, tf.doc_id,
-             round(sum(
+             sum(CAST(round((
                ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                * tf.tf * ({BM25_K1} + 1.0)
                / (tf.tf + {BM25_K1}
                   * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avg_dl))
-             ), 6) AS score
+             ) * 1000000) AS BIGINT))::BIGINT AS score_micro
       FROM tf
       JOIN df ON df.t = tf.t
       JOIN doclen dl ON dl.doc_id = tf.doc_id
@@ -635,7 +635,7 @@ def _mrr_sql() -> str:
     ranked AS (
       SELECT query_id, doc_id,
              row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id
+               PARTITION BY query_id ORDER BY score_micro DESC, doc_id
              )::BIGINT AS rnk
       FROM scored
     ),
@@ -701,27 +701,36 @@ def bm25_self_retrieval_mrr(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id", "dl", "n_docs", "avg_dl")
         .agg(
-            F.round(
-                F.sum(
-                    F.log(
-                        (F.col("n_docs") - F.col("df") + 0.5)
-                        / (F.col("df") + 0.5)
-                        + 1.0
+            # per-TERM micro-units then exact int64 sum: the score that
+            # orders the ranking is identical in both engines no matter
+            # the accumulation order of the parallel aggregate
+            F.sum(
+                F.round(
+                    (
+                        F.log(
+                            (F.col("n_docs") - F.col("df") + 0.5)
+                            / (F.col("df") + 0.5)
+                            + 1.0
+                        )
+                        * F.col("tf")
+                        * (BM25_K1 + 1.0)
+                        / (
+                            F.col("tf")
+                            + BM25_K1
+                            * (
+                                1.0
+                                - BM25_B
+                                + BM25_B * F.col("dl") / F.col("avg_dl")
+                            )
+                        )
                     )
-                    * F.col("tf")
-                    * (BM25_K1 + 1.0)
-                    / (
-                        F.col("tf")
-                        + BM25_K1
-                        * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avg_dl"))
-                    )
-                ),
-                6,
-            ).alias("score")
+                    * 1000000
+                ).cast("long")
+            ).alias("score_micro")
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), "doc_id"
+        F.col("score_micro").desc(), "doc_id"
     )
     self_rank = (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -69,7 +69,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 @query(
     "tpch_q6_revenue_change",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000)
+                        AS BIGINT))::BIGINT / 10000.0, 2) AS revenue,
            count(*)::BIGINT AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -91,9 +92,15 @@ def tpch_q6_revenue_change(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * F.col("l_discount") * 10000
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -103,7 +110,9 @@ def tpch_q6_revenue_change(spark, sf_dir):
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT))::BIGINT / 10000.0, 0)
+             AS revenue
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -134,7 +143,13 @@ def tpch_q10_returned_items(spark, sf_dir):
         ],
     )
     return joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            / 10000.0,
+            0,
+        ).alias("revenue")
     )

@@ -136,7 +136,9 @@ def tpch_q4_order_priority(spark, sf_dir):
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 0) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT))::BIGINT / 10000.0, 0)
+             AS revenue
     FROM customer c
     JOIN orders o   ON o.o_custkey  = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -180,9 +182,15 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            / 10000.0,
+            0,
+        ).alias("revenue")
     )
 
 
@@ -191,7 +199,9 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     oracle="""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            year(l.l_shipdate)::INT AS l_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT))::BIGINT / 10000.0, 2)
+             AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey  = l.l_orderkey
     JOIN customer c ON c.c_custkey   = o.o_custkey
@@ -243,9 +253,15 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-            "revenue"
-        )
+        F.round(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+                ).cast("long")
+            )
+            / 10000.0,
+            2,
+        ).alias("revenue")
     )
 
 
@@ -269,8 +285,11 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-                 / sum(volume), 4) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_5'
+                          THEN CAST(round(volume * 10000) AS BIGINT)
+                          ELSE 0 END)::BIGINT
+                 / sum(CAST(round(volume * 10000) AS BIGINT))::BIGINT, 4)
+             AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
 )
@@ -309,10 +328,15 @@ def tpch_q8_market_share(spark, sf_dir):
         .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
     )
+    vol_i = F.round(vol * 10000).cast("long")
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
         F.round(
-            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(0.0))
-            / F.sum(vol),
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", vol_i).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            / F.sum(vol_i),
             4,
         ).alias("mkt_share")
     )
@@ -322,8 +346,10 @@ def tpch_q8_market_share(spark, sf_dir):
     "tpch_q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)
-                     - 0.5 * p.p_retailprice * l.l_quantity), 0) AS sum_profit
+           round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                                 - 0.5 * p.p_retailprice * l.l_quantity)
+                                * 10000) AS BIGINT))::BIGINT / 10000.0, 0)
+             AS sum_profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey  = l.l_partkey AND p.p_name LIKE '%widget%'
     JOIN supplier s ON s.s_suppkey  = l.l_suppkey
@@ -357,19 +383,26 @@ def tpch_q9_product_profit(spark, sf_dir):
     )
     return joined.groupBy(
         F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(F.round(F.sum(amount), 0).alias("sum_profit"))
+    ).agg(
+        F.round(
+            F.sum(F.round(amount * 10000).cast("long")) / 10000.0, 0
+        ).alias("sum_profit")
+    )
 
 
 @query(
     "tpch_q11_important_stock",
     oracle="""
     WITH value_per_part AS (
-      SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+      SELECT l_partkey,
+             sum(CAST(round(l_extendedprice * l_quantity * 100)
+                 AS BIGINT))::BIGINT AS part_c
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey AS p_partkey, round(part_value, 0) AS part_value
+    SELECT l_partkey AS p_partkey, round(part_c / 100.0, 0) AS part_value
     FROM value_per_part
-    WHERE part_value > (SELECT avg(part_value) * 1.2 FROM value_per_part)
+    WHERE part_c > (SELECT (sum(part_c)::BIGINT / count(*)) * 1.2
+                    FROM value_per_part)
     """,
 )
 def tpch_q11_important_stock(spark, sf_dir):
@@ -387,17 +420,23 @@ def tpch_q11_important_stock(spark, sf_dir):
     """
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+        F.sum(
+            F.round(F.col("l_extendedprice") * F.col("l_quantity") * 100).cast(
+                "long"
+            )
+        ).alias("part_c")
     )
+    # threshold from exact integer cents: ONE long/long division (->
+    # double) then one multiply, the same two ops the oracle runs
     total = per_part.agg(
-        (F.avg("part_value") * 1.2).alias("threshold")
+        ((F.sum("part_c") / F.count("*")) * 1.2).alias("threshold")
     )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("part_value") > F.col("threshold"))
+        .filter(F.col("part_c") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("part_value", 0).alias("part_value"),
+            F.round(F.col("part_c") / 100.0, 0).alias("part_value"),
         )
     )
 
@@ -487,9 +526,12 @@ def tpch_q13_customer_distribution(spark, sf_dir):
     "tpch_q14_promo_revenue",
     oracle="""
     SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
-                                  ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue
+                                  THEN CAST(round(l.l_extendedprice
+                                        * (1 - l.l_discount) * 10000) AS BIGINT)
+                                  ELSE 0 END)::BIGINT
+                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                  * 10000) AS BIGINT))::BIGINT, 4)
+             AS promo_revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -513,9 +555,14 @@ def tpch_q14_promo_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.lit(100.0)
+                * F.sum(
+                    F.when(
+                        F.col("p_type") == "PROMO",
+                        F.round(vol * 10000).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                / F.sum(F.round(vol * 10000).cast("long")),
                 4,
             ).alias("promo_revenue")
         )
@@ -526,15 +573,18 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     "tpch_q15_top_supplier",
     oracle="""
     WITH revenue AS (
-      SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 0) AS total_revenue
+      SELECT l_suppkey,
+             sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                 AS BIGINT))::BIGINT AS rev_i
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
       GROUP BY l_suppkey
     )
-    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    SELECT s.s_suppkey, s.s_name,
+           round(r.rev_i / 10000.0, 0) AS total_revenue
     FROM supplier s JOIN revenue r ON r.l_suppkey = s.s_suppkey
-    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    WHERE r.rev_i = (SELECT max(rev_i) FROM revenue)
     """,
 )
 def tpch_q15_top_supplier(spark, sf_dir):
@@ -617,7 +667,8 @@ def tpch_q16_supplier_part_counts(spark, sf_dir):
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_brand = 'Brand#23'
     )
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+    SELECT round((sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+                  / 100.0) / 7.0, 2) AS avg_yearly,
            count(*)::BIGINT AS n_small_lines
     FROM brand_lines WHERE l_quantity < 0.5 * avg_qty
     """,
@@ -643,7 +694,12 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     return (
         lines.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                 / 100.0)
+                / 7.0,
+                2,
+            ).alias("avg_yearly"),
             F.count("*").alias("n_small_lines"),
         )
     )
@@ -702,7 +758,9 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
 @query(
     "tpch_q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 10000) AS BIGINT))::BIGINT / 10000.0, 2)
+             AS revenue,
            count(*)::BIGINT AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -749,7 +807,15 @@ def tpch_q19_disjunctive_predicates(spark, sf_dir):
         .filter(branch)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
             ).alias("revenue"),
             F.count("*").alias("n_lines"),
         )
@@ -889,10 +955,12 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     )
     SELECT (c.c_custkey % 5)::INT AS cntrycode,
            count(*)::BIGINT AS numcust,
-           round(sum(c.c_acctbal), 2) AS totacctbal
+           round(sum(CAST(round(c.c_acctbal * 100) AS BIGINT))::BIGINT
+                 / 100.0, 2) AS totacctbal
     FROM customer c
-    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                         WHERE c_acctbal > 0)
+    WHERE c.c_acctbal > (SELECT (sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                                 ::BIGINT / 100.0) / count(c_acctbal)
+                         FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM active a WHERE a.o_custkey = c.c_custkey)
     GROUP BY (c.c_custkey % 5)::INT
     """,
@@ -909,7 +977,10 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
     """
     c = load_table(spark, sf_dir, "customer")
     avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0)
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
     )
     active = (
         load_table(spark, sf_dir, "orders")
@@ -926,6 +997,9 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
         .groupBy((F.col("c_custkey") % 5).cast("int").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(
+                F.sum(F.round(F.col("c_acctbal") * 100).cast("long")) / 100.0,
+                2,
+            ).alias("totacctbal"),
         )
     )
