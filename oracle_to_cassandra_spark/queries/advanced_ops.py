@@ -85,7 +85,8 @@ def range_join_shipments_after_order(spark, sf_dir):
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            count(DISTINCT date_trunc('hour', ts))::BIGINT AS n_active_hours,
            count(*)::BIGINT     AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 2) AS total_value
     FROM events GROUP BY 1
     """,
 )
@@ -101,14 +102,15 @@ def rollup_cascade_hourly_daily(spark, sf_dir):
     two-level groupBy."""
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.window("ts", "1 hour").alias("w")).agg(
-        F.count("*").alias("n_events"), F.sum("value").alias("sv")
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sv_u"),
     )
     daily = hourly.groupBy(
         F.date_trunc("day", F.col("w.start")).alias("day")
     ).agg(
         F.count("*").alias("n_active_hours"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("sv"), 2).alias("total_value"),
+        F.round(F.sum("sv_u") / 1000000.0, 2).alias("total_value"),
     )
     return daily.select(
         F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
@@ -174,8 +176,10 @@ def embedding_int8_quantization(spark, sf_dir):
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 0) AS total_value,
-           round(sum(value) / count(*), 2) AS avg_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 0) AS total_value,
+           round((sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                  / 1000000.0) / count(*), 2) AS avg_value
     FROM events GROUP BY 1
     """,
 )
@@ -199,19 +203,18 @@ def incremental_rollup_merge(spark, sf_dir):
     # the cutoff predicate compares the native ts column against a
     # TYPED timestamp literal so it pushes into the parquet scan
     # (PushedFilters — plan-asserted); any cutoff partitions the data
-    # disjointly, so the oracle (one full-scan aggregate) stays exact
-    # regardless of the boundary's timezone reading. total_value
-    # follows the repo's revenue-sum rule (tpch_suite.py header):
-    # round to 0 dp — the merge re-sums partials in a different
-    # accumulation order than the oracle's single pass, and finer
-    # boundaries flip under accumulation order (1 dp flipped on
-    # 1867.65 at sf0.01).
+    # disjointly. Partials are INTEGER micro-unit sums, which is the
+    # real mergeable-state rule: int64 partials re-aggregate in any
+    # order to the same value, so the merged rollup equals the
+    # oracle's single pass exactly — no rounding-granularity hedging
+    # (0-dp/2-dp compromises) needed anymore.
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.to_timestamp(F.lit("2024-01-20 00:00:00"))
 
     def daily_partial(df):
         return df.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
-            F.count("*").alias("n_events"), F.sum("value").alias("sv")
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000000).cast("long")).alias("sv_u"),
         )
 
     state = daily_partial(ev.filter(F.col("ts") < cutoff))
@@ -219,16 +222,13 @@ def incremental_rollup_merge(spark, sf_dir):
     merged = (
         state.unionByName(delta)
         .groupBy("day")
-        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv_u").alias("sv_u"))
     )
     return merged.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",
-        F.round("sv", 0).alias("total_value"),
-        # 2 dp, not 4: sv comes from merged partials whose accumulation
-        # order differs from the oracle's single-pass sum — the same
-        # flip class that forced total_value to 0 dp. Coarser boundaries
-        # are spaced 100× further apart, so a boundary-adjacent average
-        # is 100× less likely.
-        F.round(F.col("sv") / F.col("n_events"), 2).alias("avg_value"),
+        F.round(F.col("sv_u") / 1000000.0, 0).alias("total_value"),
+        F.round(
+            (F.col("sv_u") / 1000000.0) / F.col("n_events"), 2
+        ).alias("avg_value"),
     )

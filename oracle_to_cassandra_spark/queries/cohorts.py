@@ -287,21 +287,21 @@ def markov_surprise_anomaly_users(spark, sf_dir):
       SELECT o_custkey,
              max(o_orderdate) AS last_order,
              count(*)::BIGINT AS frequency,
-             round(sum(o_totalprice), 2) AS monetary
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS m_c
       FROM orders GROUP BY o_custkey
     ),
     cuts AS (
       SELECT round(quantile_cont(frequency * 1.0, 0.5), 6) AS f_med,
-             round(quantile_cont(monetary, 0.5), 6) AS m_med,
+             quantile_cont(m_c * 1.0, 0.5) AS m_med,
              quantile_cont(epoch(last_order), 0.5) AS r_med
       FROM rfm
     )
     SELECT ((CASE WHEN epoch(r.last_order) >= c.r_med THEN 'R' ELSE '-' END)
             || (CASE WHEN r.frequency >= c.f_med THEN 'F' ELSE '-' END)
-            || (CASE WHEN r.monetary >= c.m_med THEN 'M' ELSE '-' END))
+            || (CASE WHEN r.m_c >= c.m_med THEN 'M' ELSE '-' END))
              AS segment,
            count(*)::BIGINT AS n_customers,
-           round(sum(r.monetary), 2) AS segment_revenue
+           round(sum(r.m_c)::BIGINT / 100.0, 2) AS segment_revenue
     FROM rfm r CROSS JOIN cuts c
     GROUP BY segment
     """,
@@ -325,13 +325,13 @@ def rfm_customer_segments(spark, sf_dir):
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("m_c"),
     )
     cuts = rfm.agg(
         F.round(F.percentile(F.col("frequency").cast("double"), 0.5), 6).alias(
             "f_med"
         ),
-        F.round(F.percentile("monetary", 0.5), 6).alias("m_med"),
+        F.percentile(F.col("m_c").cast("double"), 0.5).alias("m_med"),
         F.percentile(F.unix_timestamp("last_order").cast("double"), 0.5).alias(
             "r_med"
         ),
@@ -341,14 +341,14 @@ def rfm_customer_segments(spark, sf_dir):
             F.unix_timestamp("last_order").cast("double") >= F.col("r_med"), "R"
         ).otherwise("-"),
         F.when(F.col("frequency") >= F.col("f_med"), "F").otherwise("-"),
-        F.when(F.col("monetary") >= F.col("m_med"), "M").otherwise("-"),
+        F.when(F.col("m_c") >= F.col("m_med"), "M").otherwise("-"),
     )
     return (
         rfm.crossJoin(F.broadcast(cuts))
         .groupBy(seg.alias("segment"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.round(F.sum("monetary"), 2).alias("segment_revenue"),
+            F.round(F.sum("m_c") / 100.0, 2).alias("segment_revenue"),
         )
     )
 
@@ -417,14 +417,21 @@ def event_path_trigrams(spark, sf_dir):
       FROM events WHERE event_type = 'purchase'
     ),
     gaps AS (
-      SELECT user_id, epoch(ts) - epoch(prev_ts) AS gap_s
+      SELECT user_id, date_diff('second', prev_ts, ts)::BIGINT AS gap_s
       FROM purchases WHERE prev_ts IS NOT NULL
     ),
-    per_user AS (
+    sums AS (
       SELECT user_id, count(*)::BIGINT AS n_gaps,
-             round(avg(gap_s), 2) AS mean_gap_s,
-             round(coalesce(stddev_pop(gap_s), 0), 2) AS sd_gap_s
+             sum(gap_s)::BIGINT AS s1, sum(gap_s * gap_s)::BIGINT AS s2
       FROM gaps GROUP BY user_id
+    ),
+    per_user AS (
+      SELECT user_id, n_gaps,
+             round(s1 / n_gaps, 2) AS mean_gap_s,
+             round(sqrt(greatest(s2 / n_gaps
+                                 - (s1 / n_gaps) * (s1 / n_gaps), 0)), 2)
+               AS sd_gap_s
+      FROM sums
     )
     SELECT user_id, n_gaps, mean_gap_s,
            round(sd_gap_s / nullif(mean_gap_s, 0), 4) AS gap_cv,
@@ -462,16 +469,30 @@ def purchase_regularity_churn_signal(spark, sf_dir):
         .select(
             "user_id",
             (
-                F.unix_micros("ts") / 1e6 - F.unix_micros("prev_ts") / 1e6
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
             ).alias("gap_s"),
         )
     )
-    per_user = gaps.groupBy("user_id").agg(
+    # population stddev in closed form over exact integer-second sums:
+    # sqrt(E[x²] − E[x]²) with the identical op sequence in the oracle
+    sums = gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
-        F.round(F.coalesce(F.stddev_pop("gap_s"), F.lit(0.0)), 2).alias(
-            "sd_gap_s"
-        ),
+        F.sum("gap_s").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n_gaps")
+    per_user = sums.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean, 2).alias("mean_gap_s"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("s2") / F.col("n_gaps") - mean * mean, F.lit(0.0)
+                )
+            ),
+            2,
+        ).alias("sd_gap_s"),
     )
     cv = F.col("sd_gap_s") / F.when(
         F.col("mean_gap_s") != 0, F.col("mean_gap_s")
@@ -499,7 +520,9 @@ def purchase_regularity_churn_signal(spark, sf_dir):
     ent AS (
       SELECT user_id,
              count(*)::BIGINT AS n_types,
-             round(-sum((c * 1.0 / tot) * ln(c * 1.0 / tot)), 4) AS entropy
+             round(-(sum(CAST(round((c * 1.0 / tot) * ln(c * 1.0 / tot)
+                                     * 1000000000) AS BIGINT))::BIGINT
+                     / 1000000000.0), 4) AS entropy
       FROM per GROUP BY user_id
     )
     SELECT user_id, n_types, entropy,
@@ -527,12 +550,16 @@ def user_behavior_entropy(spark, sf_dir):
     per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
     w = Window.partitionBy("user_id")
     p = F.col("c") / F.sum("c").over(w)
+    # per-term integer nano-units (|p·ln p| ≤ 1/e), exact int64 sum,
+    # ONE float division — the banding thresholds compare a value no
+    # accumulation order can move
+    term_n = F.round(p * F.log(p) * 1000000000).cast("long")
     ent = (
-        per.select("user_id", (-p * F.log(p)).alias("term"))
+        per.select("user_id", term_n.alias("term_n"))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_types"),
-            F.round(F.sum("term"), 4).alias("entropy"),
+            F.round(-(F.sum("term_n") / 1000000000.0), 4).alias("entropy"),
         )
     )
     return ent.select(

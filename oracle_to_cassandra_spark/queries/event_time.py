@@ -30,7 +30,8 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS window_start,
            event_type,
            count(*)::BIGINT      AS n_events,
-           round(sum(value), 2)  AS total_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 2)  AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -40,7 +41,14 @@ def tumbling_daily_event_counts(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("total_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
             "event_type",
@@ -55,7 +63,8 @@ def tumbling_daily_event_counts(spark, sf_dir):
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '{_TS_FMT_DUCK}') AS window_start,
            count(*)::BIGINT     AS n_events,
-           round(avg(value), 6) AS avg_value
+           round((sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                  / 1000000.0) / count(value), 6) AS avg_value
     FROM events
     GROUP BY 1
     """,
@@ -67,7 +76,17 @@ def tumbling_6h_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                    / 1000000.0
+                )
+                / F.count("value"),
+                6,
+            ).alias("avg_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
             "n_events",
@@ -87,7 +106,8 @@ def tumbling_6h_windows(spark, sf_dir):
       FROM events
     )
     SELECT window_start, count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 2) AS total_value
     FROM assigned GROUP BY 1
     """,
 )
@@ -98,7 +118,14 @@ def sliding_2d_1d_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("total_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
             "n_events",
@@ -127,7 +154,8 @@ def sliding_2d_1d_windows(spark, sf_dir):
            strftime(min(ts), '{_TS_FMT_DUCK}')                         AS session_start,
            strftime(max(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
            count(*)::BIGINT     AS n_events,
-           round(sum(value), 2) AS session_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 2) AS session_value
     FROM numbered GROUP BY user_id, session_id
     """,
 )
@@ -144,7 +172,14 @@ def session_windows_per_user(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("session_value"),
+        )
         .select(
             "user_id",
             F.date_format(F.col("sw.start"), _TS_FMT_SPARK).alias("session_start"),

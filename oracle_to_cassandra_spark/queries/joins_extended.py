@@ -17,7 +17,8 @@ from oracle_to_cassandra_spark.sources import load_table
     oracle="""
     SELECT c.c_custkey,
            count(o.o_orderkey)::BIGINT            AS n_orders,
-           round(coalesce(sum(o.o_totalprice), 0), 2) AS total_spend
+           round(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)),
+                          0)::BIGINT / 100.0, 2) AS total_spend
     FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
     GROUP BY c.c_custkey
     """,
@@ -33,7 +34,14 @@ def left_outer_customer_orders(spark, sf_dir):
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long")),
+                    F.lit(0).cast("long"),
+                )
+                / 100.0,
+                2,
+            ).alias("total_spend"),
         )
     )
 

@@ -37,7 +37,8 @@ def hash_systematic_sample(spark, sf_dir):
     oracle="""
     SELECT (floor(o_totalprice / 50000) * 50000)::BIGINT AS bin_floor,
            count(*)::BIGINT AS n_orders,
-           round(avg(o_totalprice), 6) AS avg_price
+           round((sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                  / 100.0) / count(o_totalprice), 6) AS avg_price
     FROM orders GROUP BY 1
     """,
 )
@@ -53,7 +54,14 @@ def histogram_binning_prices(spark, sf_dir):
         .groupBy("bin_floor")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.avg("o_totalprice"), 6).alias("avg_price"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                    / 100.0
+                )
+                / F.count("o_totalprice"),
+                6,
+            ).alias("avg_price"),
         )
     )
 

@@ -102,7 +102,8 @@ def bucketed_join_orders_customers(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus,
            count(*)::BIGINT           AS n_orders,
-           round(sum(o_totalprice), 0) AS total_price
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                 / 100.0, 0) AS total_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -125,12 +126,14 @@ def salted_skew_aggregate(spark, sf_dir):
         .groupBy("o_orderstatus", "_salt")
         .agg(
             F.count("*").alias("pn"),
-            F.sum("o_totalprice").alias("ps"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "ps_c"
+            ),
         )
     )
     return stage1.groupBy("o_orderstatus").agg(
         F.sum("pn").alias("n_orders"),
-        F.round(F.sum("ps"), 0).alias("total_price"),
+        F.round(F.sum("ps_c") / 100.0, 0).alias("total_price"),
     )
 
 
@@ -150,7 +153,11 @@ def _bloom_join_plan(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_items"),
-            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -172,7 +179,8 @@ _BLOOM_CONFS = {
     "runtime_bloom_filtered_join",
     oracle="""
     SELECT l.l_returnflag, count(*)::BIGINT AS n_items,
-           round(sum(l.l_extendedprice), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+                 / 100.0, 2) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
     GROUP BY l.l_returnflag ORDER BY l.l_returnflag

@@ -19,7 +19,8 @@ WITH seg_orders AS (
 seg_stats AS (
   SELECT c_mktsegment,
          count(*) AS n_orders,
-         round(avg(o_totalprice), 6) AS avg_price
+         round((sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D)
+               / count(o_totalprice), 6) AS avg_price
   FROM seg_orders GROUP BY c_mktsegment
 )
 SELECT * FROM seg_stats WHERE n_orders > 50
@@ -36,7 +37,8 @@ SELECT * FROM seg_stats WHERE n_orders > 50
     seg_stats AS (
       SELECT c_mktsegment,
              count(*)::BIGINT AS n_orders,
-             round(avg(o_totalprice), 6) AS avg_price
+             round((sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                    / 100.0) / count(o_totalprice), 6) AS avg_price
       FROM seg_orders GROUP BY c_mktsegment
     )
     SELECT * FROM seg_stats WHERE n_orders > 50

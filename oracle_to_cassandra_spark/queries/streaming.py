@@ -162,7 +162,8 @@ def stream_stateful_user_profile(spark, sf_dir):
     "stream_ingest_sink_roundtrip",
     oracle="""
     SELECT user_id, count(*)::BIGINT AS n_purchases,
-           round(sum(value), 2) AS total_value
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 2) AS total_value
     FROM events WHERE event_type = 'purchase' GROUP BY user_id
     """,
 )
@@ -214,7 +215,11 @@ def stream_ingest_sink_roundtrip(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_purchases"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / 1000000.0,
+                2,
+            ).alias("total_value"),
         )
     )
 
@@ -224,7 +229,8 @@ def stream_ingest_sink_roundtrip(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*)::BIGINT AS n_events,
-           round(sum(value), 2) AS total_value,
+           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+                 / 1000000.0, 2) AS total_value,
            count(DISTINCT event_type)::BIGINT AS n_event_types
     FROM events GROUP BY user_id
     """,

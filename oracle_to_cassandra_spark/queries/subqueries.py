@@ -18,7 +18,9 @@ from oracle_to_cassandra_spark.sources import register_views
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT (sum(CAST(round(o_totalprice * 100)
+                                           AS BIGINT))::BIGINT / 100.0)
+                                 / count(o_totalprice) FROM orders)
     """,
 )
 def scalar_subquery_above_avg(spark, sf_dir):
@@ -28,7 +30,9 @@ def scalar_subquery_above_avg(spark, sf_dir):
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
         FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        WHERE o_totalprice > (SELECT (sum(CAST(round(o_totalprice * 100)
+                                               AS BIGINT)) / 100.0D)
+                                     / count(o_totalprice) FROM orders)
         """
     )
 

@@ -50,7 +50,7 @@ def forward_fill_last_purchase_value(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*)::BIGINT AS n_gaps,
-           round(avg(gap_s), 6) AS avg_gap_s,
+           round(sum(gap_s)::BIGINT / count(gap_s), 6) AS avg_gap_s,
            max(gap_s)::BIGINT   AS max_gap_s
     FROM (
       SELECT user_id,
@@ -77,7 +77,7 @@ def inter_event_gap_stats(spark, sf_dir):
     ).filter(F.col("gap_s").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        F.round(F.sum("gap_s") / F.count("gap_s"), 6).alias("avg_gap_s"),
         F.max("gap_s").alias("max_gap_s"),
     )
 
@@ -143,16 +143,20 @@ def scd2_interval_build(spark, sf_dir):
     oracle="""
     WITH monthly AS (
       SELECT date_trunc('month', o_orderdate) AS month,
-             round(sum(o_totalprice), 2) AS revenue
+             sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
       FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT month, rev_c,
+             lag(rev_c, 12) OVER (ORDER BY month)::BIGINT AS prev_c
+      FROM monthly
     )
     SELECT strftime(month, '%Y-%m') AS month,
-           revenue,
-           round(lag(revenue, 12) OVER (ORDER BY month), 2) AS revenue_prev_year,
-           CASE WHEN lag(revenue, 12) OVER (ORDER BY month) IS NOT NULL
-                THEN round(revenue / lag(revenue, 12) OVER (ORDER BY month) - 1.0,
-                           4) END AS yoy_growth
-    FROM monthly
+           round(rev_c / 100.0, 2) AS revenue,
+           round(prev_c / 100.0, 2) AS revenue_prev_year,
+           CASE WHEN prev_c IS NOT NULL
+                THEN round(rev_c / prev_c - 1.0, 4) END AS yoy_growth
+    FROM lagged
     """,
 )
 def monthly_revenue_yoy_growth(spark, sf_dir):
@@ -169,16 +173,18 @@ def monthly_revenue_yoy_growth(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
+    )
     w = Window.orderBy("month")
-    prev = F.lag("revenue", 12).over(w)
+    prev = F.lag("rev_c", 12).over(w)
     return monthly.select(
         F.date_format("month", "yyyy-MM").alias("month"),
-        "revenue",
-        F.round(prev, 2).alias("revenue_prev_year"),
-        F.when(prev.isNotNull(), F.round(F.col("revenue") / prev - 1.0, 4)).alias(
-            "yoy_growth"
-        ),
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+        F.round(prev / 100.0, 2).alias("revenue_prev_year"),
+        F.when(
+            prev.isNotNull(), F.round(F.col("rev_c") / prev - 1.0, 4)
+        ).alias("yoy_growth"),
     )
 
 

@@ -89,15 +89,18 @@ def lag_lead_user_events(spark, sf_dir):
     "running_total_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+             / 100.0, 2) AS running_total
     FROM orders
     """,
 )
 def running_total_per_customer(spark, sf_dir):
     """Aggregate-over-frame: cumulative sum ordered by the unique
-    clustering key, so the fp accumulation order matches the oracle."""
+    clustering key, accumulated in exact integer cents (an ordered fp
+    frame is deterministic per engine but both engines' op ORDER must
+    still agree; cents make the question moot)."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderkey")
@@ -106,7 +109,11 @@ def running_total_per_customer(spark, sf_dir):
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+            / 100.0,
+            2,
+        ).alias("running_total"),
     )
 
 
@@ -114,9 +121,12 @@ def running_total_per_customer(spark, sf_dir):
     "moving_avg_3_orders",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(avg(o_totalprice) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderkey
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+           round((sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT / 100.0)
+             / count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
     FROM orders
     """,
 )
@@ -126,7 +136,14 @@ def moving_avg_3_orders(spark, sf_dir):
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.avg("o_totalprice").over(w), 6).alias("avg3"),
+        F.round(
+            (
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
+                / 100.0
+            )
+            / F.count("*").over(w),
+            6,
+        ).alias("avg3"),
     )
 
 

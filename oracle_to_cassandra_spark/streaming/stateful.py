@@ -23,25 +23,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id LONG, n_events LONG, total_value DOUBLE, last_ts TIMESTAMP"
 )
-STATE_SCHEMA = "n LONG, total DOUBLE, last_ts TIMESTAMP"
+STATE_SCHEMA = "n LONG, total_u LONG, last_ts TIMESTAMP"
 
 
 def _update_user_profile(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     (user_id,) = key
-    n, total, last_ts = state.get if state.exists else (0, 0.0, None)
+    n, total_u, last_ts = state.get if state.exists else (0, 0, None)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        # integer MICRO-units in state: per-row round then exact int
+        # sum, so the running total is independent of batch slicing
+        # and float accumulation order (the r8 exactnum contract)
+        total_u += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
-    state.update((n, total, last_ts))
+    state.update((n, total_u, last_ts))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [round(total_u / 1_000_000.0, 2)],
             "last_ts": [last_ts],
         }
     )
@@ -90,15 +93,17 @@ class UserActivityProcessor(StatefulProcessor):
     """
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._agg = handle.getValueState("agg", "n LONG, total DOUBLE")
+        self._agg = handle.getValueState("agg", "n LONG, total_u LONG")
         self._by_type = handle.getMapState("by_type", "t STRING", "c LONG")
 
     def handleInputRows(self, key, rows, timerValues):
         (user_id,) = key
-        n, total = self._agg.get() if self._agg.exists() else (0, 0.0)
+        n, total_u = self._agg.get() if self._agg.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            total += float(pdf["value"].sum())
+            total_u += int(
+                pdf["value"].mul(1_000_000).round().astype("int64").sum()
+            )
             for t, c in pdf["event_type"].value_counts().items():
                 prev = (
                     self._by_type.getValue((t,))[0]
@@ -106,13 +111,13 @@ class UserActivityProcessor(StatefulProcessor):
                     else 0
                 )
                 self._by_type.updateValue((t,), (prev + int(c),))
-        self._agg.update((n, total))
+        self._agg.update((n, total_u))
         n_types = sum(1 for _ in self._by_type.keys())
         yield pd.DataFrame(
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [round(total_u / 1_000_000.0, 2)],
                 "n_event_types": [n_types],
             }
         )
@@ -140,18 +145,18 @@ def _update_user_activity_fallback(
     cumulative emission contract (monotone n_events), with the typed
     MapState flattened into an ARRAY<STRING> of seen event types."""
     (user_id,) = key
-    n, total, types = state.get if state.exists else (0, 0.0, [])
+    n, total_u, types = state.get if state.exists else (0, 0, [])
     seen = set(types)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total_u += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
         seen.update(pdf["event_type"].dropna().unique().tolist())
-    state.update((n, total, sorted(seen)))
+    state.update((n, total_u, sorted(seen)))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [round(total_u / 1_000_000.0, 2)],
             "n_event_types": [len(seen)],
         }
     )
@@ -175,7 +180,7 @@ def user_activity_tws_stream(events: DataFrame) -> DataFrame:
     return keyed.applyInPandasWithState(
         _update_user_activity_fallback,
         outputStructType=TWS_OUTPUT_SCHEMA,
-        stateStructType="n LONG, total DOUBLE, types ARRAY<STRING>",
+        stateStructType="n LONG, total_u LONG, types ARRAY<STRING>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
