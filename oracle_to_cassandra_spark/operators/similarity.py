@@ -81,8 +81,19 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     exploded = embeddings.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     )
+    # centroid mean from exact integer micro-unit sums (exactnum
+    # contract): the codebook is bit-identical in both engines no
+    # matter the partition merge order of the per-dimension aggregate
     dims = exploded.groupBy("label", "pos").agg(
-        F.avg(F.col("v").cast("double")).alias("c")
+        (
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double") * 1000000).cast("long")
+                )
+                / 1000000.0
+            )
+            / F.count("v")
+        ).alias("c")
     )
     return dims.groupBy("label").agg(
         F.array_sort(

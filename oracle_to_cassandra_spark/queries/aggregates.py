@@ -219,24 +219,59 @@ def pivot_user_event_counts(spark, sf_dir):
     "stats_dispersion_per_segment",
     oracle="""
     SELECT c_mktsegment,
-           round(stddev_samp(c_acctbal), 4) AS sd_bal,
-           round(var_samp(c_acctbal), 2)    AS var_bal,
-           round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal
-    FROM customer GROUP BY c_mktsegment
+           round(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
+                 / 100.0, 4) AS sd_bal,
+           round(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0)
+                 / 10000.0, 2) AS var_bal,
+           round(med, 6) AS median_bal
+    FROM (
+      SELECT c_mktsegment, count(*)::BIGINT AS n,
+             sum(bal_c)::BIGINT AS s1,
+             sum(bal_c * bal_c)::BIGINT AS s2,
+             quantile_cont(c_acctbal, 0.5) AS med
+      FROM (
+        SELECT c_mktsegment, c_acctbal,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+      )
+      GROUP BY c_mktsegment
+    )
     """,
 )
 def stats_dispersion_per_segment(spark, sf_dir):
     """stddev / variance / exact interpolated median per group.
-    Scale: exact percentile collects per-group sorted values — at
-    100 TB switch to ``percentile_approx`` (one-pass sketch)."""
-    return A.grouped_summary(
-        load_table(spark, sf_dir, "customer"),
-        ["c_mktsegment"],
-        [
-            F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
-            F.round(F.var_samp("c_acctbal"), 2).alias("var_bal"),
-            F.round(F.percentile("c_acctbal", F.lit(0.5)), 6).alias("median_bal"),
-        ],
+    Dispersion comes from exact integer-cent sums (s1, s2) reduced in
+    closed form — sample variance = (s2 - s1^2/n)/(n-1) — with one
+    identical float expression at the end in both engines, so the
+    rounded compare cannot move with partition accumulation order
+    (``round(stddev_samp(double))`` can: the float sum of squares is
+    order-dependent). The exact interpolated median is order-free by
+    construction (same sorted multiset in both engines).
+
+    Scale: both aggregates are map-side combinable; exact percentile
+    collects per-group sorted values — at 100 TB switch to
+    ``percentile_approx`` (one-pass sketch, same plan shape)."""
+    bal_c = F.round(F.col("c_acctbal") * 100).cast("long")
+    sums = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(bal_c).alias("s1"),
+            F.sum(bal_c * bal_c).alias("s2"),
+            F.percentile("c_acctbal", F.lit(0.5)).alias("med"),
+        )
+    )
+    var_cents = F.greatest(
+        (F.col("s2") - F.col("s1") * 1.0 * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1),
+        F.lit(0.0),
+    )
+    return sums.select(
+        "c_mktsegment",
+        F.round(F.sqrt(var_cents) / 100.0, 4).alias("sd_bal"),
+        F.round(var_cents / 10000.0, 2).alias("var_bal"),
+        F.round(F.col("med"), 6).alias("median_bal"),
     )
 
 

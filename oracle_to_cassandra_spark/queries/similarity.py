@@ -61,7 +61,8 @@ def similarity_bruteforce_topk(spark, sf_dir):
 _IVF_SQL = f"""
     WITH cents AS (
       SELECT label, list(c ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(v) AS c FROM (
+        SELECT label, pos, (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+           / count(v) AS c FROM (
           SELECT label, unnest(embedding::DOUBLE[]) AS v,
                  generate_subscripts(embedding, 1) AS pos
           FROM embeddings

@@ -110,15 +110,24 @@ def similarity_ivf_recall_at_10(spark, sf_dir):
 @query(
     "embedding_dimension_stats",
     oracle="""
-    SELECT pos, round(avg(v), 6) AS mean_v,
-           round(stddev_samp(v), 6) AS sd_v,
-           round(min(v), 6) AS min_v, round(max(v), 6) AS max_v
+    SELECT pos,
+           round((s1 / 1000000.0) / n, 6) AS mean_v,
+           round(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
+                 / 1000000.0, 6) AS sd_v,
+           round(min_v, 6) AS min_v, round(max_v, 6) AS max_v
     FROM (
-      SELECT unnest(embedding::DOUBLE[]) AS v,
-             generate_subscripts(embedding, 1) AS pos
-      FROM embeddings
+      SELECT pos, count(*)::BIGINT AS n,
+             sum(vu)::BIGINT AS s1, sum(vu * vu)::BIGINT AS s2,
+             min(v) AS min_v, max(v) AS max_v
+      FROM (
+        SELECT unnest(embedding::DOUBLE[]) AS v,
+               CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT)
+                 AS vu,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+      )
+      GROUP BY pos
     )
-    GROUP BY pos
     """,
 )
 def embedding_dimension_stats(spark, sf_dir):
@@ -130,11 +139,36 @@ def embedding_dimension_stats(spark, sf_dir):
     exploded = e.select(F.posexplode("embedding").alias("pos0", "v")).select(
         (F.col("pos0") + 1).alias("pos"), F.col("v").cast("double").alias("v")
     )
-    return exploded.groupBy("pos").agg(
-        F.round(F.avg("v"), 6).alias("mean_v"),
-        F.round(F.stddev_samp("v"), 6).alias("sd_v"),
-        F.round(F.min("v"), 6).alias("min_v"),
-        F.round(F.max("v"), 6).alias("max_v"),
+    # mean/sd from exact integer micro-unit sums (closed-form sample
+    # sd over s1/s2): identical op sequence in the oracle, so the 6-dp
+    # compare cannot move with partition accumulation order
+    vu = F.round(F.col("v") * 1000000).cast("long")
+    sums = exploded.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum(vu).alias("s1"),
+        F.sum(vu * vu).alias("s2"),
+        F.min("v").alias("min_raw"),
+        F.max("v").alias("max_raw"),
+    )
+    return sums.select(
+        "pos",
+        F.round((F.col("s1") / 1000000.0) / F.col("n"), 6).alias("mean_v"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    (
+                        F.col("s2")
+                        - F.col("s1") * 1.0 * F.col("s1") / F.col("n")
+                    )
+                    / (F.col("n") - 1),
+                    F.lit(0.0),
+                )
+            )
+            / 1000000.0,
+            6,
+        ).alias("sd_v"),
+        F.round(F.col("min_raw"), 6).alias("min_v"),
+        F.round(F.col("max_raw"), 6).alias("max_v"),
     )
 
 
@@ -167,7 +201,8 @@ def dedup_minhash_winnowed(spark, sf_dir):
 
 _CENTS_SQL = """
   SELECT label, list(c ORDER BY pos) AS centroid FROM (
-    SELECT label, pos, avg(v) AS c FROM (
+    SELECT label, pos, (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+           / count(v) AS c FROM (
       SELECT label, unnest(embedding::DOUBLE[]) AS v,
              generate_subscripts(embedding, 1) AS pos
       FROM embeddings
@@ -195,7 +230,8 @@ counts AS (
 ),
 newc AS (
   SELECT cell, list(c ORDER BY pos) AS centroid FROM (
-    SELECT cell, pos, avg(v) AS c FROM (
+    SELECT cell, pos, (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+           / count(v) AS c FROM (
       SELECT a.cell, unnest(e.embedding::DOUBLE[]) AS v,
              generate_subscripts(e.embedding, 1) AS pos
       FROM assigned a JOIN embeddings e USING (vec_id)
@@ -264,7 +300,17 @@ def ivf_centroid_refinement(spark, sf_dir):
     members = assigned.join(e.select("vec_id", "embedding"), "vec_id")
     dims = members.select(
         "cell", F.posexplode("embedding").alias("pos", "v")
-    ).groupBy("cell", "pos").agg(F.avg(F.col("v").cast("double")).alias("c"))
+    ).groupBy("cell", "pos").agg(
+        (
+            (
+                F.sum(
+                    F.round(F.col("v").cast("double") * 1000000).cast("long")
+                )
+                / 1000000.0
+            )
+            / F.count("v")
+        ).alias("c")
+    )
     newc = (
         dims.groupBy("cell")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
@@ -538,7 +584,8 @@ def hard_negative_mining(spark, sf_dir):
 _SEP_SQL = """
     WITH cents AS (
       SELECT label, list(c ORDER BY pos) AS centroid FROM (
-        SELECT label, pos, avg(v) AS c FROM (
+        SELECT label, pos, (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+           / count(v) AS c FROM (
           SELECT label, unnest(embedding::DOUBLE[]) AS v,
                  generate_subscripts(embedding, 1) AS pos
           FROM embeddings

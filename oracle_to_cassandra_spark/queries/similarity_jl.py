@@ -80,7 +80,10 @@ _JL_SQL = f"""
     )
     SELECT e.probe_id,
            round(coalesce(any_value(i.n_overlap), 0) / {TOP_K}.0, 2) AS recall_at_10,
-           round(avg(e.proj_d2 / nullif(e.orig_d2, 0)), 4) AS mean_distortion
+           round((sum(CAST(round(e.proj_d2 / nullif(e.orig_d2, 0)
+                                 * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+                 / count(e.proj_d2 / nullif(e.orig_d2, 0)), 4)
+             AS mean_distortion
     FROM exact e LEFT JOIN inter i ON e.probe_id = i.probe_id
     GROUP BY e.probe_id
     """
@@ -166,7 +169,17 @@ def jl_projection_recall_distortion(spark, sf_dir):
             F.sum(F.when(F.col("rn_p") <= TOP_K, 1).otherwise(0)) / float(TOP_K), 2
         ).alias("recall_at_10"),
         F.round(
-            F.avg(
+            (
+                F.sum(
+                    F.round(
+                        F.col("proj_d2")
+                        / F.when(F.col("orig_d2") != 0, F.col("orig_d2"))
+                        * 1000000
+                    ).cast("long")
+                )
+                / 1000000.0
+            )
+            / F.count(
                 F.col("proj_d2")
                 / F.when(F.col("orig_d2") != 0, F.col("orig_d2"))
             ),

@@ -51,7 +51,9 @@ _SUB_SQL = f"""
 #: to 6 dp BEFORE any distance math (identical codebook both engines)
 _CB_SQL = """
   SELECT m, code_id, list(round(c, 6) ORDER BY pos) AS cw FROM (
-    SELECT m, code_id, pos, avg(v) AS c FROM (
+    SELECT m, code_id, pos,
+           (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+           / count(v) AS c FROM (
       SELECT m, label AS code_id, generate_subscripts(sv, 1) AS pos,
              unnest(sv) AS v
       FROM sub
@@ -90,15 +92,16 @@ def _pq_core_sql() -> str:
     ),
     adc AS (
       SELECT dtab.probe_id, enc.vec_id AS neighbor_id,
-             round(sum(dtab.d), 6) AS adc_dist
+             sum(CAST(round(dtab.d * 1000000) AS BIGINT))::BIGINT
+               AS adc_micro
       FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.code_id
       WHERE enc.vec_id <> dtab.probe_id
       GROUP BY dtab.probe_id, enc.vec_id
     ),
     pq_topk AS (
-      SELECT probe_id, neighbor_id, adc_dist, rn FROM (
+      SELECT probe_id, neighbor_id, adc_micro, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
-                                     ORDER BY adc_dist, neighbor_id)::BIGINT AS rn
+                                     ORDER BY adc_micro, neighbor_id)::BIGINT AS rn
         FROM adc
       ) WHERE rn <= {TOP_K}
     )
@@ -107,7 +110,7 @@ def _pq_core_sql() -> str:
 
 _PQ_TOPK_SQL = f"""
     WITH {_pq_core_sql()}
-    SELECT probe_id, neighbor_id, adc_dist, rn FROM pq_topk
+    SELECT probe_id, neighbor_id, adc_micro, rn FROM pq_topk
     """
 
 
@@ -134,7 +137,13 @@ def _codebook(sub: DataFrame) -> DataFrame:
     """(m, code_id, cw: array<double>) — per-(subspace, label) mean
     subvector, components rounded to 6 dp. M*K rows — broadcast size."""
     dims = sub.select("m", F.col("label").alias("code_id"), F.posexplode("sv").alias("pos", "v"))
-    cent = dims.groupBy("m", "code_id", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+    cent = dims.groupBy("m", "code_id", "pos").agg(
+        F.round(
+            (F.sum(F.round(F.col("v") * 1000000).cast("long")) / 1000000.0)
+            / F.count("v"),
+            6,
+        ).alias("c")
+    )
     return (
         cent.groupBy("m", "code_id")
         .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
@@ -188,13 +197,21 @@ def _pq_topk(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
-        .agg(F.round(F.sum("d"), 6).alias("adc_dist"))
+        # per-SUBSPACE integer micro-units: the ADC distance that
+        # orders the ranking is an exact int64 sum of M terms
+        .agg(
+            F.sum(F.round(F.col("d") * 1000000).cast("long")).alias(
+                "adc_micro"
+            )
+        )
     )
-    w = Window.partitionBy("probe_id").orderBy("adc_dist", F.col("vec_id"))
+    w = Window.partitionBy("probe_id").orderBy("adc_micro", F.col("vec_id"))
     return (
         adc.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", F.col("vec_id").alias("neighbor_id"), "adc_dist", "rn")
+        .select(
+            "probe_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rn"
+        )
     )
 
 
@@ -313,7 +330,9 @@ _PQ_INCR_SQL = f"""
     ),
     cb AS (
       SELECT m, code_id, list(round(c, 6) ORDER BY pos) AS cw FROM (
-        SELECT m, code_id, pos, avg(v) AS c FROM (
+        SELECT m, code_id, pos,
+           (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
+           / count(v) AS c FROM (
           SELECT m, label AS code_id, generate_subscripts(sv, 1) AS pos,
                  unnest(sv) AS v
           FROM sub WHERE vec_id % 10 <> {NEW_MOD}

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from oracle_to_cassandra_spark.functions.exactnum import exact_sum
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.streaming import (
     read_events_stream,
@@ -25,7 +26,12 @@ def stream_tumbling_event_counts(spark, sf_dir):
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # micro-unit integer sum (exactnum): micro-batch slicing
+            # cannot move the emitted 2-dp value vs the batch twin
+            exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
             "event_type",
@@ -73,7 +79,7 @@ def stream_static_enrichment_join(spark, sf_dir):
     enriched = ev.join(F.broadcast(customers), "user_id")
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
     )
     return run_stream_to_memory(agg, output_mode="complete")
 

@@ -225,16 +225,16 @@ _BM25_SQL = f"""
     df AS (
       SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t
     )
-    SELECT doc_id, score, row_number() OVER (
-             ORDER BY score DESC, doc_id)::BIGINT AS rnk
+    SELECT doc_id, score_micro, row_number() OVER (
+             ORDER BY score_micro DESC, doc_id)::BIGINT AS rnk
     FROM (
       SELECT tf.doc_id,
-             round(sum(
+             sum(CAST(round((
                ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
                * tf.tf * ({BM25_K1} + 1.0)
                / (tf.tf + {BM25_K1}
                   * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avg_dl))
-             ), 6) AS score
+             ) * 1000000) AS BIGINT))::BIGINT AS score_micro
       FROM tf
       JOIN df ON df.t = tf.t
       JOIN doclen dl ON dl.doc_id = tf.doc_id
@@ -251,8 +251,8 @@ def bm25_retrieval_topk(spark, sf_dir):
     sparse-retrieval scorer, composed entirely from declarative
     aggregations: term frequencies for the query terms, document
     frequencies, document-length normalization, and the Robertson
-    idf. Rank ties are broken on doc_id AFTER rounding the score to
-    6 digits so both engines rank identical values.
+    idf. Scores are per-term integer micro-units summed exactly, so
+    both engines rank identical values (doc_id breaks true ties).
 
     Scale: the only corpus-sized shuffles are the doc-length and
     per-(doc, term) tf aggregations (map-side combined); df and the
@@ -290,15 +290,23 @@ def bm25_retrieval_topk(spark, sf_dir):
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        # per-TERM integer micro-units (exactnum contract): the score
+        # that orders the ranking cannot move with accumulation order
+        .agg(
+            F.sum(F.round(term_score * 1000000).cast("long")).alias(
+                "score_micro"
+            )
+        )
     )
     # sort+limit FIRST (TakeOrderedAndProject — distributed top-k),
     # then rank only the 20 survivors: a global row_number window
     # before the limit would move every scored document to one task
-    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
-    w = Window.orderBy(F.desc("score"), "doc_id")
+    top = scored.orderBy(F.desc("score_micro"), "doc_id").limit(20)
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
     return top.select(
-        "doc_id", "score", F.row_number().over(w).cast("long").alias("rnk")
+        "doc_id",
+        "score_micro",
+        F.row_number().over(w).cast("long").alias("rnk"),
     ).orderBy("rnk")
 
 

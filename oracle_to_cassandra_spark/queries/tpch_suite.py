@@ -592,25 +592,31 @@ def tpch_q15_top_supplier(spark, sf_dir):
     view compared against its own max (keeps ties, unlike LIMIT 1).
 
     Scale: revenue is one row per supplier; the max re-aggregates
-    that tiny relation and broadcasts back as a scalar. Matching on
-    the 0-dp rounded value keeps the float equality engine-stable.
+    that tiny relation and broadcasts back as a scalar. Revenue is an
+    exact integer-unit sum, so the max-equality match is int64-exact.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     revenue = li.groupBy("l_suppkey").agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0).alias(
-            "total_revenue"
-        )
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+            ).cast("long")
+        ).alias("rev_i")
     )
-    best = revenue.agg(F.max("total_revenue").alias("best"))
+    best = revenue.agg(F.max("rev_i").alias("best"))
     s = load_table(spark, sf_dir, "supplier")
     return (
         revenue.crossJoin(F.broadcast(best))
-        .filter(F.col("total_revenue") == F.col("best"))
+        .filter(F.col("rev_i") == F.col("best"))
         .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_i") / 10000.0, 0).alias("total_revenue"),
+        )
     )
 
 

@@ -201,7 +201,8 @@ def _leakage_oracle() -> str:
     SELECT least(sa.split, sb.split)    AS split_lo,
            greatest(sa.split, sb.split) AS split_hi,
            count(*)::BIGINT             AS n_pairs,
-           round(avg(p.jaccard), 6)     AS avg_jaccard,
+           round((sum(CAST(round(p.jaccard * 1000000) AS BIGINT))::BIGINT
+                  / 1000000.0) / count(p.jaccard), 6) AS avg_jaccard,
            (least(sa.split, sb.split) <> greatest(sa.split, sb.split))
              AS is_leakage
     FROM pairs p
@@ -251,7 +252,14 @@ def split_leakage_audit(spark, sf_dir):
         attached.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+            F.round(
+                (
+                    F.sum(F.round(F.col("jaccard") * 1000000).cast("long"))
+                    / 1000000.0
+                )
+                / F.count("jaccard"),
+                6,
+            ).alias("avg_jaccard"),
         )
         .withColumn("is_leakage", F.col("split_lo") != F.col("split_hi"))
     )

@@ -121,6 +121,12 @@ _QUERY_MODULES = (
 #: integer). Deterministic round() sites are NOT converted: integer/
 #: integer ratios, per-row rounds of 2-dp money columns, and exact
 #: quantile interpolation are order-insensitive by construction.
+#: COMPLETE as of r8: the last float-accumulation compares
+#: (stddev/var via closed-form integer s1/s2 in
+#: stats_dispersion_per_segment; the rows-only streaming twins'
+#: total_value, so micro-batch slicing can never move them off their
+#: batch twins) are converted; `grep round\((sum|avg|stddev)` over
+#: oracle texts now hits only integer-unit or flag-sum forms.
 _PRIORITY: tuple[str, ...] = (
     # --- r8 window: 50 zero-history rows (drains the backlog) ---
     "ldiversity_sensitive_attribute_audit",

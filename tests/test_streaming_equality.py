@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import __spark_entry__ as E
+from oracle_to_cassandra_spark.functions.exactnum import exact_sum
 from oracle_to_cassandra_spark.sources import load_table
 from tests.conftest import SF_DIR
 
@@ -50,7 +51,7 @@ def test_stream_enrichment_equals_batch_join(spark):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
         )
     )
     cols = ["c_mktsegment", "n_events", "total_value"]
@@ -93,7 +94,7 @@ def test_stream_stateful_profile_equals_batch_agg(spark):
     ev = load_table(spark, SF_DIR, "events")
     batch = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
         F.max("ts").alias("last_ts"),
     )
     cols = ["user_id", "n_events", "total_value", "last_ts"]
@@ -112,7 +113,7 @@ def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
     ev = read_events_stream(spark, SF_DIR)
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
     )
 
     def write_batch(batch_df, batch_id):
@@ -143,7 +144,7 @@ def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
         for r in ev_b.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
         )
         .collect()
     )
@@ -264,7 +265,7 @@ def test_tws_stream_equals_batch_agg(spark):
     ev = load_table(spark, SF_DIR, "events")
     batch = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
         F.count_distinct("event_type").alias("n_event_types"),
     )
     cols = ["user_id", "n_events", "total_value", "n_event_types"]
