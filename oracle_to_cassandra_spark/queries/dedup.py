@@ -337,16 +337,22 @@ def lsh_dedup_recall_vs_exact(spark, sf_dir):
     engines run the identical cap + int64 // arithmetic).
 
     Scale: this is the 100 TB shape — the index join no longer scales
-    with df² of hot shingles (the r7 audit's cost driver); candidates
-    join back to full shingle sets only candidate-many times. The
-    audit shuffles on int64 shingle hashes only."""
+    with df² of hot shingles (the r7 audit's cost driver). The exact
+    intersection is decomposed as |A∩B| = shared-cold + shared-hot:
+    the cold part is the candidate self-join's own pair count (free),
+    and the hot remainder joins the candidate pairs against the
+    hot-only index slice (bounded by |candidates| × hot-per-doc, never
+    df² and never a re-join of the full shingle table). The audit
+    shuffles on int64 shingle hashes only."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.stage(D.doc_shingle_hashes(docs))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # df-cap as a broadcast 1-row frame (no driver constant): hot =
-    # shingles whose document frequency exceeds max(50, n_docs div 100)
+    # shingles whose document frequency exceeds max(50, n_docs div 100).
+    # Staged so the one groupBy shuffle that derives it feeds BOTH the
+    # index prune and the n_capped_shingles output column.
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    hot = (
+    hot = D.stage(
         sh.groupBy("h31")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n_docs))
@@ -358,29 +364,51 @@ def lsh_dedup_recall_vs_exact(spark, sf_dir):
     cold = sh.join(F.broadcast(hot), "h31", "left_anti")
     a = cold.alias("a")
     b = cold.alias("b")
-    tcand = (
+    # (doc_id, h31) is distinct per doc, so the self-join emits each
+    # pair once per SHARED COLD shingle: counting gives the cold part
+    # of the exact intersection for free, replacing the r8.0 shape
+    # (distinct + two re-joins against the FULL shingle table) whose
+    # candidate×corpus shuffles doubled the audit's runtime.
+    cold_inter = D.stage(
         a.join(
             b,
             (F.col("a.h31") == F.col("b.h31"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
+        .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .distinct()
+        .agg(F.count("*").alias("n_cold"))
     )
-    # exact verification over FULL shingle sets, candidates only
-    sa = sh.alias("sa")
-    sb = sh.alias("sb")
-    tinter = (
-        tcand.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+    # exact verification still covers FULL shingle sets:
+    # |A ∩ B| = shared-cold + shared-hot. The hot side joins the
+    # CANDIDATE pairs against the hot-only slice of the index (never
+    # hot-slice × hot-slice — that self-join would be the very df²
+    # blowup the cap removes), so its cost is bounded by
+    # |candidates| × hot-shingles-per-doc, not by df².
+    sh_hot = sh.join(F.broadcast(hot), "h31", "semi")
+    ha = sh_hot.alias("ha")
+    hb = sh_hot.alias("hb")
+    hot_inter = (
+        cold_inter.select("doc_a", "doc_b")
+        .join(ha, F.col("ha.doc_id") == F.col("doc_a"))
         .join(
-            sb,
-            (F.col("sb.doc_id") == F.col("doc_b"))
-            & (F.col("sb.h31") == F.col("sa.h31")),
+            hb,
+            (F.col("hb.doc_id") == F.col("doc_b"))
+            & (F.col("hb.h31") == F.col("ha.h31")),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+        .agg(F.count("*").alias("n_hot"))
+    )
+    tinter = (
+        cold_inter.join(hot_inter, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_cold") + F.coalesce(F.col("n_hot"), F.lit(0))).alias(
+                "n_inter"
+            ),
+        )
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))

@@ -13,11 +13,18 @@ embeddings. Here K = the 10 synthetic cluster labels (production
 trains K=256 per subspace with k-means — identical plan shape, the
 Lloyd step exists at ``similarity_eval.ivf_centroid_refinement``).
 
-Everything is deterministic and oracle-twinned: centroid components
-are rounded to 6 dp in BOTH engines before any distance math, each
-per-subspace distance is rounded before the argmin (ties broken by
-code id), so the encode step cannot flip across engines on float
-noise. Extends the reference's static lookup surface
+Everything is INTEGER-EXACT and oracle-twinned: vector components
+are quantized once per row to int64 micro-units (the only float
+round in the whole family — a single deterministic op on identical
+raw inputs), codebook components are the rounded integer mean of
+integer components, and every distance from there on is an exact
+int64 sum of squared integer differences (components ≤ ~0.6 in
+magnitude → per-dim squares ≤ ~1.5e12, 64-dim sums ≤ ~1e14 — five
+orders of magnitude inside int64). No float accumulation exists
+anywhere in the encode/score path, so argmin ties and top-k ranks
+cannot flip across engines or partition orders at ANY scale (the
+r8.0 form kept per-subspace 6-dp float rounds and was caught 1-ulp
+apart at sf0.1). Extends the reference's static lookup surface
 (`/root/reference/README.md:792-812`) to the compressed-index shape
 its engine cannot express.
 """
@@ -38,22 +45,23 @@ TOP_K = 10
 
 #: shared SQL fragments ---------------------------------------------------
 
-#: per-(vector, subspace) double subvectors; DuckDB list slices are
-#: 1-based and inclusive on both ends
+#: per-(vector, subspace) INTEGER MICRO-UNIT subvectors — the single
+#: per-row float round of the family; DuckDB list slices are 1-based
+#: and inclusive on both ends
 _SUB_SQL = f"""
   SELECT vec_id, label, t.m,
          list_transform(embedding[(t.m * {SUB} + 1):((t.m + 1) * {SUB})],
-                        x -> x::DOUBLE) AS sv
+                        x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT)) AS sv
   FROM embeddings, range({M}) t(m)
 """
 
-#: codebook: per (subspace, label) mean subvector, components rounded
-#: to 6 dp BEFORE any distance math (identical codebook both engines)
+#: codebook: per (subspace, label) mean subvector in integer
+#: micro-units — exact int64 component sums, ONE division + ONE round
+#: per component (deterministic on identical exact operands)
 _CB_SQL = """
-  SELECT m, code_id, list(round(c, 6) ORDER BY pos) AS cw FROM (
+  SELECT m, code_id, list(c ORDER BY pos) AS cw FROM (
     SELECT m, code_id, pos,
-           (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
-           / count(v) AS c FROM (
+           CAST(round(sum(v)::DOUBLE / count(v)) AS BIGINT) AS c FROM (
       SELECT m, label AS code_id, generate_subscripts(sv, 1) AS pos,
              unnest(sv) AS v
       FROM sub
@@ -61,8 +69,10 @@ _CB_SQL = """
   ) GROUP BY m, code_id
 """
 
-#: squared L2 between a subvector column a and codeword column b
-_D2 = "round(list_sum(list_transform(range({n}), i -> (a[i+1]-b[i+1])*(a[i+1]-b[i+1]))), 6)"
+#: EXACT squared L2 (micro²-units) between integer subvector a and
+#: integer codeword b — pure int64 arithmetic, no float anywhere
+_D2 = ("list_sum(list_transform(range({n}), "
+       "i -> (a[i+1]-b[i+1])*(a[i+1]-b[i+1])))::BIGINT")
 
 
 def _pq_core_sql() -> str:
@@ -92,16 +102,15 @@ def _pq_core_sql() -> str:
     ),
     adc AS (
       SELECT dtab.probe_id, enc.vec_id AS neighbor_id,
-             sum(CAST(round(dtab.d * 1000000) AS BIGINT))::BIGINT
-               AS adc_micro
+             sum(dtab.d)::BIGINT AS adc_micro2
       FROM enc JOIN dtab ON enc.m = dtab.m AND enc.code = dtab.code_id
       WHERE enc.vec_id <> dtab.probe_id
       GROUP BY dtab.probe_id, enc.vec_id
     ),
     pq_topk AS (
-      SELECT probe_id, neighbor_id, adc_micro, rn FROM (
+      SELECT probe_id, neighbor_id, adc_micro2, rn FROM (
         SELECT *, row_number() OVER (PARTITION BY probe_id
-                                     ORDER BY adc_micro, neighbor_id)::BIGINT AS rn
+                                     ORDER BY adc_micro2, neighbor_id)::BIGINT AS rn
         FROM adc
       ) WHERE rn <= {TOP_K}
     )
@@ -110,19 +119,23 @@ def _pq_core_sql() -> str:
 
 _PQ_TOPK_SQL = f"""
     WITH {_pq_core_sql()}
-    SELECT probe_id, neighbor_id, adc_micro, rn FROM pq_topk
+    SELECT probe_id, neighbor_id, adc_micro2, rn FROM pq_topk
     """
 
 
 def _subvectors(e: DataFrame) -> DataFrame:
-    """(vec_id, label, m, sv: array<double>) — one row per subspace."""
+    """(vec_id, label, m, sv: array<long>) — one row per subspace,
+    components quantized to integer micro-units (the family's single
+    per-row float round)."""
     slices = F.array(
         *[
             F.struct(
                 F.lit(m).alias("m"),
                 F.transform(
                     F.slice("embedding", m * SUB + 1, SUB),
-                    lambda x: x.cast("double"),
+                    lambda x: F.round(x.cast("double") * 1000000).cast(
+                        "long"
+                    ),
                 ).alias("sv"),
             )
             for m in range(M)
@@ -134,15 +147,14 @@ def _subvectors(e: DataFrame) -> DataFrame:
 
 
 def _codebook(sub: DataFrame) -> DataFrame:
-    """(m, code_id, cw: array<double>) — per-(subspace, label) mean
-    subvector, components rounded to 6 dp. M*K rows — broadcast size."""
+    """(m, code_id, cw: array<long>) — per-(subspace, label) mean
+    subvector in integer micro-units (exact int64 component sums, one
+    division + one round per component). M*K rows — broadcast size."""
     dims = sub.select("m", F.col("label").alias("code_id"), F.posexplode("sv").alias("pos", "v"))
     cent = dims.groupBy("m", "code_id", "pos").agg(
-        F.round(
-            (F.sum(F.round(F.col("v") * 1000000).cast("long")) / 1000000.0)
-            / F.count("v"),
-            6,
-        ).alias("c")
+        F.round(F.sum("v").cast("double") / F.count("v"))
+        .cast("long")
+        .alias("c")
     )
     return (
         cent.groupBy("m", "code_id")
@@ -152,16 +164,14 @@ def _codebook(sub: DataFrame) -> DataFrame:
 
 
 def _sq_l2(a, b):
-    """Squared L2 via a deterministic left fold (zip_with + aggregate:
-    identical operand order in every task), rounded to 6 dp so the
-    argmin tie-break is stable across engines."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+    """EXACT squared L2 in micro²-units between two integer micro-unit
+    arrays — a left fold of int64 squared differences. Associative and
+    order-independent, so the argmin and every downstream rank are
+    bit-stable across engines and partition orders."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
 
 
@@ -197,20 +207,16 @@ def _pq_topk(spark, sf_dir) -> DataFrame:
         )
         .filter(F.col("vec_id") != F.col("probe_id"))
         .groupBy("probe_id", "vec_id")
-        # per-SUBSPACE integer micro-units: the ADC distance that
-        # orders the ranking is an exact int64 sum of M terms
-        .agg(
-            F.sum(F.round(F.col("d") * 1000000).cast("long")).alias(
-                "adc_micro"
-            )
-        )
+        # the ADC distance is an exact int64 sum of M integer
+        # subspace distances — associative, rank-stable at any scale
+        .agg(F.sum("d").alias("adc_micro2"))
     )
-    w = Window.partitionBy("probe_id").orderBy("adc_micro", F.col("vec_id"))
+    w = Window.partitionBy("probe_id").orderBy("adc_micro2", F.col("vec_id"))
     return (
         adc.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= TOP_K)
         .select(
-            "probe_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rn"
+            "probe_id", F.col("vec_id").alias("neighbor_id"), "adc_micro2", "rn"
         )
     )
 
@@ -237,9 +243,11 @@ _PQ_RECALL_SQL = f"""
         SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
                row_number() OVER (
                  PARTITION BY p.vec_id
-                 ORDER BY round(list_sum(list_transform(range(64),
-                   i -> (p.embedding[i+1]::DOUBLE - e.embedding[i+1]::DOUBLE)
-                        * (p.embedding[i+1]::DOUBLE - e.embedding[i+1]::DOUBLE))), 6),
+                 ORDER BY list_sum(list_transform(range(64),
+                   i -> (CAST(round(p.embedding[i+1]::DOUBLE * 1000000) AS BIGINT)
+                         - CAST(round(e.embedding[i+1]::DOUBLE * 1000000) AS BIGINT))
+                        * (CAST(round(p.embedding[i+1]::DOUBLE * 1000000) AS BIGINT)
+                           - CAST(round(e.embedding[i+1]::DOUBLE * 1000000) AS BIGINT)))),
                    e.vec_id
                ) AS rn
         FROM embeddings p JOIN embeddings e ON p.vec_id <> e.vec_id
@@ -277,13 +285,16 @@ def similarity_pq_recall_at_10(spark, sf_dir):
     PQ side is the compressed-code scan above; the audit join is
     probe-keyed over ≤ {TOP_K} rows per probe."""
     e = load_table(spark, sf_dir, "embeddings")
+    # exact side scores on the same integer micro-unit quantization as
+    # the PQ side — the audit compares rankings, not raw floats
+    micro = lambda x: F.round(x.cast("double") * 1000000).cast("long")  # noqa: E731
     probes = e.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("p_emb"),
+        F.transform("embedding", micro).alias("p_emb"),
     )
     cands = e.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+        F.transform("embedding", micro).alias("c_emb"),
     )
     scored = F.broadcast(probes).join(
         cands, F.col("probe_id") != F.col("neighbor_id")
@@ -325,14 +336,14 @@ _PQ_INCR_SQL = f"""
     WITH sub AS (
       SELECT vec_id, label, t.m,
              list_transform(embedding[(t.m * {SUB} + 1):((t.m + 1) * {SUB})],
-                            x -> x::DOUBLE) AS sv
+                            x -> CAST(round(x::DOUBLE * 1000000) AS BIGINT))
+               AS sv
       FROM embeddings, range({M}) t(m)
     ),
     cb AS (
-      SELECT m, code_id, list(round(c, 6) ORDER BY pos) AS cw FROM (
+      SELECT m, code_id, list(c ORDER BY pos) AS cw FROM (
         SELECT m, code_id, pos,
-           (sum(CAST(round(v * 1000000) AS BIGINT))::BIGINT / 1000000.0)
-           / count(v) AS c FROM (
+               CAST(round(sum(v)::DOUBLE / count(v)) AS BIGINT) AS c FROM (
           SELECT m, label AS code_id, generate_subscripts(sv, 1) AS pos,
                  unnest(sv) AS v
           FROM sub WHERE vec_id % 10 <> {NEW_MOD}
@@ -341,8 +352,8 @@ _PQ_INCR_SQL = f"""
     ),
     scored AS (
       SELECT s.vec_id, s.m, cb.code_id,
-             round(list_sum(list_transform(range({SUB}),
-               i -> (s.sv[i+1]-cb.cw[i+1])*(s.sv[i+1]-cb.cw[i+1]))), 6) AS d
+             list_sum(list_transform(range({SUB}),
+               i -> (s.sv[i+1]-cb.cw[i+1])*(s.sv[i+1]-cb.cw[i+1])))::BIGINT AS d
       FROM sub s JOIN cb ON s.m = cb.m
       WHERE s.vec_id % 10 = {NEW_MOD}
     ),
@@ -355,8 +366,7 @@ _PQ_INCR_SQL = f"""
     )
     SELECT m::INT AS m, code::INT AS code,
            count(*)::BIGINT AS n_new_vectors,
-           round((sum(CAST(round(d * 1000000) AS BIGINT))::DOUBLE
-                  / 1000000.0) / count(*), 6) AS mean_quant_err
+           (sum(d)::BIGINT // count(*))::BIGINT AS mean_err_micro2
     FROM enc GROUP BY m, code
     """
 
@@ -401,23 +411,16 @@ def incremental_pq_encode(spark, sf_dir):
         .groupBy("m", "code")
         .agg(
             F.count("*").alias("n_new_vectors"),
-            # sum exact integer micro-units, divide once at the end:
-            # a float avg() over the rounded d's can land ON a 6-dp
-            # rounding boundary and flip between engines on summation
-            # order; the integer sum cannot
-            F.round(
-                (
-                    F.sum(F.round(F.col("d") * 1000000).cast("long")).cast("double")
-                    / 1000000.0
-                )
-                / F.count("*"),
-                6,
-            ).alias("mean_quant_err"),
+            # d is already an exact int64 micro²-units distance; the
+            # drift signal is its exact integer mean (floor division
+            # — identical `div`/`//` semantics on non-negative int64
+            # in both engines, zero float ops)
+            F.sum("d").alias("d_sum"),
         )
         .select(
             F.col("m").cast("int").alias("m"),
             F.col("code").cast("int").alias("code"),
             "n_new_vectors",
-            "mean_quant_err",
+            F.expr("d_sum div n_new_vectors").alias("mean_err_micro2"),
         )
     )

@@ -126,7 +126,15 @@ _QUERY_MODULES = (
 #: stats_dispersion_per_segment; the rows-only streaming twins'
 #: total_value, so micro-batch slicing can never move them off their
 #: batch twins) are converted; `grep round\((sum|avg|stddev)` over
-#: oracle texts now hits only integer-unit or flag-sum forms.
+#: oracle texts now hits only integer-unit or flag-sum forms, and
+#: `tests/test_exactness_guard.py` enforces that invariant against
+#: regression (4 audited integer-argument exceptions documented
+#: there). 82 registered queries changed in the r8 conversion; 8 sit
+#: in the r8 window, the other 74 keep their prior green driver rows
+#: valid off rounding boundaries (values are identical except on the
+#: knife edges the conversion removes) and are re-proved by this
+#: round's full sf0.1 differential sweep + the per-session replica,
+#: so they queue BEHIND the 37 genuinely stale/zero-history items.
 _PRIORITY: tuple[str, ...] = (
     # --- r8 window: 50 zero-history rows (drains the backlog) ---
     "ldiversity_sensitive_attribute_audit",
