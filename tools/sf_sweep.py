@@ -11,9 +11,16 @@ was caught exactly this way in round 7) on the FULL surface.
 
 Usage:
     python tools/sf_sweep.py [sf_dir] [name_substring ...]
+    python tools/sf_sweep.py [sf_dir] --slice I:J   # queries [I, J) of
+                                                    # the sorted oracle
+                                                    # list (chunked runs
+                                                    # under a per-process
+                                                    # wall-clock cap)
 
 Writes a one-line JSON summary to stdout and a full per-query report
-to SWEEP_LOCAL.json.  Exit code 1 on any mismatch.
+to SWEEP_LOCAL.json (--slice merges into the existing report instead
+of overwriting, so chunked runs accumulate one file).  Exit code 1 on
+any mismatch.
 """
 
 from __future__ import annotations
@@ -29,7 +36,12 @@ sys.path.insert(0, ROOT)
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    only = sys.argv[2:]
+    rest = sys.argv[2:]
+    sl = None
+    if rest and rest[0] == "--slice":
+        i, j = rest[1].split(":")
+        sl, rest = (int(i), int(j)), rest[2:]
+    only = rest
 
     from oracle_to_cassandra_spark.session import get_spark
     from tests.compare import compare_query
@@ -44,6 +56,8 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     names = [n for n in sorted(oracles) if not only or any(s in n for s in only)]
+    if sl is not None:
+        names = names[sl[0] : sl[1]]
 
     report: dict[str, dict] = {}
     n_pass = n_fail = 0
@@ -69,15 +83,21 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    out_path = os.path.join(ROOT, "SWEEP_LOCAL.json")
+    if sl is not None and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh).get("queries", {})
+        prior.update(report)
+        report = prior
     summary = {
         "sf_dir": sf_dir,
-        "n_queries": len(names),
-        "n_pass": n_pass,
-        "n_fail": n_fail,
+        "n_queries": len(report),
+        "n_pass": sum(1 for r in report.values() if r["ok"]),
+        "n_fail": sum(1 for r in report.values() if not r["ok"]),
         "sec": round(time.time() - t_start, 1),
         "failures": sorted(n for n, r in report.items() if not r["ok"]),
     }
-    with open(os.path.join(ROOT, "SWEEP_LOCAL.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump({"summary": summary, "queries": report}, fh, indent=1)
     print(json.dumps(summary))
     return 1 if n_fail else 0
