@@ -106,13 +106,13 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*sig_cols)
 
 
-def minhash_signatures_sql(n_perm: int = N_PERM) -> str:
+def minhash_signatures_sql(n_perm: int = N_PERM, k: int = 3) -> str:
     sig_cols = ",\n           ".join(
         f"min((h31 * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P}) AS sig{i}"
         for i in range(n_perm)
     )
     return f"""
-    WITH sh_tbl AS ({doc_shingle_hashes_sql()})
+    WITH sh_tbl AS ({doc_shingle_hashes_sql(k)})
     SELECT doc_id,
            {sig_cols}
     FROM sh_tbl GROUP BY doc_id
@@ -158,7 +158,7 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataF
     )
 
 
-def lsh_candidate_pairs_sql(bands: int = 2, rows: int = 4) -> str:
+def lsh_candidate_pairs_sql(bands: int = 2, rows: int = 4, k: int = 3) -> str:
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_id, "
         + " || '_' || ".join(f"sig{b * rows + r}::VARCHAR" for r in range(rows))
@@ -166,7 +166,7 @@ def lsh_candidate_pairs_sql(bands: int = 2, rows: int = 4) -> str:
         for b in range(bands)
     )
     return f"""
-    WITH sigs AS ({minhash_signatures_sql()}),
+    WITH sigs AS ({minhash_signatures_sql(k=k)}),
     bands_tbl AS ({band_rows})
     SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands_tbl x JOIN bands_tbl y
@@ -176,7 +176,7 @@ def lsh_candidate_pairs_sql(bands: int = 2, rows: int = 4) -> str:
 
 
 def jaccard_verified_pairs(
-    documents: DataFrame, threshold: float = 0.6
+    documents: DataFrame, threshold: float = 0.6, k: int = 3
 ) -> DataFrame:
     """The full MinHash→LSH→exact-Jaccard pipeline: candidates from
     LSH, verified with exact shingle-set Jaccard, filtered at
@@ -191,7 +191,7 @@ def jaccard_verified_pairs(
     materializes it once inside the consuming job; on a cluster this
     is the 'stage the shingle table' step of every production dedup
     pipeline."""
-    sh = stage(doc_shingle_hashes(documents))
+    sh = stage(doc_shingle_hashes(documents, k))
     cands = lsh_candidate_pairs(minhash_signatures(documents, shingle_hashes=sh))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
@@ -223,10 +223,10 @@ def jaccard_verified_pairs(
     )
 
 
-def jaccard_verified_pairs_sql(threshold: float = 0.6) -> str:
+def jaccard_verified_pairs_sql(threshold: float = 0.6, k: int = 3) -> str:
     return f"""
-    WITH sh_tbl AS ({doc_shingle_hashes_sql()}),
-    cands AS ({lsh_candidate_pairs_sql()}),
+    WITH sh_tbl AS ({doc_shingle_hashes_sql(k)}),
+    cands AS ({lsh_candidate_pairs_sql(k=k)}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh_tbl GROUP BY doc_id),
     inter AS (
       SELECT c.doc_a, c.doc_b, count(*) AS n_inter

@@ -280,3 +280,53 @@ def bpe_apply_tokenize(spark, sf_dir):
             ).alias("compression"),
         )
     )
+
+
+@query(
+    "tokenizer_fertility_per_lang",
+    oracle=f"""
+    SELECT d.lang,
+           count(*)::BIGINT            AS n_docs,
+           sum(a.n_words)::BIGINT      AS n_words,
+           sum(a.n_subwords)::BIGINT   AS n_subwords,
+           (sum(a.n_subwords) * 1000000 // sum(a.n_words))::BIGINT
+             AS fertility_ppm,
+           (sum(a.n_chars_tokenized) * 1000000 // sum(a.n_subwords))::BIGINT
+             AS chars_per_subword_ppm
+    FROM ({_APPLY_SQL}) a JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def tokenizer_fertility_per_lang(spark, sf_dir):
+    """Tokenizer FERTILITY table per language — THE standard
+    multilingual-tokenizer evaluation: average sub-words emitted per
+    whitespace word (fertility) and characters absorbed per sub-word,
+    by language. A tokenizer trained on skewed language mixtures
+    inflates fertility for the under-represented languages, which
+    silently taxes their effective context length and training
+    compute; this rollup is how that tax is detected before a vocab
+    ships. Builds on the declarative BPE encode
+    (`bpe_apply_tokenize`): same merge table, same corpus, one extra
+    broadcast-joined lang lookup and a per-lang aggregate. Ratios in
+    exact integer ppm (int64 sums, one `div` each).
+
+    Scale: identical to the encode it wraps — {N_ROUNDS} broadcast
+    vocabulary rewrites, token→vocab broadcast join — plus a doc_id
+    join to the lang column and a ≤#langs-row aggregate."""
+    per_doc = bpe_apply_tokenize(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+            F.expr(
+                "sum(n_subwords) * 1000000L div sum(n_words)"
+            ).alias("fertility_ppm"),
+            F.expr(
+                "sum(n_chars_tokenized) * 1000000L div sum(n_subwords)"
+            ).alias("chars_per_subword_ppm"),
+        )
+    )

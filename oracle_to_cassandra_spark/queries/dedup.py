@@ -482,3 +482,62 @@ def lsh_candidate_precision_audit(spark, sf_dir):
         .cast("long")
         .alias("precision_ppm"),
     )
+
+
+@query(
+    "shingle_width_sensitivity",
+    oracle=f"""
+    WITH p3 AS ({D.jaccard_verified_pairs_sql(0.6, k=3)}),
+    p5 AS ({D.jaccard_verified_pairs_sql(0.6, k=5)}),
+    shared AS (
+      SELECT count(*) AS n FROM p3 JOIN p5 USING (doc_a, doc_b)
+    )
+    SELECT (SELECT count(*) FROM p3)::BIGINT AS n_pairs_w3,
+           (SELECT count(*) FROM p5)::BIGINT AS n_pairs_w5,
+           (SELECT n FROM shared)::BIGINT    AS n_common,
+           CASE WHEN (SELECT count(*) FROM p3) = 0 THEN 1000000
+                ELSE (SELECT n FROM shared) * 1000000
+                     // (SELECT count(*) FROM p3) END::BIGINT
+             AS w5_containment_ppm
+    """,
+)
+def shingle_width_sensitivity(spark, sf_dir):
+    """Parameter-sensitivity audit for the dedup pipeline's shingle
+    width: run the SAME MinHash→LSH→exact-Jaccard pipeline at w=3 and
+    w=5 and measure how much of the w=3 near-dup pair set survives at
+    the stricter width (wider shingles demand longer verbatim runs, so
+    w=5 pairs ⊆-ish w=3 pairs in practice). Production dedup picks w
+    once for a whole corpus; this audit prices that choice with data
+    instead of folklore — a low containment says the pair set is
+    dominated by short-run overlaps that a wider shingle would
+    dismiss. Completes the pipeline's self-measurement trio: recall
+    (`lsh_dedup_recall_vs_exact`), precision
+    (`lsh_candidate_precision_audit`), and now parameter stability.
+
+    Scale: two independent runs of the already-bucketed pipeline
+    (each stages its own shingle table once, bands bound every join)
+    plus a pair-key equi-join of two candidate-sized tables and three
+    scalar aggregates. Nothing scales with n² of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    p3 = D.jaccard_verified_pairs(docs, threshold=0.6, k=3).select(
+        "doc_a", "doc_b"
+    )
+    p5 = D.jaccard_verified_pairs(docs, threshold=0.6, k=5).select(
+        "doc_a", "doc_b"
+    )
+    n3 = p3.agg(F.count("*").alias("n_pairs_w3"))
+    n5 = p5.agg(F.count("*").alias("n_pairs_w5"))
+    nc = p3.join(p5, ["doc_a", "doc_b"]).agg(F.count("*").alias("n_common"))
+    return (
+        n3.crossJoin(F.broadcast(n5))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_pairs_w3",
+            "n_pairs_w5",
+            "n_common",
+            F.when(F.col("n_pairs_w3") == 0, F.lit(1000000))
+            .otherwise(F.expr("n_common * 1000000L div n_pairs_w3"))
+            .cast("long")
+            .alias("w5_containment_ppm"),
+        )
+    )

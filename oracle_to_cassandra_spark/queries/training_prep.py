@@ -945,3 +945,92 @@ def length_bucketed_batching_waste(spark, sf_dir):
         .cast("long")
         .alias("waste_ppm"),
     )
+
+
+SAMPLE_TARGET = 200
+
+
+@query(
+    "weighted_systematic_sample",
+    oracle=f"""
+    WITH wdoc AS (
+      SELECT doc_id, source, greatest(n_chars, 1)::BIGINT AS w,
+             {base31_sql("doc_id::VARCHAR")} AS key
+      FROM documents
+    ),
+    tot AS (SELECT sum(w)::BIGINT AS w_total FROM wdoc),
+    cum AS (
+      SELECT doc_id, source, w,
+             sum(w) OVER (ORDER BY key % {N_ID_BLOCKS}, key, doc_id
+                          ROWS UNBOUNDED PRECEDING)::BIGINT AS cw
+      FROM wdoc
+    ),
+    sel AS (
+      SELECT c.source, c.w
+      FROM cum c, tot t
+      WHERE c.cw // greatest(t.w_total // {SAMPLE_TARGET}, 1)
+            > (c.cw - c.w) // greatest(t.w_total // {SAMPLE_TARGET}, 1)
+    )
+    SELECT source, count(*)::BIGINT AS n_selected,
+           sum(w)::BIGINT AS w_selected
+    FROM sel GROUP BY source
+    """,
+)
+def weighted_systematic_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement via systematic (grid)
+    selection over cumulative integer weights — the deterministic,
+    single-pass way to draw a weight-proportional corpus subsample
+    (importance-weighted training mixtures, eval panels) at any
+    scale. Docs are laid on a line in a hash-shuffled deterministic
+    order, each occupying `weight` units; a grid of
+    total_weight/{SAMPLE_TARGET} spacing picks every doc whose
+    interval contains a grid point — inclusion probability
+    proportional to weight, zero RNG, reproducible bit-for-bit on
+    both engines (pure int64 `div` arithmetic; per-doc weight =
+    greatest(n_chars, 1)).
+
+    Scale: the global cumulative sum does NOT use a global window —
+    it reuses the two-pass block-offset pattern (`dense_global_ids`):
+    {N_ID_BLOCKS} hash blocks, per-block totals (tiny aggregate), a
+    {N_ID_BLOCKS}-row offset table broadcast back, within-block
+    window cumsum. At 1000 executors each block's cumsum runs
+    independently; the grid test is a per-row integer comparison, and
+    the output is one row per source."""
+    d = load_table(spark, sf_dir, "documents")
+    key = base31(F.col("doc_id").cast("string"))
+    wdoc = d.select(
+        "doc_id",
+        "source",
+        F.greatest(F.col("n_chars"), F.lit(1)).cast("long").alias("w"),
+        key.alias("key"),
+        (key % N_ID_BLOCKS).alias("block"),
+    )
+    tot = wdoc.agg(F.sum("w").alias("w_total"))
+    counts = wdoc.groupBy("block").agg(F.sum("w").alias("bw"))
+    w_off = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "block", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("block").orderBy("key", "doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        wdoc.withColumn("local_cw", F.sum("w").over(w_local))
+        .join(F.broadcast(offsets), "block")
+        .select(
+            "source", "w", (F.col("offset") + F.col("local_cw")).alias("cw")
+        )
+    )
+    sel = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "step",
+            F.greatest(F.expr(f"w_total div {SAMPLE_TARGET}"), F.lit(1)).cast(
+                "long"
+            ),
+        )
+        .filter(F.expr("cw div step > (cw - w) div step"))
+    )
+    return sel.groupBy("source").agg(
+        F.count("*").alias("n_selected"), F.sum("w").alias("w_selected")
+    )

@@ -48,6 +48,10 @@ _INT_MARKERS = (
 _AUDITED = {
     # len() of a VARCHAR is BIGINT in DuckDB / int in Spark.
     "bpe_apply_tokenize": ["len(f.w)"],
+    # Same site, inherited by embedding _APPLY_SQL as a subquery; the
+    # rounded column is projected away — the fertility compare columns
+    # are all integer-ppm.
+    "tokenizer_fertility_per_lang": ["len(f.w)"],
     # c is count(*) from the inner GROUP BY — integer per-key counts.
     "skew_diagnostics_orders_custkey": ["c"],
     # m_c is monetary CENTS (integer units) carried from the CTE.

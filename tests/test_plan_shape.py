@@ -368,3 +368,40 @@ def test_rrf_fusion_no_global_sort_before_limit(spark):
         "a retrieval side global-sorts instead of distributed top-k"
     )
     assert "Python" not in plan
+
+
+def test_weighted_sample_no_global_window(spark):
+    """The systematic sample's cumulative sum must stay block-local:
+    no exchange may coalesce the corpus to a single partition (the
+    only SinglePartition exchanges allowed are the 32-row offset
+    table and the 1-row total), and shuffle count stays bounded."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["weighted_systematic_sample"](spark, SF_DIR)
+    assert exchange_count(df) <= 4, "cumsum stopped being block-parallel"
+    plan = formatted_plan(df)
+    assert "Python" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fertility_rollup_broadcasts_vocab(spark):
+    """The per-lang fertility rollup must keep the encode's broadcast
+    token->vocab join (a shuffle there re-sorts the whole corpus)."""
+    from oracle_to_cassandra_spark.plans import exchange_count
+
+    df = E.queries()["tokenizer_fertility_per_lang"](spark, SF_DIR)
+    assert has_broadcast_join(df), "vocab join regressed to a shuffle join"
+    assert exchange_count(df) <= 4
+
+
+def test_width_sensitivity_no_cartesian(spark):
+    """Two full dedup pipelines + a pair-key join: every join must be
+    keyed (band collisions / pair keys), never a cross product of
+    candidate sets."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    plan = formatted_plan(
+        E.queries()["shingle_width_sensitivity"](spark, SF_DIR)
+    )
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
