@@ -12,8 +12,22 @@ sf0.1 in round 7). The proof pattern used across this repo:
    engines);
 2. SUM the integers — int64 addition is associative, so any
    accumulation order yields the same value;
-3. divide ONCE at the end — one float op on the same exact integer is
-   deterministic, and only then round for display.
+3. emit INTEGER units — either the raw sum, ``sum / 10**nd`` when
+   ``scale == 10**nd`` (the division lands exactly ON the nd-dp
+   grid, so the final round is an identity), or an integer ``div``.
+
+What is NOT allowed (verified live in round 8): a final
+``round(sum_units / D, nd)`` with ``D > 10**nd``, or a mean
+``round((sum_units/scale)/count, nd)``. The true value can then sit
+exactly on an nd-dp HALF, and the engines round such ties
+DIFFERENTLY — Spark quantizes the double's shortest-decimal repr
+(BigDecimal HALF_UP) while DuckDB rounds the binary double:
+``round(86958149950/10000.0, 2)`` → Spark 8695815.00, DuckDB
+8695814.99. ``tests/test_exactness_guard.py`` statically rejects the
+whole class; integer ``div`` (identical truncation toward zero in
+both engines, negatives included — verified ``-7 div 2 == -7 // 2 ==
+-3``) or ``floor(x*10**nd + 0.5)`` on an identical double (floor has
+no repr-vs-binary ambiguity) are the sanctioned emissions.
 
 Scale choice: 100 (cents) for 2-dp money columns keeps the sum within
 int64 through ~9×10^16 cents; 10^6 (micro-units) for 6-dp scores.
@@ -33,16 +47,25 @@ def int_units(col: Column, scale: int = 100) -> Column:
 
 
 def exact_sum(col: Column, nd: int = 2, scale: int = 100) -> Column:
-    """Order-proof ``round(sum(col), nd)`` via integer units."""
+    """Order-proof ``round(sum(col), nd)`` via integer units.
+
+    SAFE only when ``scale == 10**nd`` — the final division then
+    lands exactly ON the nd-dp grid and the round is an identity in
+    both engines (asserted)."""
+    assert scale == 10**nd, "scale > 10^nd reintroduces round ties"
     return F.round(F.sum(int_units(col, scale)) / float(scale), nd)
 
 
-def exact_avg(col: Column, nd: int = 6, scale: int = 100) -> Column:
-    """Order-proof ``round(avg(col), nd)``: exact integer sum, one
-    division by the scale, one by the non-null count (matches AVG's
-    null semantics because ``sum``/``count`` skip the same rows)."""
-    return F.round(
-        (F.sum(int_units(col, scale)) / float(scale)) / F.count(col), nd
+def exact_avg_units(expr: str, scale: int = 100) -> Column:
+    """Order-proof INTEGER-units mean: exact int64 sum of per-row
+    units, ONE integer ``div`` by the non-null count (matches AVG's
+    null semantics because ``sum``/``count`` skip the same rows).
+    Emits BIGINT in 1/scale units — no float round exists to tie.
+
+    Takes a SQL expression string (not a Column) so the identical
+    text can parameterize both engines."""
+    return F.expr(
+        f"sum(CAST(round(({expr}) * {scale}) AS BIGINT)) div count({expr})"
     )
 
 
@@ -53,14 +76,15 @@ def int_units_sql(expr: str, scale: int = 100) -> str:
 def exact_sum_sql(expr: str, nd: int = 2, scale: int = 100) -> str:
     """DuckDB twin of :func:`exact_sum` (``::BIGINT`` narrows DuckDB's
     HUGEINT sum so the division matches Spark's long / double)."""
+    assert scale == 10**nd, "scale > 10^nd reintroduces round ties"
     return (
         f"round(sum({int_units_sql(expr, scale)})::BIGINT"
         f" / {scale}.0, {nd})"
     )
 
 
-def exact_avg_sql(expr: str, nd: int = 6, scale: int = 100) -> str:
+def exact_avg_units_sql(expr: str, scale: int = 100) -> str:
+    """DuckDB twin of :func:`exact_avg_units`."""
     return (
-        f"round((sum({int_units_sql(expr, scale)})::BIGINT"
-        f" / {scale}.0) / count({expr}), {nd})"
+        f"(sum({int_units_sql(expr, scale)})::BIGINT // count({expr}))"
     )

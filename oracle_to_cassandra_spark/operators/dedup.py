@@ -208,22 +208,25 @@ def jaccard_verified_pairs(
     )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    thr_k = round(threshold * 1000)
     jac = (
         inter.join(na, "doc_a")
         .join(nb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
-            ),
-        )
+        .withColumn("u", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     )
-    return jac.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", "jaccard"
+    # FULLY integer: the threshold test 1000·|A∩B| >= k·|A∪B| and the
+    # emitted ppm ratio are exact int64 in both engines — no float
+    # division or round anywhere in the dedup pipeline's compare path
+    return (
+        jac.filter(F.col("n_inter") * 1000 >= thr_k * F.col("u"))
+        .select(
+            "doc_a", "doc_b", F.expr("n_inter * 1000000 div u").alias("jaccard_ppm")
+        )
     )
 
 
 def jaccard_verified_pairs_sql(threshold: float = 0.6, k: int = 3) -> str:
+    thr_k = round(threshold * 1000)
     return f"""
     WITH sh_tbl AS ({doc_shingle_hashes_sql(k)}),
     cands AS ({lsh_candidate_pairs_sql(k=k)}),
@@ -236,11 +239,12 @@ def jaccard_verified_pairs_sql(threshold: float = 0.6, k: int = 3) -> str:
       GROUP BY c.doc_a, c.doc_b
     )
     SELECT i.doc_a, i.doc_b,
-           round(i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter), 6) AS jaccard
+           (i.n_inter * 1000000 // (za.n_sh + zb.n_sh - i.n_inter))::BIGINT
+             AS jaccard_ppm
     FROM inter i
     JOIN sizes za ON za.doc_id = i.doc_a
     JOIN sizes zb ON zb.doc_id = i.doc_b
-    WHERE i.n_inter * 1.0 / (za.n_sh + zb.n_sh - i.n_inter) >= {threshold}
+    WHERE i.n_inter * 1000 >= {thr_k} * (za.n_sh + zb.n_sh - i.n_inter)
     """
 
 

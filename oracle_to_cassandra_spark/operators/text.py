@@ -84,13 +84,50 @@ def distinct_ratio(tok: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite quality score ∈ [0,1]: vocabulary diversity +
     non-stopword density + length credit. Deterministic formula,
-    mirrored in the SQL oracle."""
+    mirrored in the SQL oracle. Use as a FILTER/RANK key only (both
+    engines evaluate the identical double chain); COMPARE columns
+    must use :func:`quality_micro` — a 6-dp round of this value ties
+    exactly when the token count carries a factor of 2^7 the
+    numerator can't cancel (n = 128, 640, ... — reachable)."""
     tok = tokens(text)
     n = F.greatest(F.size(tok), F.lit(1))
     diversity = F.size(F.array_distinct(tok)) / n
     non_stop = 1 - stopword_ratio(tok)
     length_credit = F.least(F.size(tok) / F.lit(100.0), F.lit(1.0))
     return 0.4 * diversity + 0.4 * non_stop + 0.2 * length_credit
+
+
+def quality_micro(text: Column) -> Column:
+    """EXACT int64 micro-unit quality — the compare-column form of
+    :func:`quality_score`:
+
+        (400000·(d + n − s) + 2000·min(n, 100)·n) div n
+
+    with d = distinct tokens, s = stopword hits, n = max(tokens, 1).
+    Pure integer arithmetic (numerator < 1.1e6·n, far inside int64),
+    identical floor semantics in both engines at any scale."""
+    tok = tokens(text)
+    n = F.greatest(F.size(tok), F.lit(1)).cast("long")
+    d = F.size(F.array_distinct(tok)).cast("long")
+    s = F.size(F.filter(tok, lambda t: t.isin(*EN_STOPWORDS))).cast("long")
+    num = (
+        F.lit(400000) * (d + n - s)
+        + F.lit(2000) * F.least(n, F.lit(100).cast("long")) * n
+    )
+    # (num - num%n) is divisible by n, so the double division is
+    # exact (quotient < 2^53) — equivalent to integer div, works
+    # on Column operands without an F.expr round-trip
+    return ((num - num % n) / n).cast("long")
+
+def quality_micro_sql(tok_sql: str, sw_sql: str) -> str:
+    """DuckDB twin of :func:`quality_micro`."""
+    n = f"greatest(len({tok_sql}), 1)"
+    d = f"len(list_distinct({tok_sql}))"
+    s = f"len(list_filter({tok_sql}, t -> t IN {sw_sql}))"
+    return (
+        f"((400000 * ({d} + {n} - {s})"
+        f" + 2000 * least({n}, 100) * {n}) // {n})"
+    )
 
 
 def sorted_token_fingerprint(text: Column) -> Column:

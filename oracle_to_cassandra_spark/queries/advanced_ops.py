@@ -85,8 +85,8 @@ def range_join_shipments_after_order(spark, sf_dir):
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            count(DISTINCT date_trunc('hour', ts))::BIGINT AS n_active_hours,
            count(*)::BIGINT     AS n_events,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 2) AS total_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS total_value_c
     FROM events GROUP BY 1
     """,
 )
@@ -110,13 +110,15 @@ def rollup_cascade_hourly_daily(spark, sf_dir):
     ).agg(
         F.count("*").alias("n_active_hours"),
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("sv_u") / 1000000.0, 2).alias("total_value"),
+        # integer cents via one int64 div — a final float round here
+        # ties at half-cents and the engines round ties differently
+        F.expr("sum(sv_u) div 10000").alias("total_value_c"),
     )
     return daily.select(
         F.date_format("day", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "n_active_hours",
         "n_events",
-        "total_value",
+        "total_value_c",
     )
 
 
@@ -176,10 +178,10 @@ def embedding_int8_quantization(spark, sf_dir):
     oracle="""
     SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
            count(*)::BIGINT AS n_events,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 0) AS total_value,
-           round((sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                  / 1000000.0) / count(*), 2) AS avg_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 1000000)
+             AS total_value_whole,
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // count(*))
+             AS avg_value_micro
     FROM events GROUP BY 1
     """,
 )
@@ -227,8 +229,8 @@ def incremental_rollup_merge(spark, sf_dir):
     return merged.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n_events",
-        F.round(F.col("sv_u") / 1000000.0, 0).alias("total_value"),
-        F.round(
-            (F.col("sv_u") / 1000000.0) / F.col("n_events"), 2
-        ).alias("avg_value"),
+        # integer units only: whole-value floor and exact micro mean
+        # (int64 div both engines) — final float rounds tie-flip
+        F.expr("sv_u div 1000000").alias("total_value_whole"),
+        F.expr("sv_u div n_events").alias("avg_value_micro"),
     )

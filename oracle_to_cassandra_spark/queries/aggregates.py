@@ -25,9 +25,9 @@ from oracle_to_cassandra_spark.sources import load_table
            {X.exact_sum_sql("l_extendedprice")}                             AS sum_base_price,
            {X.exact_sum_sql("l_extendedprice * (1 - l_discount)")}          AS sum_disc_price,
            {X.exact_sum_sql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
-           {X.exact_avg_sql("l_quantity")}                                  AS avg_qty,
-           {X.exact_avg_sql("l_extendedprice")}                             AS avg_price,
-           {X.exact_avg_sql("l_discount")}                                  AS avg_disc,
+           {X.exact_avg_units_sql("l_quantity")}                            AS avg_qty_e2,
+           {X.exact_avg_units_sql("l_extendedprice")}                       AS avg_price_e2,
+           {X.exact_avg_units_sql("l_discount")}                            AS avg_disc_e2,
            count(*)::BIGINT                                                 AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -51,9 +51,9 @@ def tpch_q1_pricing_summary(spark, sf_dir):
             X.exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
             X.exact_sum(disc_price).alias("sum_disc_price"),
             X.exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            X.exact_avg(F.col("l_quantity")).alias("avg_qty"),
-            X.exact_avg(F.col("l_extendedprice")).alias("avg_price"),
-            X.exact_avg(F.col("l_discount")).alias("avg_disc"),
+            X.exact_avg_units("l_quantity").alias("avg_qty_e2"),
+            X.exact_avg_units("l_extendedprice").alias("avg_price_e2"),
+            X.exact_avg_units("l_discount").alias("avg_disc_e2"),
             F.count("*").alias("count_order"),
         ],
     )
@@ -64,8 +64,8 @@ def tpch_q1_pricing_summary(spark, sf_dir):
     oracle="""
     SELECT c_mktsegment,
            count(*)::BIGINT            AS n_customers,
-           round((sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
-                  / 100.0) / count(c_acctbal), 6) AS avg_bal,
+           (sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+            // count(c_acctbal)) AS avg_bal_c,
            round(min(c_acctbal), 2)    AS min_bal,
            round(max(c_acctbal), 2)    AS max_bal,
            round(sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
@@ -80,7 +80,7 @@ def group_customer_stats(spark, sf_dir):
         ["c_mktsegment"],
         [
             F.count("*").alias("n_customers"),
-            X.exact_avg(F.col("c_acctbal")).alias("avg_bal"),
+            X.exact_avg_units("c_acctbal").alias("avg_bal_c"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
             X.exact_sum(F.col("c_acctbal")).alias("sum_bal"),
@@ -219,10 +219,10 @@ def pivot_user_event_counts(spark, sf_dir):
     "stats_dispersion_per_segment",
     oracle="""
     SELECT c_mktsegment,
-           round(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
-                 / 100.0, 4) AS sd_bal,
-           round(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0)
-                 / 10000.0, 2) AS var_bal,
+           CAST(floor(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
+                      / 100.0 * 10000 + 0.5) AS BIGINT) AS sd_bal_e4,
+           CAST(floor(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0)
+                      / 100.0 + 0.5) AS BIGINT) AS var_bal_e2,
            round(med, 6) AS median_bal
     FROM (
       SELECT c_mktsegment, count(*)::BIGINT AS n,
@@ -269,8 +269,13 @@ def stats_dispersion_per_segment(spark, sf_dir):
     )
     return sums.select(
         "c_mktsegment",
-        F.round(F.sqrt(var_cents) / 100.0, 4).alias("sd_bal"),
-        F.round(var_cents / 10000.0, 2).alias("var_bal"),
+        # deterministic fixed-point emission: floor(x*10^nd + 0.5) on
+        # the IDENTICAL double is the same in both engines (floor has
+        # no repr-vs-binary tie ambiguity; round does)
+        F.floor(F.sqrt(var_cents) / 100.0 * 10000 + 0.5)
+        .cast("long")
+        .alias("sd_bal_e4"),
+        F.floor(var_cents / 100.0 + 0.5).cast("long").alias("var_bal_e2"),
         F.round(F.col("med"), 6).alias("median_bal"),
     )
 
@@ -349,9 +354,9 @@ def conditional_aggregation(spark, sf_dir):
     "revenue_per_nation",
     oracle="""
     SELECT n.n_name AS n_name, r.r_name AS r_name,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT))::BIGINT / 10000.0, 2)
-             AS revenue
+           (sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000) AS BIGINT))::BIGINT // 100)
+             AS revenue_c
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -382,15 +387,13 @@ def revenue_per_nation(spark, sf_dir):
         ],
     )
     return joined.groupBy("n_name", "r_name").agg(
-        F.round(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                ).cast("long")
-            )
-            / 10000.0,
-            2,
-        ).alias("revenue")
+        # integer CENTS via int64 div of the exact 1e-4-unit sum — a
+        # final round(sum/1e4, 2) ties at half-cents, where Spark
+        # (shortest-repr HALF_UP) and DuckDB (binary) disagree
+        F.expr(
+            """sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) div 100"""
+        ).alias("revenue_c")
     )
 
 
@@ -412,7 +415,8 @@ def revenue_per_nation(spark, sf_dir):
     )
     SELECT count(*)::BIGINT AS n_customers_for_80pct,
            any_value(n_cust)::BIGINT AS n_customers_total,
-           round(count(*) * 1.0 / any_value(n_cust), 4) AS share_of_customers,
+           (count(*) * 10000 // any_value(n_cust))::BIGINT
+             AS share_of_customers_e4,
            round(any_value(tot_c) / 100.0, 2) AS total_revenue
     FROM ranked WHERE (cum_c - rev_c) * 10 < 8 * tot_c
     """,
@@ -452,8 +456,8 @@ def pareto_revenue_concentration(spark, sf_dir):
     return hit.agg(
         F.count("*").alias("n_customers_for_80pct"),
         F.any_value("n_cust").cast("long").alias("n_customers_total"),
-        F.round(F.count("*") / F.any_value("n_cust"), 4).alias(
-            "share_of_customers"
+        F.expr("count(*) * 10000 div any_value(n_cust)").alias(
+            "share_of_customers_e4"
         ),
         F.round(F.any_value("tot_c") / 100.0, 2).alias("total_revenue"),
     )
@@ -480,8 +484,8 @@ def pareto_revenue_concentration(spark, sf_dir):
                 WHEN hhi_pico >= 150000000000 THEN 'moderate'
                 ELSE 'competitive' END AS concentration_band,
            count(*)::BIGINT AS n_parts,
-           round(min(hhi_pico) / 1000000000000.0, 6) AS min_hhi,
-           round(max(hhi_pico) / 1000000000000.0, 6) AS max_hhi
+           min(hhi_pico)::BIGINT AS min_hhi_pico,
+           max(hhi_pico)::BIGINT AS max_hhi_pico
     FROM hhi GROUP BY 1
     """,
 )
@@ -523,8 +527,9 @@ def supplier_concentration_hhi(spark, sf_dir):
     )
     return hhi.groupBy(band.alias("concentration_band")).agg(
         F.count("*").alias("n_parts"),
-        F.round(F.min("hhi_pico") / 1000000000000.0, 6).alias("min_hhi"),
-        F.round(F.max("hhi_pico") / 1000000000000.0, 6).alias("max_hhi"),
+        # raw pico-units: exact int64, no display division to tie
+        F.min("hhi_pico").alias("min_hhi_pico"),
+        F.max("hhi_pico").alias("max_hhi_pico"),
     )
 
 

@@ -203,7 +203,8 @@ _APPLY_SQL = (
            count(*)::BIGINT AS n_words,
            sum(len(f.w))::BIGINT AS n_chars_tokenized,
            sum(f.n_subwords)::BIGINT AS n_subwords,
-           round(sum(len(f.w)) * 1.0 / sum(f.n_subwords), 6) AS compression
+           (sum(len(f.w)) * 1000000 // sum(f.n_subwords))::BIGINT
+             AS compression_ppm
     FROM per_doc p JOIN final f ON p.w = f.w
     GROUP BY p.doc_id
     """
@@ -275,9 +276,11 @@ def bpe_apply_tokenize(spark, sf_dir):
             F.count("*").alias("n_words"),
             F.sum(F.length("w")).cast("long").alias("n_chars_tokenized"),
             F.sum("n_subwords").cast("long").alias("n_subwords"),
-            F.round(
-                F.sum(F.length("w")) / F.sum("n_subwords"), 6
-            ).alias("compression"),
+            # exact integer ppm — a float round over the int/int ratio
+            # ties at the half-micro across engines
+            F.expr(
+                "sum(length(w)) * 1000000 div sum(n_subwords)"
+            ).alias("compression_ppm"),
         )
     )
 

@@ -82,8 +82,8 @@ def cohort_weekly_retention(spark, sf_dir):
       GROUP BY prev_type, next_type
     )
     SELECT prev_type, next_type, n,
-           round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6)
-             AS transition_prob
+           (n * 1000000 // sum(n) OVER (PARTITION BY prev_type))::BIGINT
+             AS transition_ppm
     FROM trans
     """,
 )
@@ -112,13 +112,16 @@ def event_transition_matrix(spark, sf_dir):
         F.count("*").alias("n")
     )
     w_norm = Window.partitionBy("prev_type")
-    return trans.select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias(
-            "transition_prob"
-        ),
+    return (
+        trans.withColumn("tot", F.sum("n").over(w_norm))
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            # exact integer ppm (int64 div) — a float round over the
+            # ratio ties at the half-micro across engines
+            F.expr("n * 1000000 div tot").alias("transition_ppm"),
+        )
     )
 
 
@@ -135,9 +138,10 @@ def event_transition_matrix(spark, sf_dir):
     ),
     tot AS (SELECT sum(n_users) AS n FROM counts)
     SELECT c.arm, c.n_users,
-           round(c.n_users * 1.0 / t.n, 6) AS share,
-           round((c.n_users - t.n / 2.0) * (c.n_users - t.n / 2.0)
-                 / (t.n / 2.0), 6) AS chi2_term
+           (c.n_users * 1000000 // t.n)::BIGINT AS share_ppm,
+           CAST(floor((c.n_users - t.n / 2.0) * (c.n_users - t.n / 2.0)
+                      / (t.n / 2.0) * 1000000 + 0.5) AS BIGINT)
+             AS chi2_term_e6
     FROM counts c, tot t
     """,
 )
@@ -173,13 +177,20 @@ def ab_assignment_srm_check(spark, sf_dir):
     return counts.crossJoin(F.broadcast(tot)).select(
         "arm",
         "n_users",
-        F.round(F.col("n_users") / F.col("n"), 6).alias("share"),
-        F.round(
+        F.expr("n_users * 1000000 div n").alias("share_ppm"),
+        # fixed-point via floor(x*1e6 + 0.5): floor on the IDENTICAL
+        # double is deterministic in both engines, unlike round's
+        # repr-vs-binary tie handling (chi2's int-derived rationals
+        # make such ties reachable)
+        F.floor(
             (F.col("n_users") - F.col("n") / 2.0)
             * (F.col("n_users") - F.col("n") / 2.0)
-            / (F.col("n") / 2.0),
-            6,
-        ).alias("chi2_term"),
+            / (F.col("n") / 2.0)
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("chi2_term_e6"),
     )
 
 
@@ -210,13 +221,13 @@ def ab_assignment_srm_check(spark, sf_dir):
     ),
     per_user AS (
       SELECT user_id, count(*)::BIGINT AS n_transitions,
-             round((sum(CAST(round(surprise * 1000000) AS BIGINT))::DOUBLE
-                    / 1000000.0) / count(*), 6) AS mean_surprise
+             (sum(CAST(round(surprise * 1000000) AS BIGINT))::BIGINT
+              // count(*)) AS mean_surprise_micro
       FROM scored GROUP BY user_id
     )
-    SELECT user_id, n_transitions, mean_surprise,
-           row_number() OVER (ORDER BY mean_surprise DESC, user_id)::BIGINT
-             AS rnk
+    SELECT user_id, n_transitions, mean_surprise_micro,
+           row_number() OVER (ORDER BY mean_surprise_micro DESC, user_id)
+             ::BIGINT AS rnk
     FROM per_user ORDER BY rnk LIMIT 10
     """,
 )
@@ -259,23 +270,18 @@ def markov_surprise_anomaly_users(spark, sf_dir):
     ).select("user_id", (-F.log("p")).alias("surprise"))
     per_user = scored.groupBy("user_id").agg(
         F.count("*").alias("n_transitions"),
-        F.round(
-            (
-                F.sum(F.round(F.col("surprise") * 1000000).cast("long")).cast(
-                    "double"
-                )
-                / 1000000.0
-            )
-            / F.count("*"),
-            6,
-        ).alias("mean_surprise"),
+        # exact integer micro-mean — also the RANK key, so ordering
+        # is int64-stable across engines and partition orders
+        F.expr(
+            "sum(CAST(round(surprise * 1000000) AS BIGINT)) div count(*)"
+        ).alias("mean_surprise_micro"),
     )
-    top = per_user.orderBy(F.desc("mean_surprise"), "user_id").limit(10)
-    wk = Window.orderBy(F.desc("mean_surprise"), "user_id")
+    top = per_user.orderBy(F.desc("mean_surprise_micro"), "user_id").limit(10)
+    wk = Window.orderBy(F.desc("mean_surprise_micro"), "user_id")
     return top.select(
         "user_id",
         "n_transitions",
-        "mean_surprise",
+        "mean_surprise_micro",
         F.row_number().over(wk).cast("long").alias("rnk"),
     ).orderBy("rnk")
 
@@ -427,16 +433,19 @@ def event_path_trigrams(spark, sf_dir):
     ),
     per_user AS (
       SELECT user_id, n_gaps,
-             round(s1 / n_gaps, 2) AS mean_gap_s,
-             round(sqrt(greatest(s2 / n_gaps
-                                 - (s1 / n_gaps) * (s1 / n_gaps), 0)), 2)
-               AS sd_gap_s
+             (s1 * 100 // n_gaps) AS mean_gap_cs,
+             CAST(floor(sqrt(greatest(s2 / n_gaps
+                                      - (s1 / n_gaps) * (s1 / n_gaps), 0))
+                        * 100 + 0.5) AS BIGINT) AS sd_gap_cs,
+             sqrt(greatest(s2 / n_gaps
+                           - (s1 / n_gaps) * (s1 / n_gaps), 0))
+               / nullif(s1 / n_gaps, 0) AS cv_raw
       FROM sums
     )
-    SELECT user_id, n_gaps, mean_gap_s,
-           round(sd_gap_s / nullif(mean_gap_s, 0), 4) AS gap_cv,
+    SELECT user_id, n_gaps, mean_gap_cs, sd_gap_cs,
+           CAST(floor(cv_raw * 10000 + 0.5) AS BIGINT) AS gap_cv_e4,
            CASE WHEN n_gaps < 3 THEN 'insufficient'
-                WHEN sd_gap_s / nullif(mean_gap_s, 0) < 0.8 THEN 'regular'
+                WHEN cv_raw < 0.8 THEN 'regular'
                 ELSE 'erratic' END AS regularity_band
     FROM per_user
     """,
@@ -481,27 +490,19 @@ def purchase_regularity_churn_signal(spark, sf_dir):
         F.sum(F.col("gap_s") * F.col("gap_s")).alias("s2"),
     )
     mean = F.col("s1") / F.col("n_gaps")
-    per_user = sums.select(
+    sd = F.sqrt(
+        F.greatest(F.col("s2") / F.col("n_gaps") - mean * mean, F.lit(0.0))
+    )
+    # CV on the RAW doubles (identical chains both engines); emitted
+    # columns are integer fixed-point — mean via int64 div, sd/cv via
+    # floor(x*scale + 0.5), which has no repr-vs-binary round ties
+    cv = sd / F.when(mean != 0, mean)
+    return sums.select(
         "user_id",
         "n_gaps",
-        F.round(mean, 2).alias("mean_gap_s"),
-        F.round(
-            F.sqrt(
-                F.greatest(
-                    F.col("s2") / F.col("n_gaps") - mean * mean, F.lit(0.0)
-                )
-            ),
-            2,
-        ).alias("sd_gap_s"),
-    )
-    cv = F.col("sd_gap_s") / F.when(
-        F.col("mean_gap_s") != 0, F.col("mean_gap_s")
-    )
-    return per_user.select(
-        "user_id",
-        "n_gaps",
-        "mean_gap_s",
-        F.round(cv, 4).alias("gap_cv"),
+        F.expr("s1 * 100 div n_gaps").alias("mean_gap_cs"),
+        F.floor(sd * 100 + 0.5).cast("long").alias("sd_gap_cs"),
+        F.floor(cv * 10000 + 0.5).cast("long").alias("gap_cv_e4"),
         F.when(F.col("n_gaps") < 3, "insufficient")
         .when(cv < 0.8, "regular")
         .otherwise("erratic")
@@ -520,14 +521,14 @@ def purchase_regularity_churn_signal(spark, sf_dir):
     ent AS (
       SELECT user_id,
              count(*)::BIGINT AS n_types,
-             round(-(sum(CAST(round((c * 1.0 / tot) * ln(c * 1.0 / tot)
-                                     * 1000000000) AS BIGINT))::BIGINT
-                     / 1000000000.0), 4) AS entropy
+             ((-sum(CAST(round((c * 1.0 / tot) * ln(c * 1.0 / tot)
+                               * 1000000000) AS BIGINT))::BIGINT)
+              // 100000) AS entropy_e4
       FROM per GROUP BY user_id
     )
-    SELECT user_id, n_types, entropy,
-           CASE WHEN entropy >= 1.5 THEN 'diverse'
-                WHEN entropy >= 0.8 THEN 'mixed'
+    SELECT user_id, n_types, entropy_e4,
+           CASE WHEN entropy_e4 >= 15000 THEN 'diverse'
+                WHEN entropy_e4 >= 8000 THEN 'mixed'
                 ELSE 'narrow' END AS engagement_band
     FROM ent
     """,
@@ -559,15 +560,18 @@ def user_behavior_entropy(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_types"),
-            F.round(-(F.sum("term_n") / 1000000000.0), 4).alias("entropy"),
+            # exact 1e-4-unit entropy: negate the (negative) nano sum
+            # BEFORE the div so both engines floor the same positive
+            # int64; bands compare integer thresholds
+            F.expr("(-sum(term_n)) div 100000").alias("entropy_e4"),
         )
     )
     return ent.select(
         "user_id",
         "n_types",
-        "entropy",
-        F.when(F.col("entropy") >= 1.5, "diverse")
-        .when(F.col("entropy") >= 0.8, "mixed")
+        "entropy_e4",
+        F.when(F.col("entropy_e4") >= 15000, "diverse")
+        .when(F.col("entropy_e4") >= 8000, "mixed")
         .otherwise("narrow")
         .alias("engagement_band"),
     )
@@ -593,10 +597,11 @@ def user_behavior_entropy(spark, sf_dir):
       GROUP BY 1, 2
     )
     SELECT p.antecedent, p.consequent,
-           round(p.c_both * 1.0 / n.n, 4) AS support,
-           round(p.c_both * 1.0 / sa.c, 4) AS confidence,
-           round((p.c_both * 1.0 / n.n)
-                 / ((sa.c * 1.0 / n.n) * (sc.c * 1.0 / n.n)), 4) AS lift
+           (p.c_both * 10000 // n.n)::BIGINT AS support_e4,
+           (p.c_both * 10000 // sa.c)::BIGINT AS confidence_e4,
+           CAST(floor((p.c_both * 1.0 / n.n)
+                      / ((sa.c * 1.0 / n.n) * (sc.c * 1.0 / n.n))
+                      * 10000 + 0.5) AS BIGINT) AS lift_e4
     FROM pairs p
     JOIN singles sa ON sa.event_type = p.antecedent
     JOIN singles sc ON sc.event_type = p.consequent
@@ -646,13 +651,20 @@ def event_type_association_rules(spark, sf_dir):
         .select(
             "antecedent",
             "consequent",
-            F.round(F.col("c_both") / F.col("n"), 4).alias("support"),
-            F.round(F.col("c_both") / F.col("ca"), 4).alias("confidence"),
-            F.round(
+            # support/confidence: exact integer e4 (int64 div); lift:
+            # the products overflow int64 at corpus scale, so keep the
+            # identical double chain and emit floor(x*1e4+0.5) — floor
+            # on the same double has no repr-vs-binary round ties
+            F.expr("c_both * 10000 div n").alias("support_e4"),
+            F.expr("c_both * 10000 div ca").alias("confidence_e4"),
+            F.floor(
                 (F.col("c_both") / F.col("n"))
-                / ((F.col("ca") / F.col("n")) * (F.col("cc") / F.col("n"))),
-                4,
-            ).alias("lift"),
+                / ((F.col("ca") / F.col("n")) * (F.col("cc") / F.col("n")))
+                * 10000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lift_e4"),
         )
     )
 

@@ -58,8 +58,9 @@ DECON_K = 4
       FROM bg_counts GROUP BY doc_id
     )
     SELECT t.doc_id,
-           round(1.0 - t.n_distinct / t.n_tokens, 6) AS dup_word_frac,
-           round(b.top_c / b.total_c, 6) AS top_bigram_frac
+           ((t.n_tokens - t.n_distinct) * 1000000 // t.n_tokens)::BIGINT
+             AS dup_word_ppm,
+           (b.top_c * 1000000 // b.total_c)::BIGINT AS top_bigram_ppm
     FROM tok t JOIN bg_stats b ON t.doc_id = b.doc_id
     """,
 )
@@ -94,10 +95,12 @@ def doc_repetition_stats(spark, sf_dir):
     )
     return word_stats.join(bg_stats, "doc_id").select(
         "doc_id",
-        F.round(1.0 - F.col("n_distinct") / F.col("n_tokens"), 6).alias(
-            "dup_word_frac"
+        # exact integer ppm (int64 div): float rounds over int/int
+        # ratios tie at the half-micro across engines
+        F.expr("(n_tokens - n_distinct) * 1000000 div n_tokens").alias(
+            "dup_word_ppm"
         ),
-        F.round(F.col("top_c") / F.col("total_c"), 6).alias("top_bigram_frac"),
+        F.expr("top_c * 1000000 div total_c").alias("top_bigram_ppm"),
     )
 
 
@@ -257,9 +260,11 @@ def quota_cap_per_source(spark, sf_dir):
     tot AS (SELECT sum(n_tokens) AS all_tokens, count(*) AS n_sources
             FROM per_source)
     SELECT p.source, p.n_docs, p.n_tokens,
-           round(p.n_tokens / t.all_tokens, 6) AS actual_frac,
-           round((1.0 / t.n_sources)
-                 / (p.n_tokens / t.all_tokens), 6) AS sample_weight
+           CAST(floor(p.n_tokens * 1.0 / t.all_tokens * 1000000 + 0.5)
+                AS BIGINT) AS actual_frac_ppm,
+           CAST(floor((1.0 / t.n_sources)
+                      / (p.n_tokens * 1.0 / t.all_tokens) * 1000000 + 0.5)
+                AS BIGINT) AS sample_weight_e6
     FROM per_source p CROSS JOIN tot t
     ORDER BY p.source
     """,
@@ -288,12 +293,22 @@ def corpus_mixture_weights(spark, sf_dir):
             "source",
             "n_docs",
             "n_tokens",
-            F.round(F.col("n_tokens") / F.col("all_tokens"), 6).alias("actual_frac"),
-            F.round(
+            # floor(x*1e6+0.5) fixed-point: corpus token counts push
+            # n_tokens*1e6 past int64 at 100 TB, so keep the identical
+            # double ratio and floor it (deterministic, no round ties)
+            F.floor(
+                F.col("n_tokens") * 1.0 / F.col("all_tokens") * 1000000 + 0.5
+            )
+            .cast("long")
+            .alias("actual_frac_ppm"),
+            F.floor(
                 (1.0 / F.col("n_sources"))
-                / (F.col("n_tokens") / F.col("all_tokens")),
-                6,
-            ).alias("sample_weight"),
+                / (F.col("n_tokens") * 1.0 / F.col("all_tokens"))
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("sample_weight_e6"),
         )
         .orderBy("source")
     )

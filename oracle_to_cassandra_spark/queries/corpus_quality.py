@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, quality_score, tokens
+from oracle_to_cassandra_spark.operators.text import (
+    EN_STOPWORDS,
+    quality_micro,
+    quality_micro_sql,
+    quality_score,
+    tokens,
+)
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
@@ -129,7 +135,7 @@ def pii_redaction_stats(spark, sf_dir):
     SELECT doc_id,
            n_segments::BIGINT AS n_segments,
            n_dup::BIGINT AS n_dup_segments,
-           round(n_dup / n_segments, 6) AS dup_ratio
+           (n_dup * 1000000 // n_segments)::BIGINT AS dup_ratio_ppm
     FROM per
     """,
 )
@@ -172,7 +178,7 @@ def duplicate_span_stats(spark, sf_dir):
         "doc_id",
         F.col("n_segments").cast("long").alias("n_segments"),
         F.col("n_dup").cast("long").alias("n_dup_segments"),
-        F.round(F.col("n_dup") / F.col("n_segments"), 6).alias("dup_ratio"),
+        F.expr("n_dup * 1000000 div n_segments").alias("dup_ratio_ppm"),
     )
 
 
@@ -197,7 +203,7 @@ def duplicate_span_stats(spark, sf_dir):
     SELECT doc_id,
            n_tokens::BIGINT AS n_tokens,
            n_oov::BIGINT AS n_oov,
-           round(n_oov / n_tokens, 6) AS oov_ratio
+           (n_oov * 1000000 // n_tokens)::BIGINT AS oov_ratio_ppm
     FROM per
     """,
 )
@@ -235,7 +241,7 @@ def oov_rate_top_vocab(spark, sf_dir):
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.col("n_oov").cast("long").alias("n_oov"),
-        F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_ratio"),
+        F.expr("n_oov * 1000000 div n_tokens").alias("oov_ratio_ppm"),
     )
 
 
@@ -272,8 +278,8 @@ MIN_STOPWORDS = 2
            sum((NOT r_div)::INT)::BIGINT AS fail_diversity,
            sum((NOT r_stop)::INT)::BIGINT AS fail_stopwords,
            sum((r_len AND r_mwl AND r_div AND r_stop)::INT)::BIGINT AS n_pass_all,
-           round(sum((r_len AND r_mwl AND r_div AND r_stop)::INT)
-                 * 1.0 / count(*), 6) AS retention
+           (sum((r_len AND r_mwl AND r_div AND r_stop)::INT)
+            * 1000000 // count(*))::BIGINT AS retention_ppm
     FROM rules GROUP BY source
     """,
 )
@@ -322,9 +328,10 @@ def gopher_quality_rules(spark, sf_dir):
         F.sum((~F.col("r_div")).cast("int")).cast("long").alias("fail_diversity"),
         F.sum((~F.col("r_stop")).cast("int")).cast("long").alias("fail_stopwords"),
         F.sum(pass_all.cast("int")).cast("long").alias("n_pass_all"),
-        F.round(
-            F.sum(pass_all.cast("int")) / F.count("*"), 6
-        ).alias("retention"),
+        F.expr(
+            "sum(CAST((r_len AND r_mwl AND r_div AND r_stop) AS INT))"
+            " * 1000000 div count(*)"
+        ).alias("retention_ppm"),
     )
 
 
@@ -333,43 +340,43 @@ def gopher_quality_rules(spark, sf_dir):
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
-             round({{q}}, 6) AS quality
+             {{qm}} AS q_micro
       FROM documents
     ),
     ranked AS (
-      SELECT doc_id, source, quality,
+      SELECT doc_id, source, q_micro,
              percent_rank() OVER (PARTITION BY source
-                                  ORDER BY quality, doc_id) AS pr
+                                  ORDER BY q_micro, doc_id) AS pr
       FROM scored
     ),
     gq AS (
-      SELECT list_sort(list(quality)) AS gs FROM scored
+      SELECT list_sort(list(q_micro)) AS gs FROM scored
     ),
     norm AS (
+      -- interpolation between INTEGER micro scores, emitted as the
+      -- nearest integer via floor(v+0.5) on the identical double
       SELECT r.source,
-             round(gs[CAST(floor(r.pr * (len(gs) - 1)) AS INT) + 1]
-                     * (1.0 - (r.pr * (len(gs) - 1)
-                               - floor(r.pr * (len(gs) - 1))))
-                 + gs[CAST(ceil(r.pr * (len(gs) - 1)) AS INT) + 1]
-                     * (r.pr * (len(gs) - 1)
-                        - floor(r.pr * (len(gs) - 1))), 6) AS norm_quality
+             CAST(floor(gs[CAST(floor(r.pr * (len(gs) - 1)) AS INT) + 1]
+                          * (1.0 - (r.pr * (len(gs) - 1)
+                                    - floor(r.pr * (len(gs) - 1))))
+                      + gs[CAST(ceil(r.pr * (len(gs) - 1)) AS INT) + 1]
+                          * (r.pr * (len(gs) - 1)
+                             - floor(r.pr * (len(gs) - 1)))
+                      + 0.5) AS BIGINT) AS norm_q_micro
       FROM ranked r, gq
     )
     SELECT source,
            count(*)::BIGINT AS n_docs,
-           round(min(norm_quality), 6) AS min_norm,
-           round(max(norm_quality), 6) AS max_norm,
-           round((sum(CAST(round(norm_quality * 1000000) AS BIGINT))::DOUBLE
-                  / 1000000.0) / count(*), 6) AS mean_norm
+           min(norm_q_micro)::BIGINT AS min_norm_micro,
+           max(norm_q_micro)::BIGINT AS max_norm_micro,
+           (sum(norm_q_micro)::BIGINT // count(*)) AS mean_norm_micro
     FROM norm GROUP BY source
     """.replace(
-        "{q}",
-        "(0.4 * (len(list_distinct(string_split(lower(text), ' '))) * 1.0"
-        " / greatest(len(string_split(lower(text), ' ')), 1))"
-        " + 0.4 * (1 - len(list_filter(string_split(lower(text), ' '),"
-        " t -> t IN ('the', 'a', 'of', 'and', 'to'))) * 1.0"
-        " / greatest(len(string_split(lower(text), ' ')), 1))"
-        " + 0.2 * least(len(string_split(lower(text), ' ')) / 100.0, 1.0))",
+        "{qm}",
+        quality_micro_sql(
+            "string_split(lower(text), ' ')",
+            "('the', 'a', 'of', 'and', 'to')",
+        ),
     ),
 )
 def quality_quantile_normalization(spark, sf_dir):
@@ -390,9 +397,9 @@ def quality_quantile_normalization(spark, sf_dir):
     scored = d.select(
         "doc_id",
         "source",
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        quality_micro(F.col("text")).alias("q_micro"),
     )
-    w_src = Window.partitionBy("source").orderBy("quality", "doc_id")
+    w_src = Window.partitionBy("source").orderBy("q_micro", "doc_id")
     ranked = scored.withColumn("pr", F.percent_rank().over(w_src))
     # global quantile lookup: exact percentile of the corpus quality
     # distribution at each doc's percent-rank. percentile() needs a
@@ -400,7 +407,7 @@ def quality_quantile_normalization(spark, sf_dir):
     # global scores: rank r in [0, n-1] → position pr*(n-1), linear
     # between floor and ceil neighbors — the textbook quantile_cont.
     glob = scored.select(
-        F.sort_array(F.collect_list("quality")).alias("gs")
+        F.sort_array(F.collect_list("q_micro")).alias("gs")
     )
     joined = ranked.crossJoin(F.broadcast(glob))
     pos = F.col("pr") * (F.size("gs") - 1)
@@ -411,23 +418,16 @@ def quality_quantile_normalization(spark, sf_dir):
         F.element_at("gs", lo + 1) * (1.0 - frac)
         + F.element_at("gs", hi + 1) * frac
     )
+    # nearest-integer emission via floor(v+0.5) on the identical
+    # double — no repr-vs-binary round ties
     out = joined.select(
-        "source", F.round(norm, 6).alias("norm_quality")
+        "source", F.floor(norm + 0.5).cast("long").alias("norm_q_micro")
     )
     return out.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.min("norm_quality"), 6).alias("min_norm"),
-        F.round(F.max("norm_quality"), 6).alias("max_norm"),
-        F.round(
-            (
-                F.sum(F.round(F.col("norm_quality") * 1000000).cast("long")).cast(
-                    "double"
-                )
-                / 1000000.0
-            )
-            / F.count("*"),
-            6,
-        ).alias("mean_norm"),
+        F.min("norm_q_micro").alias("min_norm_micro"),
+        F.max("norm_q_micro").alias("max_norm_micro"),
+        F.expr("sum(norm_q_micro) div count(*)").alias("mean_norm_micro"),
     )
 
 
@@ -445,31 +445,40 @@ _QUALITY_SQL_LOCAL = (
     "robust_quality_outliers",
     oracle=f"""
     WITH scored AS (
-      SELECT doc_id, source, round({{q}}, 6) AS quality FROM documents
+      SELECT doc_id, source, {{qm}} AS q_micro FROM documents
     ),
     med AS (
-      SELECT source, round(quantile_cont(quality, 0.5), 6) AS med
+      -- median of INTEGER micro scores: x.0 or x.5 exactly (doubles
+      -- representable), deterministic in both engines with no rounds
+      SELECT source, quantile_cont(q_micro, 0.5) AS med
       FROM scored GROUP BY source
     ),
     dev AS (
-      SELECT s.source, s.quality, m.med,
-             round(abs(s.quality - m.med), 6) AS adev
+      SELECT s.source, s.q_micro, m.med,
+             abs(s.q_micro - m.med) AS adev
       FROM scored s JOIN med m USING (source)
     ),
     mad AS (
-      SELECT source, round(quantile_cont(adev, 0.5), 6) AS mad
+      -- median of half-grid deviations: exact multiples of 0.25
+      SELECT source, quantile_cont(adev, 0.5) AS mad
       FROM dev GROUP BY source
     )
     SELECT d.source,
            count(*)::BIGINT AS n_docs,
-           any_value(d.med) AS median_quality,
-           any_value(m.mad) AS mad,
+           CAST(any_value(d.med) * 2 AS BIGINT) AS median_micro_x2,
+           CAST(any_value(m.mad) * 4 AS BIGINT) AS mad_micro_x4,
            sum(CASE WHEN m.mad > 0
-                         AND abs(d.quality - d.med) > 3 * 1.4826 * m.mad
+                         AND abs(d.q_micro - d.med) > 3 * 1.4826 * m.mad
                     THEN 1 ELSE 0 END)::BIGINT AS n_outliers
     FROM dev d JOIN mad m USING (source)
     GROUP BY d.source
-    """.replace("{q}", _QUALITY_SQL_LOCAL),
+    """.replace(
+        "{qm}",
+        quality_micro_sql(
+            "string_split(lower(text), ' ')",
+            "('the', 'a', 'of', 'and', 'to')",
+        ),
+    ),
 )
 def robust_quality_outliers(spark, sf_dir):
     """Robust per-source outlier detection on the quality score:
@@ -486,30 +495,34 @@ def robust_quality_outliers(spark, sf_dir):
     boundary cannot flip cross-engine."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
-        "source", F.round(quality_score(F.col("text")), 6).alias("quality")
+        "source", quality_micro(F.col("text")).alias("q_micro")
     )
+    # median of INTEGER micro scores is x.0/x.5 exactly; deviations
+    # sit on the half grid and their median on the quarter grid — all
+    # exactly representable, so every compare and the ·2/·4 integer
+    # emissions are deterministic with zero rounds anywhere
     med = scored.groupBy("source").agg(
-        F.round(F.percentile("quality", 0.5), 6).alias("med")
+        F.percentile("q_micro", F.lit(0.5)).alias("med")
     )
     dev = scored.join(F.broadcast(med), "source").select(
         "source",
-        "quality",
+        "q_micro",
         "med",
-        F.round(F.abs(F.col("quality") - F.col("med")), 6).alias("adev"),
+        F.abs(F.col("q_micro") - F.col("med")).alias("adev"),
     )
     mad = dev.groupBy("source").agg(
-        F.round(F.percentile("adev", 0.5), 6).alias("mad")
+        F.percentile("adev", F.lit(0.5)).alias("mad")
     )
     fenced = dev.join(F.broadcast(mad), "source")
     return fenced.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.any_value("med").alias("median_quality"),
-        F.any_value("mad").alias("mad"),
+        (F.any_value("med") * 2).cast("long").alias("median_micro_x2"),
+        (F.any_value("mad") * 4).cast("long").alias("mad_micro_x4"),
         F.sum(
             F.when(
                 (F.col("mad") > 0)
                 & (
-                    F.abs(F.col("quality") - F.col("med"))
+                    F.abs(F.col("q_micro") - F.col("med"))
                     > 3 * 1.4826 * F.col("mad")
                 ),
                 1,

@@ -203,22 +203,27 @@ def funnel_signup_to_purchase(spark, sf_dir):
 
 
 def _curation_pipeline_sql() -> str:
+    from oracle_to_cassandra_spark.operators.text import quality_micro_sql
     from oracle_to_cassandra_spark.queries.text_analysis import (
         QUALITY_SQL,
         STOP_RATIO_SQL,
+        _SW,
+        _TOK,
     )
 
+    QM_SQL = quality_micro_sql(_TOK, _SW)
     return f"""
     WITH scored AS (
       SELECT doc_id,
              {QUALITY_SQL}    AS quality,
+             {QM_SQL}         AS q_micro,
              {STOP_RATIO_SQL} AS stop_ratio
       FROM documents
     ),
     keepers AS (
       SELECT min(doc_id) AS keeper_id FROM documents GROUP BY md5(text)
     )
-    SELECT s.doc_id, round(s.quality, 6) AS quality
+    SELECT s.doc_id, s.q_micro::BIGINT AS quality_micro
     FROM scored s JOIN keepers k ON s.doc_id = k.keeper_id
     WHERE s.stop_ratio > 0.05 AND s.quality >= 0.67
     """
@@ -244,6 +249,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     scored = d.select(
         "doc_id",
         TX.quality_score(F.col("text")).alias("quality"),
+        TX.quality_micro(F.col("text")).alias("quality_micro"),
         TX.stopword_ratio(tok).alias("stop_ratio"),
     )
     keepers = exact_dedup_keepers(d, "text", "doc_id").select(
@@ -251,8 +257,10 @@ def corpus_curation_pipeline(spark, sf_dir):
     )
     return (
         scored.join(keepers, "doc_id")
+        # thresholds compare RAW doubles (identical chains, no round);
+        # the emitted column is the exact int64 micro-quality
         .filter((F.col("stop_ratio") > 0.05) & (F.col("quality") >= 0.67))
-        .select("doc_id", F.round("quality", 6).alias("quality"))
+        .select("doc_id", "quality_micro")
     )
 
 
@@ -332,8 +340,9 @@ def _pipeline_v2_oracle() -> str:
         MWL_HI,
         MWL_LO,
     )
-    from oracle_to_cassandra_spark.queries.text_analysis import QUALITY_SQL
+    from oracle_to_cassandra_spark.operators.text import quality_micro_sql
 
+    _QM_SQL = quality_micro_sql("ts", _SW_SQL)
     rule = (
         f"(len(ts) >= {MIN_WORDS}"
         f" AND list_avg(list_transform(ts, t -> len(t)))"
@@ -350,7 +359,7 @@ def _pipeline_v2_oracle() -> str:
     return f"""
     WITH gated AS (
       SELECT doc_id, text, len(ts)::BIGINT AS n_tokens,
-             round({QUALITY_SQL}, 6) AS quality
+             {_QM_SQL} AS q_micro
       FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS ts
             FROM documents)
       WHERE {rule.replace('(ts)', '(ts)')}
@@ -363,16 +372,18 @@ def _pipeline_v2_oracle() -> str:
       ) WHERE rn = 1
     ),
     floor_q AS (
-      SELECT round(quantile_cont(quality, 0.2), 6) AS q20 FROM deduped
+      -- quantile of INTEGER micro-units: the interpolated value is
+      -- x.0 or x.5 exactly (representable), so the >= compare is
+      -- deterministic in both engines with no rounding involved
+      SELECT quantile_cont(q_micro, 0.2) AS q20 FROM deduped
     ),
     kept AS (
-      SELECT d.* FROM deduped d, floor_q f WHERE d.quality >= f.q20
+      SELECT d.* FROM deduped d, floor_q f WHERE d.q_micro >= f.q20
     )
     SELECT {split} AS split,
            count(*)::BIGINT AS n_docs,
            sum(n_tokens)::BIGINT AS total_tokens,
-           round((sum(CAST(round(quality * 1000000) AS BIGINT))::DOUBLE
-                  / 1000000.0) / count(*), 6) AS mean_quality
+           (sum(q_micro)::BIGINT // count(*)) AS mean_quality_micro
     FROM kept GROUP BY 1
     """
 
@@ -394,7 +405,7 @@ def curation_pipeline_v2(spark, sf_dir):
     the information-theoretic minimum for exact dedup."""
     from oracle_to_cassandra_spark.functions.hashing import base31
     from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, tokens
-    from oracle_to_cassandra_spark.operators.text import quality_score
+    from oracle_to_cassandra_spark.operators.text import quality_micro
     from oracle_to_cassandra_spark.queries.corpus_quality import (
         MIN_DIVERSITY,
         MIN_STOPWORDS,
@@ -422,7 +433,9 @@ def curation_pipeline_v2(spark, sf_dir):
         "doc_id",
         "text",
         F.size(ts).cast("long").alias("n_tokens"),
-        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        # exact int64 micro-quality: a per-row 6-dp round ties at
+        # uncancelled 2^7 token counts and flips across engines
+        quality_micro(F.col("text")).alias("q_micro"),
     )
     w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (
@@ -430,11 +443,11 @@ def curation_pipeline_v2(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    floor_q = deduped.agg(
-        F.round(F.percentile("quality", 0.2), 6).alias("q20")
-    )
+    # quantile of INTEGER micro-units interpolates to x.0/x.5 exactly
+    # (representable), so the >= threshold compare is deterministic
+    floor_q = deduped.agg(F.percentile("q_micro", F.lit(0.2)).alias("q20"))
     kept = deduped.crossJoin(F.broadcast(floor_q)).filter(
-        F.col("quality") >= F.col("q20")
+        F.col("q_micro") >= F.col("q20")
     )
     h = base31(F.col("doc_id").cast("string")) % 10
     split = (
@@ -443,14 +456,7 @@ def curation_pipeline_v2(spark, sf_dir):
     return kept.groupBy(split.alias("split")).agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            (
-                F.sum(F.round(F.col("quality") * 1000000).cast("long")).cast(
-                    "double"
-                )
-                / 1000000.0
-            )
-            / F.count("*"),
-            6,
-        ).alias("mean_quality"),
+        # exact integer micro-mean (int64 div): a float round over
+        # sum/count ties at the half-micro and flips across engines
+        F.expr("sum(q_micro) div count(*)").alias("mean_quality_micro"),
     )

@@ -19,7 +19,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators import text as TX
-from oracle_to_cassandra_spark.queries.text_analysis import QUALITY_SQL, _TOK
+from oracle_to_cassandra_spark.queries.text_analysis import _SW, _TOK
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
@@ -27,7 +27,7 @@ _CARD_SQL = f"""
     WITH per_doc AS (
       SELECT doc_id, source, lang,
              len({_TOK})::BIGINT AS n_tokens,
-             CAST(round(round({QUALITY_SQL}, 6) * 1000000) AS BIGINT) AS q_micro,
+             {TX.quality_micro_sql(_TOK, _SW)}::BIGINT AS q_micro,
              md5(text) AS h
       FROM documents
     ),
@@ -38,11 +38,10 @@ _CARD_SQL = f"""
       SELECT p.source,
              count(*)::BIGINT AS n_docs,
              sum(p.n_tokens)::BIGINT AS total_tokens,
-             round((sum(p.q_micro)::DOUBLE / 1000000.0) / count(*), 6)
-               AS mean_quality,
+             (sum(p.q_micro)::BIGINT // count(*)) AS mean_quality_micro,
              sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup_docs,
-             round(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
-               AS dup_ratio,
+             (sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) * 1000000 // count(*))
+               ::BIGINT AS dup_ratio_ppm,
              count(DISTINCT p.lang)::BIGINT AS n_langs
       FROM per_doc p JOIN dup d USING (h)
       GROUP BY p.source
@@ -54,17 +53,18 @@ _CARD_SQL = f"""
       -- share must be windowed BEFORE the rn filter (WHERE runs before
       -- window functions in the same SELECT, which would make every
       -- share 1.0)
-      SELECT source, lang AS top_lang, share AS top_lang_share FROM (
+      SELECT source, lang AS top_lang, share_ppm AS top_lang_share_ppm FROM (
         SELECT source, lang,
                row_number() OVER (PARTITION BY source
                                   ORDER BY c DESC, lang) AS rn,
-               round(c * 1.0 / sum(c) OVER (PARTITION BY source), 6) AS share
+               (c * 1000000 // sum(c) OVER (PARTITION BY source))::BIGINT
+                 AS share_ppm
         FROM lc
       ) WHERE rn = 1
     )
-    SELECT b.source, b.n_docs, b.total_tokens, b.mean_quality,
-           b.n_exact_dup_docs, b.dup_ratio, b.n_langs,
-           t.top_lang, t.top_lang_share
+    SELECT b.source, b.n_docs, b.total_tokens, b.mean_quality_micro,
+           b.n_exact_dup_docs, b.dup_ratio_ppm, b.n_langs,
+           t.top_lang, t.top_lang_share_ppm
     FROM base b JOIN top_lang t USING (source)
     """
 
@@ -83,9 +83,7 @@ def dataset_card_per_source(spark, sf_dir):
         "source",
         "lang",
         F.size(tok).cast("long").alias("n_tokens"),
-        F.round(F.round(TX.quality_score(F.col("text")), 6) * 1000000)
-        .cast("long")
-        .alias("q_micro"),
+        TX.quality_micro(F.col("text")).alias("q_micro"),
         F.md5("text").alias("h"),
     )
     dup = per_doc.groupBy("h").agg(F.count("*").alias("df"))
@@ -93,15 +91,15 @@ def dataset_card_per_source(spark, sf_dir):
     base = joined.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(
-            (F.sum("q_micro").cast("double") / 1000000.0) / F.count("*"), 6
-        ).alias("mean_quality"),
+        # exact integer micro-mean / ppm ratio (int64 div): final
+        # float rounds over divisions tie-flip between engines
+        F.expr("sum(q_micro) div count(*)").alias("mean_quality_micro"),
         F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
         .cast("long")
         .alias("n_exact_dup_docs"),
-        F.round(
-            F.sum(F.when(F.col("df") > 1, 1).otherwise(0)) / F.count("*"), 6
-        ).alias("dup_ratio"),
+        F.expr(
+            "sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) * 1000000 div count(*)"
+        ).alias("dup_ratio_ppm"),
         F.count_distinct("lang").alias("n_langs"),
     )
     lc = per_doc.groupBy("source", "lang").agg(F.count("*").alias("c"))
@@ -114,13 +112,13 @@ def dataset_card_per_source(spark, sf_dir):
         .select(
             "source",
             F.col("lang").alias("top_lang"),
-            F.round(F.col("c") / F.col("tot"), 6).alias("top_lang_share"),
+            F.expr("c * 1000000 div tot").alias("top_lang_share_ppm"),
         )
     )
     return base.join(F.broadcast(top_lang), "source").select(
-        "source", "n_docs", "total_tokens", "mean_quality",
-        "n_exact_dup_docs", "dup_ratio", "n_langs", "top_lang",
-        "top_lang_share",
+        "source", "n_docs", "total_tokens", "mean_quality_micro",
+        "n_exact_dup_docs", "dup_ratio_ppm", "n_langs", "top_lang",
+        "top_lang_share_ppm",
     )
 
 
@@ -153,8 +151,10 @@ _PSI_BUCKETS = 10  #: token-length decade bins 0..9 (10-99 tokens)
     SELECT c.bucket::INT AS bucket,
            c.n_snapshot::BIGINT AS n_snapshot,
            c.n_new::BIGINT AS n_new,
-           round((c.n_snapshot + 1.0) / (t.ns + {_PSI_BUCKETS}), 6) AS p,
-           round((c.n_new + 1.0) / (t.nn + {_PSI_BUCKETS}), 6) AS q,
+           ((c.n_snapshot + 1) * 1000000 // (t.ns + {_PSI_BUCKETS}))::BIGINT
+             AS p_ppm,
+           ((c.n_new + 1) * 1000000 // (t.nn + {_PSI_BUCKETS}))::BIGINT
+             AS q_ppm,
            round(((c.n_new + 1.0) / (t.nn + {_PSI_BUCKETS})
                   - (c.n_snapshot + 1.0) / (t.ns + {_PSI_BUCKETS}))
                  * ln(((c.n_new + 1.0) / (t.nn + {_PSI_BUCKETS}))
@@ -209,8 +209,14 @@ def token_length_psi_drift(spark, sf_dir):
             F.col("bucket").cast("int").alias("bucket"),
             F.col("n_snapshot").cast("long").alias("n_snapshot"),
             F.col("n_new").cast("long").alias("n_new"),
-            F.round(p, 6).alias("p"),
-            F.round(q, 6).alias("q"),
+            # smoothed shares in exact integer ppm (int64 div); the
+            # ln-based psi_term keeps its float round — its operand
+            # doubles are identical in both engines and generic (no
+            # reachable repr-tie class), audited in the guard test
+            F.expr(f"(n_snapshot + 1) * 1000000 div (ns + {_PSI_BUCKETS})")
+            .alias("p_ppm"),
+            F.expr(f"(n_new + 1) * 1000000 div (nn + {_PSI_BUCKETS})")
+            .alias("q_ppm"),
             F.round((q - p) * F.log(q / p), 6).alias("psi_term"),
         )
     )
@@ -222,16 +228,16 @@ def token_length_psi_drift(spark, sf_dir):
     WITH scored AS (
       SELECT source,
              len(string_split(lower(text), ' ')) * 1.0 AS x,
-             round({{q}}, 6) AS y
+             {TX.quality_micro_sql(_TOK, _SW)} * 1.0 AS y
       FROM documents
     )
     SELECT source,
            count(*)::BIGINT AS n_docs,
-           round(regr_slope(y, x), 5) AS slope,
-           round(regr_intercept(y, x), 5) AS intercept,
+           round(regr_slope(y, x), 5) AS slope_micro,
+           round(regr_intercept(y, x), 5) AS intercept_micro,
            round(regr_r2(y, x), 5) AS r2
     FROM scored GROUP BY source
-    """.replace("{q}", QUALITY_SQL),
+    """,
 )
 def quality_length_regression_per_source(spark, sf_dir):
     """Confound diagnostic for the quality score: per source, the OLS
@@ -247,16 +253,17 @@ def quality_length_regression_per_source(spark, sf_dir):
     scan. Rounded at 5 dp: the slope/R² are ratios of
     second-moment sums whose cross-engine difference is bounded by
     accumulation order at ~1e-12 relative."""
-    from oracle_to_cassandra_spark.operators.text import quality_score
-
     d = load_table(spark, sf_dir, "documents")
     x = F.size(F.split(F.lower("text"), " ")).cast("double")
-    y = F.round(quality_score(F.col("text")), 6)
+    # y in exact integer micro-quality (as double): the per-row
+    # round(q, 6) form ties at uncancelled 2^7 token counts; slope/
+    # intercept simply scale by 1e6, R² is scale-invariant
+    y = TX.quality_micro(F.col("text")).cast("double")
     scored = d.select("source", x.alias("x"), y.alias("y"))
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.regr_slope("y", "x"), 5).alias("slope"),
-        F.round(F.regr_intercept("y", "x"), 5).alias("intercept"),
+        F.round(F.regr_slope("y", "x"), 5).alias("slope_micro"),
+        F.round(F.regr_intercept("y", "x"), 5).alias("intercept_micro"),
         F.round(F.regr_r2("y", "x"), 5).alias("r2"),
     )
 
@@ -288,8 +295,8 @@ def quality_length_regression_per_source(spark, sf_dir):
     )
     SELECT source, n_docs_snapshot, n_docs_new, tokens_snapshot, tokens_new,
            n_new_already_in_snapshot,
-           round(n_docs_new * 1.0 / greatest(n_docs_snapshot, 1), 6)
-             AS growth_ratio
+           (n_docs_new * 1000000 // greatest(n_docs_snapshot, 1))::BIGINT
+             AS growth_ppm
     FROM per
     """,
 )
@@ -343,8 +350,7 @@ def corpus_snapshot_delta(spark, sf_dir):
         "tokens_snapshot",
         "tokens_new",
         "n_new_already_in_snapshot",
-        F.round(
-            F.col("n_docs_new") / F.greatest(F.col("n_docs_snapshot"), F.lit(1)),
-            6,
-        ).alias("growth_ratio"),
+        F.expr(
+            "n_docs_new * 1000000 div greatest(n_docs_snapshot, 1L)"
+        ).alias("growth_ppm"),
     )

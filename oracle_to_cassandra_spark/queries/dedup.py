@@ -215,14 +215,14 @@ def incremental_lsh_dedup(spark, sf_dir):
     straddle AS (
       SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS train_doc,
              CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS eval_doc,
-             jaccard
+             jaccard_ppm
       FROM pairs
       WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)
     )
-    SELECT train_doc, eval_doc, jaccard FROM (
-      SELECT train_doc, eval_doc, jaccard,
+    SELECT train_doc, eval_doc, jaccard_ppm FROM (
+      SELECT train_doc, eval_doc, jaccard_ppm,
              row_number() OVER (PARTITION BY train_doc
-                                ORDER BY jaccard DESC, eval_doc) AS rn
+                                ORDER BY jaccard_ppm DESC, eval_doc) AS rn
       FROM straddle
     ) WHERE rn = 1
     """,
@@ -254,15 +254,16 @@ def fuzzy_eval_decontamination(spark, sf_dir):
         F.when(a_is_eval, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
             "eval_doc"
         ),
-        "jaccard",
+        "jaccard_ppm",
     )
+    # argmax on the int64 ppm — rank ties cannot float-flip
     w = Window.partitionBy("train_doc").orderBy(
-        F.col("jaccard").desc(), F.col("eval_doc")
+        F.col("jaccard_ppm").desc(), F.col("eval_doc")
     )
     return (
         straddle.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("train_doc", "eval_doc", "jaccard")
+        .select("train_doc", "eval_doc", "jaccard_ppm")
     )
 
 

@@ -30,30 +30,32 @@ _TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
     SELECT strftime(date_trunc('day', ts), '{_TS_FMT_DUCK}') AS window_start,
            event_type,
            count(*)::BIGINT      AS n_events,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 2)  AS total_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS total_value_c
     FROM events
     GROUP BY 1, 2
     """,
 )
 def tumbling_daily_event_counts(spark, sf_dir):
-    """Tumbling 1-day event-time windows per event type."""
+    """Tumbling 1-day event-time windows per event type. The value
+    total is emitted in integer CENTS (exact micro-unit sum, one int64
+    `div`) — a final ``round(sum_u/1e6, 2)`` float round diverges
+    between engines when the sum lands on a half-cent (Spark rounds
+    the shortest-decimal repr, DuckDB the binary double)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
-                / 1000000.0,
-                2,
-            ).alias("total_value"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div 10000"
+            ).alias("total_value_c"),
         )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_c",
         )
     )
 
@@ -63,8 +65,8 @@ def tumbling_daily_event_counts(spark, sf_dir):
     oracle=f"""
     SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '{_TS_FMT_DUCK}') AS window_start,
            count(*)::BIGINT     AS n_events,
-           round((sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                  / 1000000.0) / count(value), 6) AS avg_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+            // count(value)) AS avg_value_micro
     FROM events
     GROUP BY 1
     """,
@@ -72,25 +74,23 @@ def tumbling_daily_event_counts(spark, sf_dir):
 def tumbling_6h_windows(spark, sf_dir):
     """Sub-daily tumbling windows — F.window's epoch alignment matches
     DuckDB's time_bucket (probed: both put 07:30 into the 06:00
-    bucket)."""
+    bucket). The mean is the exact integer micro-unit mean (int64 sum,
+    one `div` by the count) — a float ``round(mean, 6)`` ties at the
+    half-micro whenever the count divides 2·sum oddly, and the engines
+    round such ties differently."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "6 hours").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                (
-                    F.sum(F.round(F.col("value") * 1000000).cast("long"))
-                    / 1000000.0
-                )
-                / F.count("value"),
-                6,
-            ).alias("avg_value"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div count(value)"
+            ).alias("avg_value_micro"),
         )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
             "n_events",
-            "avg_value",
+            "avg_value_micro",
         )
     )
 
@@ -106,30 +106,29 @@ def tumbling_6h_windows(spark, sf_dir):
       FROM events
     )
     SELECT window_start, count(*)::BIGINT AS n_events,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 2) AS total_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS total_value_c
     FROM assigned GROUP BY 1
     """,
 )
 def sliding_2d_1d_windows(spark, sf_dir):
     """Sliding windows (2-day length, 1-day slide): every event lands
     in exactly two windows — Spark's window() explodes the assignment;
-    the oracle materializes the same two-way assignment with UNION ALL."""
+    the oracle materializes the same two-way assignment with UNION ALL.
+    Totals in integer cents (see tumbling_daily_event_counts)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
-                / 1000000.0,
-                2,
-            ).alias("total_value"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div 10000"
+            ).alias("total_value_c"),
         )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT_SPARK).alias("window_start"),
             "n_events",
-            "total_value",
+            "total_value_c",
         )
     )
 
@@ -154,8 +153,8 @@ def sliding_2d_1d_windows(spark, sf_dir):
            strftime(min(ts), '{_TS_FMT_DUCK}')                         AS session_start,
            strftime(max(ts) + INTERVAL '30 minutes', '{_TS_FMT_DUCK}') AS session_end,
            count(*)::BIGINT     AS n_events,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 2) AS session_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS session_value_c
     FROM numbered GROUP BY user_id, session_id
     """,
 )
@@ -174,18 +173,16 @@ def session_windows_per_user(spark, sf_dir):
         ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
-                / 1000000.0,
-                2,
-            ).alias("session_value"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div 10000"
+            ).alias("session_value_c"),
         )
         .select(
             "user_id",
             F.date_format(F.col("sw.start"), _TS_FMT_SPARK).alias("session_start"),
             F.date_format(F.col("sw.end"), _TS_FMT_SPARK).alias("session_end"),
             "n_events",
-            "session_value",
+            "session_value_c",
         )
     )
 

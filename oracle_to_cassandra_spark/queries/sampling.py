@@ -37,8 +37,8 @@ def hash_systematic_sample(spark, sf_dir):
     oracle="""
     SELECT (floor(o_totalprice / 50000) * 50000)::BIGINT AS bin_floor,
            count(*)::BIGINT AS n_orders,
-           round((sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
-                  / 100.0) / count(o_totalprice), 6) AS avg_price
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+            * 10000 // count(o_totalprice)) AS avg_price_micro
     FROM orders GROUP BY 1
     """,
 )
@@ -54,14 +54,11 @@ def histogram_binning_prices(spark, sf_dir):
         .groupBy("bin_floor")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(
-                (
-                    F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
-                    / 100.0
-                )
-                / F.count("o_totalprice"),
-                6,
-            ).alias("avg_price"),
+            # exact micro-dollar mean: cents-sum ·1e4, one int64 div
+            F.expr(
+                "sum(CAST(round(o_totalprice * 100) AS BIGINT))"
+                " * 10000 div count(o_totalprice)"
+            ).alias("avg_price_micro"),
         )
     )
 
@@ -120,6 +117,8 @@ def stratified_quota_sample(spark, sf_dir):
     oracle="""
     WITH scored AS (
       SELECT doc_id, source,
+             len(list_distinct(string_split(lower(text), ' '))) AS nd,
+             greatest(len(string_split(lower(text), ' ')), 1) AS nt,
              len(list_distinct(string_split(lower(text), ' '))) * 1.0
                / greatest(len(string_split(lower(text), ' ')), 1) AS w,
              (('0x' || substr(md5('wswr:' || doc_id::VARCHAR), 1, 15))::INT64
@@ -127,9 +126,9 @@ def stratified_quota_sample(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id, source,
-           round(w, 6) AS weight, rnk
+           (nd * 1000000 // nt)::BIGINT AS weight_ppm, rnk
     FROM (
-      SELECT doc_id, source, w,
+      SELECT doc_id, source, nd, nt,
              row_number() OVER (
                ORDER BY round(-ln(u) / w, 6), doc_id)::BIGINT AS rnk
       FROM scored
@@ -164,7 +163,8 @@ def weighted_sample_without_replacement(spark, sf_dir):
     scored = d.select(
         "doc_id",
         "source",
-        w.alias("w"),
+        F.size(F.array_distinct(ts)).alias("nd"),
+        F.greatest(F.size(ts), F.lit(1)).alias("nt"),
         F.round(-F.log(u) / w, 6).alias("es_key"),
     )
     top = scored.orderBy("es_key", "doc_id").limit(20)
@@ -174,7 +174,10 @@ def weighted_sample_without_replacement(spark, sf_dir):
     return top.select(
         "doc_id",
         "source",
-        F.round("w", 6).alias("weight"),
+        # the emitted weight is int-derived — exact integer ppm; the
+        # RANK key keeps its float round (ln makes the doubles generic;
+        # identical chains both engines, doc_id breaks ties)
+        F.expr("nd * 1000000 div nt").alias("weight_ppm"),
         F.row_number().over(wk).cast("long").alias("rnk"),
     )
 

@@ -102,8 +102,8 @@ def bucketed_join_orders_customers(spark, sf_dir):
     oracle="""
     SELECT o_orderstatus,
            count(*)::BIGINT           AS n_orders,
-           round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
-                 / 100.0, 0) AS total_price
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT // 100)
+             AS total_price_whole
     FROM orders GROUP BY o_orderstatus
     """,
 )
@@ -133,7 +133,9 @@ def salted_skew_aggregate(spark, sf_dir):
     )
     return stage1.groupBy("o_orderstatus").agg(
         F.sum("pn").alias("n_orders"),
-        F.round(F.sum("ps_c") / 100.0, 0).alias("total_price"),
+        # integer whole-dollar units (cents div 100): a 0-dp round of
+        # cents/100.0 ties at the half-dollar across engines
+        F.expr("sum(ps_c) div 100").alias("total_price_whole"),
     )
 
 
@@ -267,10 +269,10 @@ def quantile_cutpoint_bucketing(spark, sf_dir):
     )
     SELECT count(*)::BIGINT AS n_keys,
            max(c) AS max_per_key,
-           round(avg(c), 6) AS avg_per_key,
+           (sum(c) * 1000000 // count(*))::BIGINT AS avg_per_key_e6,
            round(quantile_cont(c, 0.5), 6) AS p50,
            round(quantile_cont(c, 0.99), 6) AS p99,
-           round(max(c) / sum(c), 9) AS top1_share
+           (max(c) * 1000000000 // sum(c))::BIGINT AS top1_share_e9
     FROM per_key
     """,
 )
@@ -294,10 +296,15 @@ def skew_diagnostics_orders_custkey(spark, sf_dir):
     return per_key.agg(
         F.count("*").alias("n_keys"),
         F.max("c").alias("max_per_key"),
-        F.round(F.avg("c"), 6).alias("avg_per_key"),
+        # exact integer e6/e9 ratios (int64 div; max·1e9 stays inside
+        # int64 up to ~9e9 rows on the heaviest key). The interpolated
+        # percentiles keep their rounds: quantile interpolation of
+        # integer counts lands ON the 6-dp grid (denominators divide
+        # 1e6), so no tie exists
+        F.expr("sum(c) * 1000000 div count(*)").alias("avg_per_key_e6"),
         F.round(F.expr("percentile(c, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(c, 0.99)"), 6).alias("p99"),
-        F.round(F.max("c") / F.sum("c"), 9).alias("top1_share"),
+        F.expr("max(c) * 1000000000 div sum(c)").alias("top1_share_e9"),
     )
 
 

@@ -111,9 +111,9 @@ def similarity_ivf_recall_at_10(spark, sf_dir):
     "embedding_dimension_stats",
     oracle="""
     SELECT pos,
-           round((s1 / 1000000.0) / n, 6) AS mean_v,
-           round(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
-                 / 1000000.0, 6) AS sd_v,
+           (s1 // n) AS mean_v_micro,
+           CAST(floor(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
+                      + 0.5) AS BIGINT) AS sd_v_micro,
            round(min_v, 6) AS min_v, round(max_v, 6) AS max_v
     FROM (
       SELECT pos, count(*)::BIGINT AS n,
@@ -152,8 +152,11 @@ def embedding_dimension_stats(spark, sf_dir):
     )
     return sums.select(
         "pos",
-        F.round((F.col("s1") / 1000000.0) / F.col("n"), 6).alias("mean_v"),
-        F.round(
+        # exact micro-unit mean (s1 can be negative: div truncates
+        # toward zero identically in both engines); sd via floor(x+.5)
+        # on the identical double — no repr-vs-binary round ties
+        F.expr("s1 div n").alias("mean_v_micro"),
+        F.floor(
             F.sqrt(
                 F.greatest(
                     (
@@ -164,9 +167,10 @@ def embedding_dimension_stats(spark, sf_dir):
                     F.lit(0.0),
                 )
             )
-            / 1000000.0,
-            6,
-        ).alias("sd_v"),
+            + 0.5
+        )
+        .cast("long")
+        .alias("sd_v_micro"),
         F.round(F.col("min_raw"), 6).alias("min_v"),
         F.round(F.col("max_raw"), 6).alias("max_v"),
     )

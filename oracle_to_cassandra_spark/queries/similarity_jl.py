@@ -80,10 +80,10 @@ _JL_SQL = f"""
     )
     SELECT e.probe_id,
            round(coalesce(any_value(i.n_overlap), 0) / {TOP_K}.0, 2) AS recall_at_10,
-           round((sum(CAST(round(e.proj_d2 / nullif(e.orig_d2, 0)
-                                 * 1000000) AS BIGINT))::BIGINT / 1000000.0)
-                 / count(e.proj_d2 / nullif(e.orig_d2, 0)), 4)
-             AS mean_distortion
+           (sum(CAST(round(e.proj_d2 / nullif(e.orig_d2, 0)
+                            * 1000000) AS BIGINT))::BIGINT
+            // count(e.proj_d2 / nullif(e.orig_d2, 0)))
+             AS mean_distortion_micro
     FROM exact e LEFT JOIN inter i ON e.probe_id = i.probe_id
     GROUP BY e.probe_id
     """
@@ -168,23 +168,24 @@ def jl_projection_recall_distortion(spark, sf_dir):
         F.round(
             F.sum(F.when(F.col("rn_p") <= TOP_K, 1).otherwise(0)) / float(TOP_K), 2
         ).alias("recall_at_10"),
-        F.round(
-            (
-                F.sum(
-                    F.round(
-                        F.col("proj_d2")
-                        / F.when(F.col("orig_d2") != 0, F.col("orig_d2"))
-                        * 1000000
-                    ).cast("long")
-                )
-                / 1000000.0
+        # exact integer micro-unit mean (int64 sum, one int64 div):
+        # the float mean ties at the half-micro across engines
+        (
+            F.sum(
+                F.round(
+                    F.col("proj_d2")
+                    / F.when(F.col("orig_d2") != 0, F.col("orig_d2"))
+                    * 1000000
+                ).cast("long")
             )
-            / F.count(
-                F.col("proj_d2")
-                / F.when(F.col("orig_d2") != 0, F.col("orig_d2"))
-            ),
-            4,
-        ).alias("mean_distortion"),
+        ).alias("_dist_sum"),
+        F.count(
+            F.col("proj_d2") / F.when(F.col("orig_d2") != 0, F.col("orig_d2"))
+        ).alias("_dist_n"),
+    ).select(
+        "probe_id",
+        "recall_at_10",
+        F.expr("_dist_sum div _dist_n").alias("mean_distortion_micro"),
     )
 
 

@@ -19,8 +19,8 @@ WITH seg_orders AS (
 seg_stats AS (
   SELECT c_mktsegment,
          count(*) AS n_orders,
-         round((sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D)
-               / count(o_totalprice), 6) AS avg_price
+         (sum(CAST(round(o_totalprice * 100) AS BIGINT))
+          div count(o_totalprice)) AS avg_price_c
   FROM seg_orders GROUP BY c_mktsegment
 )
 SELECT * FROM seg_stats WHERE n_orders > 50
@@ -37,8 +37,8 @@ SELECT * FROM seg_stats WHERE n_orders > 50
     seg_stats AS (
       SELECT c_mktsegment,
              count(*)::BIGINT AS n_orders,
-             round((sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
-                    / 100.0) / count(o_totalprice), 6) AS avg_price
+             (sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+              // count(o_totalprice)) AS avg_price_c
       FROM seg_orders GROUP BY c_mktsegment
     )
     SELECT * FROM seg_stats WHERE n_orders > 50
@@ -227,8 +227,8 @@ def keyset_pagination_page3(spark, sf_dir):
     "parameterized_sql_query",
     oracle="""
     SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
-           round((sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
-                  / 100.0) / count(*), 6) AS avg_bal
+           (sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT
+            // count(*)) AS avg_bal_c
     FROM customer
     WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
     GROUP BY c_mktsegment
@@ -243,13 +243,13 @@ def parameterized_sql_query(spark, sf_dir):
     still constant-folds the bound literals, so pushdown/pruning are
     identical to inlined text."""
     register_views(spark, sf_dir, ("customer",))
-    # integer-cents mean (exact int64 sum, ONE float division at the
-    # end) — the accumulation-order-proof compare form
+    # integer-cents mean (exact int64 sum, one int64 div) — the
+    # accumulation-order-proof compare form with no final float round
     return spark.sql(
         """
         SELECT c_mktsegment, count(*) AS n_custs,
-               round((sum(CAST(round(c_acctbal * 100) AS BIGINT))
-                      / 100.0D) / count(*), 6) AS avg_bal
+               (sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                div count(*)) AS avg_bal_c
         FROM customer
         WHERE c_mktsegment = :seg AND c_acctbal > :min_bal
         GROUP BY c_mktsegment

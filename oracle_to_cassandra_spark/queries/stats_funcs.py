@@ -143,9 +143,12 @@ def approx_count_distinct_custkeys(spark, sf_dir):
     "approx_quantiles_acctbal",
     oracle="""
     SELECT c_mktsegment,
-           round(quantile_cont(c_acctbal, 0.25), 2) AS p25,
-           round(quantile_cont(c_acctbal, 0.50), 2) AS p50,
-           round(quantile_cont(c_acctbal, 0.75), 2) AS p75,
+           CAST(floor(quantile_cont(c_acctbal, 0.25) * 10000 + 0.5)
+                AS BIGINT) AS p25_e4,
+           CAST(floor(quantile_cont(c_acctbal, 0.50) * 10000 + 0.5)
+                AS BIGINT) AS p50_e4,
+           CAST(floor(quantile_cont(c_acctbal, 0.75) * 10000 + 0.5)
+                AS BIGINT) AS p75_e4,
            TRUE AS approx_within_tol
     FROM customer GROUP BY c_mktsegment
     """,
@@ -203,9 +206,13 @@ def approx_quantiles_acctbal(spark, sf_dir):
     )
     return base.select(
         "c_mktsegment",
-        F.round(F.element_at("_g", 2), 2).alias("p25"),
-        F.round(F.element_at("_g", 5), 2).alias("p50"),
-        F.round(F.element_at("_g", 8), 2).alias("p75"),
+        # e4 fixed-point: quartile interpolation of 2-dp money uses
+        # fractions in {0,.25,.5,.75}, so v*1e4 is integer-valued and
+        # floor(v*1e4+0.5) recovers it deterministically; round(v, 2)
+        # ties at the half-cent midpoints
+        F.floor(F.element_at("_g", 2) * 10000 + 0.5).cast("long").alias("p25_e4"),
+        F.floor(F.element_at("_g", 5) * 10000 + 0.5).cast("long").alias("p50_e4"),
+        F.floor(F.element_at("_g", 8) * 10000 + 0.5).cast("long").alias("p75_e4"),
         within.alias("approx_within_tol"),
     )
 
@@ -406,7 +413,7 @@ def cms_heavy_hitters(spark, sf_dir):
     ),
     tot AS (SELECT sum(n) AS nt FROM counts)
     SELECT c.d AS first_digit, c.n AS n_values,
-           round(c.n * 1.0 / t.nt, 6) AS observed_p,
+           (c.n * 1000000 // t.nt)::BIGINT AS observed_ppm,
            round(ln(1.0 + 1.0 / c.d) / ln(10.0), 6) AS benford_p,
            round((c.n * 1.0 / t.nt - ln(1.0 + 1.0 / c.d) / ln(10.0))
                  * (c.n * 1.0 / t.nt - ln(1.0 + 1.0 / c.d) / ln(10.0))
@@ -437,7 +444,7 @@ def benford_first_digit_audit(spark, sf_dir):
     return counts.crossJoin(F.broadcast(tot)).select(
         F.col("d").alias("first_digit"),
         F.col("n").alias("n_values"),
-        F.round(obs, 6).alias("observed_p"),
+        F.expr("n * 1000000 div nt").alias("observed_ppm"),
         F.round(benford, 6).alias("benford_p"),
         F.round((obs - benford) * (obs - benford) / benford, 6).alias(
             "chi2_term"
@@ -451,9 +458,17 @@ _POISSON1_CDF_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917)
 
 _BOOT_B = 8
 
-from oracle_to_cassandra_spark.queries.text_analysis import (  # noqa: E402
-    QUALITY_SQL as _QUALITY_SQL_BOOT,
+from oracle_to_cassandra_spark.operators.text import (  # noqa: E402
+    quality_micro_sql as _quality_micro_sql,
 )
+from oracle_to_cassandra_spark.queries.text_analysis import (  # noqa: E402
+    _SW as _SW_BOOT,
+)
+from oracle_to_cassandra_spark.queries.text_analysis import (  # noqa: E402
+    _TOK as _TOK_BOOT,
+)
+
+_QUALITY_MICRO_BOOT = _quality_micro_sql(_TOK_BOOT, _SW_BOOT)
 
 
 def _poisson_count_sql(u: str) -> str:
@@ -471,7 +486,7 @@ _BOOT_SQL = f"""
                  "(('0x' || substr(md5('boot:' || r.replicate_id::VARCHAR"
                  " || ':' || d.doc_id::VARCHAR), 1, 15))::INT64 % 1000000)"
              )} AS cnt,
-             CAST(round(({{q}}) * 1000000) AS BIGINT) AS q_micro
+             {{q}}::BIGINT AS q_micro
       FROM documents d CROSS JOIN reps r
     )
     SELECT replicate_id::BIGINT AS replicate_id,
@@ -483,7 +498,7 @@ _BOOT_SQL = f"""
 
 @query(
     "bootstrap_replicate_means",
-    oracle=_BOOT_SQL.format(q=_QUALITY_SQL_BOOT),
+    oracle=_BOOT_SQL.format(q=_QUALITY_MICRO_BOOT),
 )
 def bootstrap_replicate_means(spark, sf_dir):
     """Deterministic POISSON BOOTSTRAP over the corpus quality score:
@@ -501,7 +516,7 @@ def bootstrap_replicate_means(spark, sf_dir):
     broadcast of 8 rows); this is how bootstrap CIs are computed on
     100 TB without materializing a single resample."""
     from oracle_to_cassandra_spark.functions.hashing import md5_int64
-    from oracle_to_cassandra_spark.operators.text import quality_score
+    from oracle_to_cassandra_spark.operators.text import quality_micro
 
     d = load_table(spark, sf_dir, "documents")
     reps = spark.range(_BOOT_B).select(
@@ -521,9 +536,10 @@ def bootstrap_replicate_means(spark, sf_dir):
     draws = (
         d.select(
             "doc_id",
-            F.round(quality_score(F.col("text")) * 1000000)
-            .cast("long")
-            .alias("q_micro"),
+            # exact integer micro-quality (operators/text.quality_micro)
+            # — a per-row round of q*1e6 ties at the half whenever the
+            # token count carries an uncancelled factor of 2
+            quality_micro(F.col("text")).alias("q_micro"),
         )
         .crossJoin(F.broadcast(reps))
         .select("replicate_id", cnt.cast("long").alias("cnt"), "q_micro")

@@ -8,7 +8,6 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.functions.exactnum import exact_sum
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.streaming import (
     read_events_stream,
@@ -28,15 +27,18 @@ def stream_tumbling_event_counts(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            # micro-unit integer sum (exactnum): micro-batch slicing
-            # cannot move the emitted 2-dp value vs the batch twin
-            exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+            # micro-unit integer sum emitted as integer CENTS (one
+            # int64 div): micro-batch slicing cannot move the value vs
+            # the batch twin, and no final float round exists to tie
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div 10000"
+            ).alias("total_value_c"),
         )
         .select(
             F.date_format(F.col("w.start"), _TS_FMT).alias("window_start"),
             "event_type",
             "n_events",
-            "total_value",
+            "total_value_c",
         )
     )
     return run_stream_to_memory(agg, output_mode="complete")
@@ -79,7 +81,9 @@ def stream_static_enrichment_join(spark, sf_dir):
     enriched = ev.join(F.broadcast(customers), "user_id")
     agg = enriched.groupBy("c_mktsegment").agg(
         F.count("*").alias("n_events"),
-        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+        F.expr(
+            "sum(CAST(round(value * 1000000) AS BIGINT)) div 10000"
+        ).alias("total_value_c"),
     )
     return run_stream_to_memory(agg, output_mode="complete")
 
@@ -168,8 +172,8 @@ def stream_stateful_user_profile(spark, sf_dir):
     "stream_ingest_sink_roundtrip",
     oracle="""
     SELECT user_id, count(*)::BIGINT AS n_purchases,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 2) AS total_value
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS total_value_c
     FROM events WHERE event_type = 'purchase' GROUP BY user_id
     """,
 )
@@ -221,11 +225,9 @@ def stream_ingest_sink_roundtrip(spark, sf_dir):
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_purchases"),
-            F.round(
-                F.sum(F.round(F.col("value") * 1000000).cast("long"))
-                / 1000000.0,
-                2,
-            ).alias("total_value"),
+            F.expr(
+                "sum(CAST(round(value * 1000000) AS BIGINT)) div 10000"
+            ).alias("total_value_c"),
         )
     )
 
@@ -235,8 +237,8 @@ def stream_ingest_sink_roundtrip(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*)::BIGINT AS n_events,
-           round(sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
-                 / 1000000.0, 2) AS total_value,
+           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS total_value_c,
            count(DISTINCT event_type)::BIGINT AS n_event_types
     FROM events GROUP BY user_id
     """,
@@ -268,7 +270,7 @@ def stream_tws_user_activity(spark, sf_dir):
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max_by("total_value", "n_events").alias("total_value"),
+        F.max_by("total_value_c", "n_events").alias("total_value_c"),
         F.max_by("n_event_types", "n_events").alias("n_event_types"),
     )
 
@@ -302,7 +304,8 @@ def _gopher_gate_oracle() -> str:
     SELECT source,
            count(*)::BIGINT AS n_docs,
            sum({rule}::INT)::BIGINT AS n_pass,
-           round(sum({rule}::INT) * 1.0 / count(*), 6) AS retention
+           (sum({rule}::INT) * 1000000 // count(*))::BIGINT
+             AS retention_ppm
     FROM tok GROUP BY source
     """
 
@@ -358,7 +361,7 @@ def stream_gopher_quality_gate(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("ok").cast("long").alias("n_pass"),
-            F.round(F.sum("ok") / F.count("*"), 6).alias("retention"),
+            F.expr("sum(ok) * 1000000 div count(*)").alias("retention_ppm"),
         )
     )
     return run_stream_to_memory(agg, output_mode="complete")

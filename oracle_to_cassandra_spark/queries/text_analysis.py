@@ -58,27 +58,37 @@ def token_counts_documents(spark, sf_dir):
     "quality_scores_documents",
     oracle=f"""
     SELECT doc_id,
-           round(len(list_distinct({_TOK})) * 1.0 / greatest(len({_TOK}), 1), 6)
-             AS diversity,
-           round(len(list_filter({_TOK}, t -> t IN {_SW})) * 1.0
-                 / greatest(len({_TOK}), 1), 6) AS stop_ratio,
-           round(0.4 * (len(list_distinct({_TOK})) * 1.0 / greatest(len({_TOK}), 1))
-               + 0.4 * (1 - len(list_filter({_TOK}, t -> t IN {_SW})) * 1.0
-                            / greatest(len({_TOK}), 1))
-               + 0.2 * least(len({_TOK}) / 100.0, 1.0), 6) AS quality
+           (len(list_distinct({_TOK})) * 1000000 // greatest(len({_TOK}), 1))
+             ::BIGINT AS diversity_ppm,
+           (len(list_filter({_TOK}, t -> t IN {_SW})) * 1000000
+            // greatest(len({_TOK}), 1))::BIGINT AS stop_ratio_ppm,
+           {TX.quality_micro_sql(_TOK, _SW)}::BIGINT AS quality_micro
     FROM documents
     """,
 )
 def quality_scores_documents(spark, sf_dir):
     """Quality scoring: vocabulary diversity, stopword density, length
-    credit, composite score — the LLM-corpus filter-stage primitive."""
+    credit, composite score — the LLM-corpus filter-stage primitive.
+    All three columns are EXACT int64 units (ppm ratios + the
+    integer micro composite): the former 6-dp float rounds tie at
+    the half-micro for token counts with an uncancelled 2^7 factor,
+    and the engines round such ties differently."""
     d = load_table(spark, sf_dir, "documents")
     tok = TX.tokens(F.col("text"))
+    n = F.greatest(F.size(tok), F.lit(1)).cast("long")
     return d.select(
         "doc_id",
-        F.round(TX.distinct_ratio(tok), 6).alias("diversity"),
-        F.round(TX.stopword_ratio(tok), 6).alias("stop_ratio"),
-        F.round(TX.quality_score(F.col("text")), 6).alias("quality"),
+        ((F.size(F.array_distinct(tok)).cast("long") * 1000000
+          - (F.size(F.array_distinct(tok)).cast("long") * 1000000) % n) / n)
+        .cast("long")
+        .alias("diversity_ppm"),
+        ((F.size(F.filter(tok, lambda t: t.isin(*TX.EN_STOPWORDS))).cast("long")
+          * 1000000
+          - (F.size(F.filter(tok, lambda t: t.isin(*TX.EN_STOPWORDS))).cast("long")
+             * 1000000) % n) / n)
+        .cast("long")
+        .alias("stop_ratio_ppm"),
+        TX.quality_micro(F.col("text")).alias("quality_micro"),
     )
 
 
@@ -463,8 +473,8 @@ def oov_bigram_novelty(spark, sf_dir):
       FROM tok t JOIN lm l ON t.w = l.w CROSS JOIN total tt
     )
     SELECT source, count(*)::BIGINT AS n_tokens,
-           round((sum(CAST(round(surprise * 1000000) AS BIGINT))::DOUBLE
-                  / 1000000.0) / count(*), 6) AS cross_entropy_nats
+           (sum(CAST(round(surprise * 1000000) AS BIGINT))::BIGINT
+            // count(*)) AS cross_entropy_micro_nats
     FROM scored GROUP BY source
     """,
 )
@@ -500,16 +510,11 @@ def unigram_cross_entropy_per_source(spark, sf_dir):
     )
     return scored.groupBy("source").agg(
         F.count("*").alias("n_tokens"),
-        F.round(
-            (
-                F.sum(F.round(F.col("surprise") * 1000000).cast("long")).cast(
-                    "double"
-                )
-                / 1000000.0
-            )
-            / F.count("*"),
-            6,
-        ).alias("cross_entropy_nats"),
+        # exact micro-nat mean (int64 sum, one int64 div): a float
+        # round over sum/count ties at the half-micro across engines
+        F.expr(
+            "sum(CAST(round(surprise * 1000000) AS BIGINT)) div count(*)"
+        ).alias("cross_entropy_micro_nats"),
     )
 
 

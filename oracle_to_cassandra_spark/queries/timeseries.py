@@ -50,7 +50,7 @@ def forward_fill_last_purchase_value(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*)::BIGINT AS n_gaps,
-           round(sum(gap_s)::BIGINT / count(gap_s), 6) AS avg_gap_s,
+           (sum(gap_s)::BIGINT * 1000000 // count(gap_s)) AS avg_gap_s_e6,
            max(gap_s)::BIGINT   AS max_gap_s
     FROM (
       SELECT user_id,
@@ -77,7 +77,9 @@ def inter_event_gap_stats(spark, sf_dir):
     ).filter(F.col("gap_s").isNotNull())
     return gaps.groupBy("user_id").agg(
         F.count("*").alias("n_gaps"),
-        F.round(F.sum("gap_s") / F.count("gap_s"), 6).alias("avg_gap_s"),
+        # exact micro-second-unit mean (int64 div): round over the
+        # int/int ratio ties at the half-micro across engines
+        F.expr("sum(gap_s) * 1000000 div count(gap_s)").alias("avg_gap_s_e6"),
         F.max("gap_s").alias("max_gap_s"),
     )
 
@@ -155,7 +157,7 @@ def scd2_interval_build(spark, sf_dir):
            round(rev_c / 100.0, 2) AS revenue,
            round(prev_c / 100.0, 2) AS revenue_prev_year,
            CASE WHEN prev_c IS NOT NULL
-                THEN round(rev_c / prev_c - 1.0, 4) END AS yoy_growth
+                THEN (rev_c - prev_c) * 10000 // prev_c END AS yoy_growth_e4
     FROM lagged
     """,
 )
@@ -177,14 +179,19 @@ def monthly_revenue_yoy_growth(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("rev_c")
     )
     w = Window.orderBy("month")
-    prev = F.lag("rev_c", 12).over(w)
-    return monthly.select(
-        F.date_format("month", "yyyy-MM").alias("month"),
-        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
-        F.round(prev / 100.0, 2).alias("revenue_prev_year"),
-        F.when(
-            prev.isNotNull(), F.round(F.col("rev_c") / prev - 1.0, 4)
-        ).alias("yoy_growth"),
+    return (
+        monthly.withColumn("prev_c", F.lag("rev_c", 12).over(w))
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
+            F.round(F.col("prev_c") / 100.0, 2).alias("revenue_prev_year"),
+            # exact e4-unit growth: (Δ·1e4) div prev — int64 in both
+            # engines (negative growth truncates identically toward zero)
+            F.when(
+                F.col("prev_c").isNotNull(),
+                F.expr("(rev_c - prev_c) * 10000 div prev_c"),
+            ).alias("yoy_growth_e4"),
+        )
     )
 
 

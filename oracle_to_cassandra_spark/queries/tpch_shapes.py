@@ -69,8 +69,8 @@ def tpch_q3_shipping_priority(spark, sf_dir):
 @query(
     "tpch_q6_revenue_change",
     oracle="""
-    SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000)
-                        AS BIGINT))::BIGINT / 10000.0, 2) AS revenue,
+    SELECT (sum(CAST(round(l_extendedprice * l_discount * 10000)
+                       AS BIGINT))::BIGINT // 100) AS revenue_c,
            count(*)::BIGINT AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
@@ -92,15 +92,13 @@ def tpch_q6_revenue_change(spark, sf_dir):
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice") * F.col("l_discount") * 10000
-                    ).cast("long")
-                )
-                / 10000.0,
-                2,
-            ).alias("revenue"),
+            # integer cents (int64 div of the exact 1e-4-unit sum): a
+            # final round(sum/1e4, 2) ties at half-cents, where the
+            # engines' round implementations disagree
+            F.expr(
+                """sum(CAST(round(l_extendedprice * l_discount * 10000)
+                           AS BIGINT)) div 100"""
+            ).alias("revenue_c"),
             F.count("*").alias("n_lines"),
         )
     )
@@ -110,9 +108,9 @@ def tpch_q6_revenue_change(spark, sf_dir):
     "tpch_q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name AS n_name,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT))::BIGINT / 10000.0, 0)
-             AS revenue
+           (sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000) AS BIGINT))::BIGINT // 10000)
+             AS revenue_whole
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -143,13 +141,8 @@ def tpch_q10_returned_items(spark, sf_dir):
         ],
     )
     return joined.groupBy("c_custkey", "c_name", "n_name").agg(
-        F.round(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                ).cast("long")
-            )
-            / 10000.0,
-            0,
-        ).alias("revenue")
+        F.expr(
+            """sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) div 10000"""
+        ).alias("revenue_whole")
     )

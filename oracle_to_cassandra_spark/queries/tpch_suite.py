@@ -136,9 +136,9 @@ def tpch_q4_order_priority(spark, sf_dir):
     "tpch_q5_local_supplier_volume",
     oracle="""
     SELECT n.n_name AS n_name,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT))::BIGINT / 10000.0, 0)
-             AS revenue
+           (sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000) AS BIGINT))::BIGINT // 10000)
+             AS revenue_whole
     FROM customer c
     JOIN orders o   ON o.o_custkey  = c.c_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -182,15 +182,10 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.groupBy("n_name").agg(
-        F.round(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                ).cast("long")
-            )
-            / 10000.0,
-            0,
-        ).alias("revenue")
+        F.expr(
+            """sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) div 10000"""
+        ).alias("revenue_whole")
     )
 
 
@@ -199,9 +194,9 @@ def tpch_q5_local_supplier_volume(spark, sf_dir):
     oracle="""
     SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
            year(l.l_shipdate)::INT AS l_year,
-           round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT))::BIGINT / 10000.0, 2)
-             AS revenue
+           (sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000) AS BIGINT))::BIGINT // 100)
+             AS revenue_c
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey  = l.l_orderkey
     JOIN customer c ON c.c_custkey   = o.o_custkey
@@ -253,15 +248,10 @@ def tpch_q7_volume_shipping(spark, sf_dir):
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(
-        F.round(
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
-                ).cast("long")
-            )
-            / 10000.0,
-            2,
-        ).alias("revenue")
+        F.expr(
+            """sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                       AS BIGINT)) div 100"""
+        ).alias("revenue_c")
     )
 
 
@@ -285,11 +275,11 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_5'
-                          THEN CAST(round(volume * 10000) AS BIGINT)
-                          ELSE 0 END)::BIGINT
-                 / sum(CAST(round(volume * 10000) AS BIGINT))::BIGINT, 4)
-             AS mkt_share
+           (sum(CASE WHEN supp_nation = 'NATION_5'
+                     THEN CAST(round(volume * 10000) AS BIGINT)
+                     ELSE 0 END)::BIGINT * 10000
+            // sum(CAST(round(volume * 10000) AS BIGINT))::BIGINT)
+             AS mkt_share_e4
     FROM all_nations GROUP BY o_year
     """,
 )
@@ -330,15 +320,18 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     vol_i = F.round(vol * 10000).cast("long")
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        F.round(
+        # exact e4 share: nation-sum ·1e4, one int64 div by the total
+        (
             F.sum(
                 F.when(F.col("supp_nation") == "NATION_5", vol_i).otherwise(
                     F.lit(0).cast("long")
                 )
             )
-            / F.sum(vol_i),
-            4,
-        ).alias("mkt_share")
+            * 10000
+        ).alias("_num"),
+        F.sum(vol_i).alias("_den"),
+    ).select(
+        "o_year", F.expr("_num div _den").alias("mkt_share_e4")
     )
 
 
@@ -346,10 +339,10 @@ def tpch_q8_market_share(spark, sf_dir):
     "tpch_q9_product_profit",
     oracle="""
     SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
-           round(sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
-                                 - 0.5 * p.p_retailprice * l.l_quantity)
-                                * 10000) AS BIGINT))::BIGINT / 10000.0, 0)
-             AS sum_profit
+           (sum(CAST(round((l.l_extendedprice * (1 - l.l_discount)
+                            - 0.5 * p.p_retailprice * l.l_quantity)
+                           * 10000) AS BIGINT))::BIGINT // 10000)
+             AS sum_profit_whole
     FROM lineitem l
     JOIN part p     ON p.p_partkey  = l.l_partkey AND p.p_name LIKE '%widget%'
     JOIN supplier s ON s.s_suppkey  = l.l_suppkey
@@ -381,12 +374,18 @@ def tpch_q9_product_profit(spark, sf_dir):
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
     )
-    return joined.groupBy(
-        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
-    ).agg(
-        F.round(
-            F.sum(F.round(amount * 10000).cast("long")) / 10000.0, 0
-        ).alias("sum_profit")
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(F.sum(F.round(amount * 10000).cast("long")).alias("profit_i"))
+        # profit can be negative: `div` truncates toward zero in BOTH
+        # engines (verified -7 div 2 == -7 // 2 == -3), so the forms match
+        .select(
+            "nation",
+            "o_year",
+            F.expr("profit_i div 10000").alias("sum_profit_whole"),
+        )
     )
 
 
@@ -399,7 +398,7 @@ def tpch_q9_product_profit(spark, sf_dir):
                  AS BIGINT))::BIGINT AS part_c
       FROM lineitem GROUP BY l_partkey
     )
-    SELECT l_partkey AS p_partkey, round(part_c / 100.0, 0) AS part_value
+    SELECT l_partkey AS p_partkey, part_c AS part_value_c
     FROM value_per_part
     WHERE part_c > (SELECT (sum(part_c)::BIGINT / count(*)) * 1.2
                     FROM value_per_part)
@@ -436,7 +435,7 @@ def tpch_q11_important_stock(spark, sf_dir):
         .filter(F.col("part_c") > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round(F.col("part_c") / 100.0, 0).alias("part_value"),
+            F.col("part_c").alias("part_value_c"),
         )
     )
 
@@ -525,13 +524,13 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 @query(
     "tpch_q14_promo_revenue",
     oracle="""
-    SELECT round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
-                                  THEN CAST(round(l.l_extendedprice
-                                        * (1 - l.l_discount) * 10000) AS BIGINT)
-                                  ELSE 0 END)::BIGINT
-                 / sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                  * 10000) AS BIGINT))::BIGINT, 4)
-             AS promo_revenue
+    SELECT (sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(round(l.l_extendedprice
+                           * (1 - l.l_discount) * 10000) AS BIGINT)
+                     ELSE 0 END)::BIGINT * 1000000
+            // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                             * 10000) AS BIGINT))::BIGINT)
+             AS promo_pct_e4
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
       AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
@@ -554,18 +553,20 @@ def tpch_q14_promo_revenue(spark, sf_dir):
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
-            F.round(
-                F.lit(100.0)
-                * F.sum(
+            # e4 percent units: promo-sum ·1e6, one int64 div by the
+            # total (== percent at 4 dp, with no float round to tie)
+            (
+                F.sum(
                     F.when(
                         F.col("p_type") == "PROMO",
                         F.round(vol * 10000).cast("long"),
                     ).otherwise(F.lit(0).cast("long"))
                 )
-                / F.sum(F.round(vol * 10000).cast("long")),
-                4,
-            ).alias("promo_revenue")
+                * 1000000
+            ).alias("_num"),
+            F.sum(F.round(vol * 10000).cast("long")).alias("_den"),
         )
+        .select(F.expr("_num div _den").alias("promo_pct_e4"))
     )
 
 
@@ -582,7 +583,7 @@ def tpch_q14_promo_revenue(spark, sf_dir):
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name,
-           round(r.rev_i / 10000.0, 0) AS total_revenue
+           (r.rev_i // 10000) AS total_revenue_whole
     FROM supplier s JOIN revenue r ON r.l_suppkey = s.s_suppkey
     WHERE r.rev_i = (SELECT max(rev_i) FROM revenue)
     """,
@@ -615,7 +616,7 @@ def tpch_q15_top_supplier(spark, sf_dir):
         .select(
             "s_suppkey",
             "s_name",
-            F.round(F.col("rev_i") / 10000.0, 0).alias("total_revenue"),
+            F.expr("rev_i div 10000").alias("total_revenue_whole"),
         )
     )
 
@@ -673,8 +674,8 @@ def tpch_q16_supplier_part_counts(spark, sf_dir):
       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
       WHERE p.p_brand = 'Brand#23'
     )
-    SELECT round((sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
-                  / 100.0) / 7.0, 2) AS avg_yearly,
+    SELECT (sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT // 7)
+             AS avg_yearly_c,
            count(*)::BIGINT AS n_small_lines
     FROM brand_lines WHERE l_quantity < 0.5 * avg_qty
     """,
@@ -700,12 +701,11 @@ def tpch_q17_small_quantity_revenue(spark, sf_dir):
     return (
         lines.filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .agg(
-            F.round(
-                (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
-                 / 100.0)
-                / 7.0,
-                2,
-            ).alias("avg_yearly"),
+            # exact cents-per-year: int64 cents sum div 7 — the float
+            # (sum/100)/7 form ties at half-cents across engines
+            F.expr(
+                "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) div 7"
+            ).alias("avg_yearly_c"),
             F.count("*").alias("n_small_lines"),
         )
     )
@@ -764,9 +764,9 @@ def tpch_q18_large_volume_customers(spark, sf_dir):
 @query(
     "tpch_q19_disjunctive_predicates",
     oracle="""
-    SELECT round(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                                * 10000) AS BIGINT))::BIGINT / 10000.0, 2)
-             AS revenue,
+    SELECT (sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                           * 10000) AS BIGINT))::BIGINT // 100)
+             AS revenue_c,
            count(*)::BIGINT AS n_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
@@ -812,17 +812,10 @@ def tpch_q19_disjunctive_predicates(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(branch)
         .agg(
-            F.round(
-                F.sum(
-                    F.round(
-                        F.col("l_extendedprice")
-                        * (1 - F.col("l_discount"))
-                        * 10000
-                    ).cast("long")
-                )
-                / 10000.0,
-                2,
-            ).alias("revenue"),
+            F.expr(
+                """sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                           AS BIGINT)) div 100"""
+            ).alias("revenue_c"),
             F.count("*").alias("n_lines"),
         )
     )

@@ -14,6 +14,7 @@ from oracle_to_cassandra_spark.queries.text_analysis import (
 )
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
+from oracle_to_cassandra_spark.staging import stage
 
 _TOKENS = "len(string_split(lower(text), ' '))"
 PACK_BUDGET = 512
@@ -201,8 +202,8 @@ def _leakage_oracle() -> str:
     SELECT least(sa.split, sb.split)    AS split_lo,
            greatest(sa.split, sb.split) AS split_hi,
            count(*)::BIGINT             AS n_pairs,
-           round((sum(CAST(round(p.jaccard * 1000000) AS BIGINT))::BIGINT
-                  / 1000000.0) / count(p.jaccard), 6) AS avg_jaccard,
+           (sum(p.jaccard_ppm)::BIGINT // count(p.jaccard_ppm))
+             AS avg_jaccard_ppm,
            (least(sa.split, sb.split) <> greatest(sa.split, sb.split))
              AS is_leakage
     FROM pairs p
@@ -252,14 +253,10 @@ def split_leakage_audit(spark, sf_dir):
         attached.groupBy(lo.alias("split_lo"), hi.alias("split_hi"))
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(
-                (
-                    F.sum(F.round(F.col("jaccard") * 1000000).cast("long"))
-                    / 1000000.0
-                )
-                / F.count("jaccard"),
-                6,
-            ).alias("avg_jaccard"),
+            # exact integer mean of the pipeline's int64 ppm column
+            F.expr("sum(jaccard_ppm) div count(jaccard_ppm)").alias(
+                "avg_jaccard_ppm"
+            ),
         )
         .withColumn("is_leakage", F.col("split_lo") != F.col("split_hi"))
     )
@@ -343,8 +340,8 @@ def packed_sequence_offsets(spark, sf_dir):
            count(*)::BIGINT AS n_values,
            sum(CASE WHEN d.v < p.p01 OR d.v > p.p99 THEN 1 ELSE 0 END)::BIGINT
              AS n_clipped,
-           round(sum(CASE WHEN d.v < p.p01 OR d.v > p.p99 THEN 1 ELSE 0 END)
-                 * 1.0 / count(*), 6) AS clip_frac
+           (sum(CASE WHEN d.v < p.p01 OR d.v > p.p99 THEN 1 ELSE 0 END)
+            * 1000000 // count(*))::BIGINT AS clip_ppm
     FROM dims d JOIN pct p USING (pos)
     GROUP BY d.pos, p.p01, p.p99
     """,
@@ -384,9 +381,16 @@ def embedding_winsorization_stats(spark, sf_dir):
         .agg(
             F.count("*").alias("n_values"),
             F.sum(clipped).cast("long").alias("n_clipped"),
-            F.round(F.sum(clipped) / F.count("*"), 6).alias("clip_frac"),
+            (F.sum(clipped) * 1000000).cast("long").alias("_clip_n"),
         )
-        .select("pos", "p01", "p99", "n_values", "n_clipped", "clip_frac")
+        .select(
+            "pos",
+            "p01",
+            "p99",
+            "n_values",
+            "n_clipped",
+            F.expr("_clip_n div n_values").alias("clip_ppm"),
+        )
     )
 
 
@@ -469,8 +473,8 @@ def rag_chunking_overlap(spark, sf_dir):
     )
     SELECT lang, tier, split,
            count(*)::BIGINT AS n_docs,
-           round(count(*) * 1.0 / sum(count(*))
-                 OVER (PARTITION BY lang, tier), 6) AS achieved_ratio
+           (count(*) * 1000000 // sum(count(*))
+            OVER (PARTITION BY lang, tier))::BIGINT AS achieved_ppm
     FROM tagged GROUP BY lang, tier, split
     """.replace("{tok}", "string_split(lower(text), ' ')"),
 )
@@ -501,14 +505,15 @@ def stratified_split_audit(spark, sf_dir):
         F.count("*").alias("n_docs")
     )
     w = Window.partitionBy("lang", "tier")
-    return counts.select(
-        "lang",
-        "tier",
-        "split",
-        "n_docs",
-        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias(
-            "achieved_ratio"
-        ),
+    return (
+        counts.withColumn("tot", F.sum("n_docs").over(w))
+        .select(
+            "lang",
+            "tier",
+            "split",
+            "n_docs",
+            F.expr("n_docs * 1000000 div tot").alias("achieved_ppm"),
+        )
     )
 
 
@@ -1005,8 +1010,10 @@ def weighted_systematic_sample(spark, sf_dir):
         key.alias("key"),
         (key % N_ID_BLOCKS).alias("block"),
     )
-    tot = wdoc.agg(F.sum("w").alias("w_total"))
-    counts = wdoc.groupBy("block").agg(F.sum("w").alias("bw"))
+    # the 32-row block table feeds BOTH the offsets and the grand
+    # total — staged so the corpus-wide weight aggregate runs once
+    counts = stage(wdoc.groupBy("block").agg(F.sum("w").alias("bw")))
+    tot = counts.agg(F.sum("bw").alias("w_total"))
     w_off = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "block", F.coalesce(F.sum("bw").over(w_off), F.lit(0)).alias("offset")

@@ -121,29 +121,36 @@ def running_total_per_customer(spark, sf_dir):
     "moving_avg_3_orders",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round((sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+           (sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT / 100.0)
-             / count(*) OVER (
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)::BIGINT
+            // count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS avg3
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS avg3_c
     FROM orders
     """,
 )
 def moving_avg_3_orders(spark, sf_dir):
     """Bounded ROWS frame: 3-row moving average."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
-    return load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(
-            (
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w)
-                / 100.0
-            )
-            / F.count("*").over(w),
-            6,
-        ).alias("avg3"),
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .over(w)
+            .alias("s_c"),
+            F.count("*").over(w).alias("n_w"),
+        )
+        # exact integer-cents window mean (int64 div): the float form
+        # ties at the half-cent whenever the frame count divides the
+        # cents sum on a half
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.expr("s_c div n_w").alias("avg3_c"),
+        )
     )
 
 

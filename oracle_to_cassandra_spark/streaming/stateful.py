@@ -6,6 +6,15 @@ time) across micro-batches; emits the updated profile each batch.
 State is bounded per key; with a watermark upstream, expired keys are
 timed out (here ``NoTimeout`` since local verification is one batch).
 
+Exactness: the value column is quantized to int64 MICRO-units in the
+JVM (``F.round(value*1e6)`` — the same expression the batch twins and
+DuckDB oracles run) BEFORE crossing the Arrow boundary, so the Python
+side only ever sums integers. A pandas ``.round()`` here would be
+half-to-EVEN while SQL round is half-away — a rounding-mode mismatch
+inside the exactnum contract. Totals are emitted as integer CENTS
+(truncating int division, matching Spark ``div`` / DuckDB ``//``),
+never as a final float round.
+
 Scale notes: state lives in the executors' state store partitioned by
 the grouping key — the same shuffle boundary as a groupBy. Arrow moves
 each group's rows into pandas in batches; keep per-key state small
@@ -18,12 +27,30 @@ from collections.abc import Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = (
-    "user_id LONG, n_events LONG, total_value DOUBLE, last_ts TIMESTAMP"
+    "user_id LONG, n_events LONG, total_value_c LONG, last_ts TIMESTAMP"
 )
 STATE_SCHEMA = "n LONG, total_u LONG, last_ts TIMESTAMP"
+
+
+def _micro_to_cents(total_u: int) -> int:
+    """micro-units → cents with truncation toward zero — the exact
+    semantics of Spark ``div`` and DuckDB ``//`` (verified: both give
+    -7÷2 → -3), so the Python emission matches the SQL twins even for
+    negative running totals."""
+    q = abs(total_u) // 10_000
+    return q if total_u >= 0 else -q
+
+
+def _quantized(events: DataFrame) -> DataFrame:
+    """JVM-side micro-unit quantization — identical expression to the
+    batch twins/oracles, so the Arrow boundary carries exact int64."""
+    return events.withColumn(
+        "value_u", F.round(F.col("value") * 1000000).cast("long")
+    )
 
 
 def _update_user_profile(
@@ -33,10 +60,9 @@ def _update_user_profile(
     n, total_u, last_ts = state.get if state.exists else (0, 0, None)
     for pdf in pdfs:
         n += len(pdf)
-        # integer MICRO-units in state: per-row round then exact int
-        # sum, so the running total is independent of batch slicing
-        # and float accumulation order (the r8 exactnum contract)
-        total_u += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+        # exact int64 sum of JVM-quantized micro-units: independent of
+        # batch slicing, accumulation order, and pandas rounding modes
+        total_u += int(pdf["value_u"].sum())
         batch_max = pdf["ts"].max()
         last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
     state.update((n, total_u, last_ts))
@@ -44,7 +70,7 @@ def _update_user_profile(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [round(total_u / 1_000_000.0, 2)],
+            "total_value_c": [_micro_to_cents(total_u)],
             "last_ts": [last_ts],
         }
     )
@@ -53,7 +79,7 @@ def _update_user_profile(
 def user_profile_stream(events: DataFrame) -> DataFrame:
     """Stateful per-user profile over a stream of events."""
     return (
-        events.select("user_id", "ts", "value")
+        _quantized(events).select("user_id", "ts", "value_u")
         .groupBy("user_id")
         .applyInPandasWithState(
             _update_user_profile,
@@ -73,7 +99,7 @@ from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
 )
 
 TWS_OUTPUT_SCHEMA = (
-    "user_id LONG, n_events LONG, total_value DOUBLE, n_event_types LONG"
+    "user_id LONG, n_events LONG, total_value_c LONG, n_event_types LONG"
 )
 
 
@@ -101,9 +127,7 @@ class UserActivityProcessor(StatefulProcessor):
         n, total_u = self._agg.get() if self._agg.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            total_u += int(
-                pdf["value"].mul(1_000_000).round().astype("int64").sum()
-            )
+            total_u += int(pdf["value_u"].sum())
             for t, c in pdf["event_type"].value_counts().items():
                 prev = (
                     self._by_type.getValue((t,))[0]
@@ -117,7 +141,7 @@ class UserActivityProcessor(StatefulProcessor):
             {
                 "user_id": [user_id],
                 "n_events": [n],
-                "total_value": [round(total_u / 1_000_000.0, 2)],
+                "total_value_c": [_micro_to_cents(total_u)],
                 "n_event_types": [n_types],
             }
         )
@@ -149,14 +173,14 @@ def _update_user_activity_fallback(
     seen = set(types)
     for pdf in pdfs:
         n += len(pdf)
-        total_u += int(pdf["value"].mul(1_000_000).round().astype("int64").sum())
+        total_u += int(pdf["value_u"].sum())
         seen.update(pdf["event_type"].dropna().unique().tolist())
     state.update((n, total_u, sorted(seen)))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
             "n_events": [n],
-            "total_value": [round(total_u / 1_000_000.0, 2)],
+            "total_value_c": [_micro_to_cents(total_u)],
             "n_event_types": [len(seen)],
         }
     )
@@ -169,7 +193,11 @@ def user_activity_tws_stream(events: DataFrame) -> DataFrame:
     SAME cumulative-emission semantics run on applyInPandasWithState,
     so the output contract (and the DuckDB oracle that checks it) is
     identical on both paths."""
-    keyed = events.select("user_id", "event_type", "value").groupBy("user_id")
+    keyed = (
+        _quantized(events)
+        .select("user_id", "event_type", "value_u")
+        .groupBy("user_id")
+    )
     if _tws_available():
         return keyed.transformWithStateInPandas(
             UserActivityProcessor(),

@@ -76,7 +76,7 @@ def test_weighted_sample_is_valid_sample(spark):
     assert len(rows) == 20
     assert len({r["doc_id"] for r in rows}) == 20
     assert sorted(r["rnk"] for r in rows) == list(range(1, 21))
-    assert all(r["weight"] > 0 for r in rows)
+    assert all(r["weight_ppm"] > 0 for r in rows)
 
 
 def test_psi_terms_nonnegative_with_spine(spark):
@@ -102,12 +102,15 @@ def test_snapshot_delta_broadcast_membership(spark):
 
 
 def test_transition_probs_sum_to_one(spark):
-    """Per prev_type the transition probabilities must sum to ~1."""
+    """Per prev_type the transition ppm shares must sum to ~1e6
+    (floor division under-counts by at most one ppm per row)."""
     df = E.queries()["event_transition_matrix"](spark, SF_DIR)
     bad = (
         df.groupBy("prev_type")
-        .agg(F.round(F.sum("transition_prob"), 2).alias("s"))
-        .filter(F.abs(F.col("s") - 1.0) > 0.02)
+        .agg(F.sum("transition_ppm").alias("s"), F.count("*").alias("k"))
+        .filter(
+            (F.col("s") > 1_000_000) | (F.col("s") < 1_000_000 - F.col("k"))
+        )
         .count()
     )
-    assert bad == 0, "a transition row does not normalize to 1"
+    assert bad == 0, "a transition row does not normalize to 1e6 ppm"

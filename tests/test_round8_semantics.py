@@ -12,21 +12,33 @@ from tests.conftest import SF_DIR
 
 
 def test_systematic_sample_grid_count(spark):
-    """Systematic sampling selects EXACTLY one doc per grid point:
-    total selected == w_total div step, independent of how weights
-    are distributed (each multiple of `step` in (0, w_total] lands in
-    exactly one doc's half-open cumulative interval)."""
+    """Systematic sampling selects exactly the docs whose cumulative
+    interval contains >= 1 grid point. Re-derive that count with an
+    independent driver-side walk over the per-doc weights (grid points
+    minus the collapse when one doc spans several points — docs
+    heavier than `step` are selected once, not multiple times)."""
     from oracle_to_cassandra_spark.queries.training_prep import SAMPLE_TARGET
     from oracle_to_cassandra_spark.sources import load_table
 
     df = E.queries()["weighted_systematic_sample"](spark, SF_DIR)
     n_selected = df.agg(F.sum("n_selected")).collect()[0][0]
-    w_total = (
-        load_table(spark, SF_DIR, "documents")
-        .agg(F.sum(F.greatest(F.col("n_chars"), F.lit(1))))
-        .collect()[0][0]
-    )
+    weights = [
+        r["w"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select(F.greatest(F.col("n_chars"), F.lit(1)).alias("w"))
+        .collect()
+    ]
+    w_total = sum(weights)
     step = max(w_total // SAMPLE_TARGET, 1)
+    # order-independent: how many docs contain >=1 grid point depends
+    # on the interval layout, but SUM over docs of min(points_in, 1)
+    # == n_grid_points - sum(points_in - 1 over multi-point docs);
+    # multi-point docs require w > step, so when max(w) <= step the
+    # count is exactly w_total // step regardless of ordering.
+    assert max(weights) <= step, (
+        "fixture grew a doc heavier than the grid step — rewrite this "
+        "test to walk the hash ordering instead of using the closed form"
+    )
     assert n_selected == w_total // step, (
         f"grid selected {n_selected} docs, expected {w_total // step}"
     )

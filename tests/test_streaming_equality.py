@@ -14,9 +14,16 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 import __spark_entry__ as E
-from oracle_to_cassandra_spark.functions.exactnum import exact_sum
 from oracle_to_cassandra_spark.sources import load_table
 from tests.conftest import SF_DIR
+
+
+def _cents():
+    """Batch-twin cents expression — exact int64 micro-unit sum, one
+    truncating integer division, no final float round. (Function, not
+    module constant: F.expr needs an active session.)"""
+    return F.expr("sum(CAST(round(value * 1000000) AS BIGINT)) div 10000")
+
 
 
 def _rows(df, cols):
@@ -27,7 +34,7 @@ def test_stream_tumbling_equals_batch(spark):
     qs = E.queries()
     stream = qs["stream_tumbling_event_counts"](spark, SF_DIR)
     batch = qs["tumbling_daily_event_counts"](spark, SF_DIR)
-    cols = ["window_start", "event_type", "n_events", "total_value"]
+    cols = ["window_start", "event_type", "n_events", "total_value_c"]
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
@@ -51,10 +58,10 @@ def test_stream_enrichment_equals_batch_join(spark):
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_events"),
-            exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+            _cents().alias("total_value_c"),
         )
     )
-    cols = ["c_mktsegment", "n_events", "total_value"]
+    cols = ["c_mktsegment", "n_events", "total_value_c"]
     assert _rows(stream, cols) == _rows(batch, cols)
 
 
@@ -86,18 +93,18 @@ def test_stream_stateful_profile_equals_batch_agg(spark):
     # (max(total_value) from a non-final emission).
     final = stream.groupBy("user_id").agg(
         F.max_by(
-            F.struct("n_events", "total_value", "last_ts"), "n_events"
+            F.struct("n_events", "total_value_c", "last_ts"), "n_events"
         ).alias("f")
     ).select(
-        "user_id", F.col("f.n_events"), F.col("f.total_value"), F.col("f.last_ts")
+        "user_id", F.col("f.n_events"), F.col("f.total_value_c"), F.col("f.last_ts")
     )
     ev = load_table(spark, SF_DIR, "events")
     batch = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+        _cents().alias("total_value_c"),
         F.max("ts").alias("last_ts"),
     )
-    cols = ["user_id", "n_events", "total_value", "last_ts"]
+    cols = ["user_id", "n_events", "total_value_c", "last_ts"]
     assert _rows(final, cols) == _rows(batch, cols)
 
 
@@ -113,7 +120,7 @@ def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
     ev = read_events_stream(spark, SF_DIR)
     agg = ev.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
-        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+        _cents().alias("total_value_c"),
     )
 
     def write_batch(batch_df, batch_id):
@@ -135,7 +142,7 @@ def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
     got = sorted(
         tuple(r)
         for r in spark.read.parquet(out_dir)
-        .select("event_type", "n_events", "total_value")
+        .select("event_type", "n_events", "total_value_c")
         .collect()
     )
     ev_b = load_table(spark, SF_DIR, "events")
@@ -144,7 +151,7 @@ def test_stream_foreachbatch_parquet_sink(spark, tmp_path):
         for r in ev_b.groupBy("event_type")
         .agg(
             F.count("*").alias("n_events"),
-            exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+            _cents().alias("total_value_c"),
         )
         .collect()
     )
@@ -244,15 +251,18 @@ def test_tws_processor_cumulative_semantics():
 
     p = UserActivityProcessor()
     p.init(_FakeHandle())
-    b1 = pd.DataFrame({"event_type": ["a", "b", "a"], "value": [1.0, 2.0, 3.0]})
+    # the stream feeds JVM-quantized micro-units (value_u)
+    b1 = pd.DataFrame(
+        {"event_type": ["a", "b", "a"], "value_u": [1_000_000, 2_000_000, 3_000_000]}
+    )
     (out1,) = p.handleInputRows((7,), iter([b1]), None)
     assert out1.iloc[0].to_dict() == {
-        "user_id": 7, "n_events": 3, "total_value": 6.0, "n_event_types": 2,
+        "user_id": 7, "n_events": 3, "total_value_c": 600, "n_event_types": 2,
     }
-    b2 = pd.DataFrame({"event_type": ["c"], "value": [0.5]})
+    b2 = pd.DataFrame({"event_type": ["c"], "value_u": [500_000]})
     (out2,) = p.handleInputRows((7,), iter([b2]), None)
     assert out2.iloc[0].to_dict() == {
-        "user_id": 7, "n_events": 4, "total_value": 6.5, "n_event_types": 3,
+        "user_id": 7, "n_events": 4, "total_value_c": 650, "n_event_types": 3,
     }
 
 
@@ -265,8 +275,8 @@ def test_tws_stream_equals_batch_agg(spark):
     ev = load_table(spark, SF_DIR, "events")
     batch = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
-        exact_sum(F.col("value"), 2, 1000000).alias("total_value"),
+        _cents().alias("total_value_c"),
         F.count_distinct("event_type").alias("n_event_types"),
     )
-    cols = ["user_id", "n_events", "total_value", "n_event_types"]
+    cols = ["user_id", "n_events", "total_value_c", "n_event_types"]
     assert _rows(final, cols) == _rows(batch, cols)

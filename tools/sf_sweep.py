@@ -100,7 +100,9 @@ def main() -> int:
     with open(out_path, "w") as fh:
         json.dump({"summary": summary, "queries": report}, fh, indent=1)
     print(json.dumps(summary))
-    return 1 if n_fail else 0
+    # exit reflects the MERGED report, so the last chunked invocation
+    # fails if any earlier slice recorded a failure
+    return 1 if summary["n_fail"] else 0
 
 
 if __name__ == "__main__":
