@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from oracle_to_cassandra_spark.operators import dedup as D
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
+from oracle_to_cassandra_spark.staging import stage
 
 
 @query(
@@ -518,13 +519,20 @@ def shingle_width_sensitivity(spark, sf_dir):
     Scale: two independent runs of the already-bucketed pipeline
     (each stages its own shingle table once, bands bound every join)
     plus a pair-key equi-join of two candidate-sized tables and three
-    scalar aggregates. Nothing scales with n² of the corpus."""
+    scalar aggregates. Nothing scales with n² of the corpus. Each
+    pair set feeds TWO consumers (its own count + the containment
+    join), so both are staged — without it the full MinHash→LSH→
+    verify pipeline would execute twice per width."""
     docs = load_table(spark, sf_dir, "documents")
-    p3 = D.jaccard_verified_pairs(docs, threshold=0.6, k=3).select(
-        "doc_a", "doc_b"
+    p3 = stage(
+        D.jaccard_verified_pairs(docs, threshold=0.6, k=3).select(
+            "doc_a", "doc_b"
+        )
     )
-    p5 = D.jaccard_verified_pairs(docs, threshold=0.6, k=5).select(
-        "doc_a", "doc_b"
+    p5 = stage(
+        D.jaccard_verified_pairs(docs, threshold=0.6, k=5).select(
+            "doc_a", "doc_b"
+        )
     )
     n3 = p3.agg(F.count("*").alias("n_pairs_w3"))
     n5 = p5.agg(F.count("*").alias("n_pairs_w5"))

@@ -97,8 +97,11 @@ def main() -> int:
         "sec": round(time.time() - t_start, 1),
         "failures": sorted(n for n, r in report.items() if not r["ok"]),
     }
-    with open(out_path, "w") as fh:
-        json.dump({"summary": summary, "queries": report}, fh, indent=1)
+    # name-filtered probe runs print their summary but do NOT clobber
+    # the durable full-surface report
+    if not only:
+        with open(out_path, "w") as fh:
+            json.dump({"summary": summary, "queries": report}, fh, indent=1)
     print(json.dumps(summary))
     # exit reflects the MERGED report, so the last chunked invocation
     # fails if any earlier slice recorded a failure
