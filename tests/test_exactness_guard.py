@@ -232,3 +232,19 @@ def test_div_audited_counts_are_tight():
     assert counts == _DIV_AUDITED, (
         f"live={counts} audited={_DIV_AUDITED} — reconcile the budgets"
     )
+
+
+# --- live pin: integer-division semantics across engines --------------
+#
+# The integer-units means emitted by exact_avg_units rely on Spark's
+# `div` and DuckDB's `//` agreeing on NEGATIVE operands. Both truncate
+# toward zero (unlike Python's floor //): -7 div 2 == -7 // 2 == -3.
+# Pinned live so an engine upgrade that changes either semantic fails
+# here instead of as a driver hash mismatch on a negative-mean column.
+
+
+def test_integer_division_truncates_toward_zero_in_both_engines(spark, duck):
+    cases = "SELECT -7 {d} 2 AS a, 7 {d} -2 AS b, -7 {d} -2 AS c, 7 {d} 2 AS d"
+    srow = spark.sql(cases.format(d="div")).collect()[0]
+    drow = duck.execute(cases.format(d="//")).fetchone()
+    assert tuple(srow) == tuple(drow) == (-3, -3, 3, 3)
