@@ -16,6 +16,9 @@ Usage:
                                                     # list (chunked runs
                                                     # under a per-process
                                                     # wall-clock cap)
+    python tools/sf_sweep.py [sf_dir] --out F.json  # report filename
+                                                    # (e.g. the stress
+                                                    # dataset's report)
 
 Writes a one-line JSON summary to stdout and a full per-query report
 to SWEEP_LOCAL.json (--slice merges into the existing report instead
@@ -38,9 +41,13 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rest = sys.argv[2:]
     sl = None
-    if rest and rest[0] == "--slice":
-        i, j = rest[1].split(":")
-        sl, rest = (int(i), int(j)), rest[2:]
+    out_name = "SWEEP_LOCAL.json"
+    while rest and rest[0] in ("--slice", "--out"):
+        if rest[0] == "--slice":
+            i, j = rest[1].split(":")
+            sl, rest = (int(i), int(j)), rest[2:]
+        else:
+            out_name, rest = rest[1], rest[2:]
     only = rest
 
     from oracle_to_cassandra_spark.session import get_spark
@@ -83,7 +90,7 @@ def main() -> int:
                 file=sys.stderr,
             )
 
-    out_path = os.path.join(ROOT, "SWEEP_LOCAL.json")
+    out_path = os.path.join(ROOT, out_name)
     if sl is not None and os.path.exists(out_path):
         with open(out_path) as fh:
             prior = json.load(fh).get("queries", {})
@@ -98,7 +105,7 @@ def main() -> int:
         "failures": sorted(n for n, r in report.items() if not r["ok"]),
     }
     # name-filtered probe runs print their summary but do NOT clobber
-    # the durable full-surface report
+    # the durable report
     if not only:
         with open(out_path, "w") as fh:
             json.dump({"summary": summary, "queries": report}, fh, indent=1)
