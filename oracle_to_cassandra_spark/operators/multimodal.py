@@ -815,12 +815,18 @@ def plant_tar_blobs(documents: DataFrame) -> DataFrame:
                 with tarfile.open(
                     fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
                 ) as tf:
-                    for name, data in (
-                        (f"{doc_id}.txt", text.encode("utf-8")),
-                        (f"{doc_id}.json",
-                         f'{{"doc_id": {doc_id}}}'.encode("ascii")),
-                        (f"{doc_id}.lang", lang.encode("ascii")),
-                    ):
+                    # WebDataset members are OPTIONAL per sample: a
+                    # missing (NULL) field has no member at all — it
+                    # does not serialize as an empty or sentinel file
+                    members = [
+                        (f"{doc_id}.txt", text),
+                        (f"{doc_id}.json", f'{{"doc_id": {doc_id}}}'),
+                        (f"{doc_id}.lang", lang),
+                    ]
+                    for name, payload in members:
+                        if payload is None:
+                            continue
+                        data = payload.encode("utf-8")
                         info = tarfile.TarInfo(name=name)
                         info.size = len(data)
                         info.mtime = 0  # determinism: no wall clock

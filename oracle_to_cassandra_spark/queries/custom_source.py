@@ -303,11 +303,11 @@ def dead_letter_replay_recovery(spark, sf_dir):
 @query(
     "xpath_sidecar_extraction",
     oracle="""
-    SELECT lang,
+    SELECT coalesce(lang, '') AS lang,
            count(*)::BIGINT AS n_docs,
            sum(doc_id)::BIGINT AS id_checksum
     FROM documents WHERE doc_id % 3 = 0
-    GROUP BY lang
+    GROUP BY coalesce(lang, '')
     """,
 )
 def xpath_sidecar_extraction(spark, sf_dir):
@@ -319,13 +319,20 @@ def xpath_sidecar_extraction(spark, sf_dir):
     xpath (wrong axis, missed text node) breaks the checksum.
 
     Scale: xpath expressions are JVM codegen over the string column —
-    sidecar parsing at scan speed, no Python."""
+    sidecar parsing at scan speed, no Python.
+
+    XML cannot represent NULL: a missing language serializes as the
+    EMPTY element ``<lang></lang>`` and round-trips as '' (what
+    ``xpath_string`` returns for empty text), so both engines group
+    null-lang docs under '' — an uncoalesced NULL would instead null
+    the whole ``concat``'d sidecar and vanish the rows on the Spark
+    side only (null-injection stress sweep)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     sidecar = F.concat(
         F.lit("<meta><id>"),
         F.col("doc_id").cast("string"),
         F.lit("</id><lang>"),
-        F.col("lang"),
+        F.coalesce(F.col("lang"), F.lit("")),
         F.lit("</lang></meta>"),
     )
     parsed = d.select(sidecar.alias("xml")).select(

@@ -56,7 +56,8 @@ _CARD_SQL = f"""
       SELECT source, lang AS top_lang, share_ppm AS top_lang_share_ppm FROM (
         SELECT source, lang,
                row_number() OVER (PARTITION BY source
-                                  ORDER BY c DESC, lang) AS rn,
+                                  ORDER BY c DESC,
+                                           lang NULLS FIRST) AS rn,
                (c * 1000000 // sum(c) OVER (PARTITION BY source))::BIGINT
                  AS share_ppm
         FROM lc
@@ -103,7 +104,12 @@ def dataset_card_per_source(spark, sf_dir):
         F.count_distinct("lang").alias("n_langs"),
     )
     lc = per_doc.groupBy("source", "lang").agg(F.count("*").alias("c"))
-    w_rank = Window.partitionBy("source").orderBy(F.desc("c"), "lang")
+    # lang is a nullable tiebreak: NULL placement pinned explicitly
+    # (Spark ASC defaults nulls-first, DuckDB nulls-last — the
+    # null-injection stress class; see tests/test_null_robustness_guard)
+    w_rank = Window.partitionBy("source").orderBy(
+        F.desc("c"), F.asc_nulls_first("lang")
+    )
     w_tot = Window.partitionBy("source")
     top_lang = (
         lc.withColumn("rn", F.row_number().over(w_rank))

@@ -469,7 +469,7 @@ def multimodal_y4m_temporal_fingerprint(spark, sf_dir):
              doc_id::VARCHAR || '.txt' AS member_name,
              octet_length(encode(text))::BIGINT AS member_size,
              md5(text) AS content_md5
-      FROM documents WHERE doc_id % 4 = 1
+      FROM documents WHERE doc_id % 4 = 1 AND text IS NOT NULL
       UNION ALL
       SELECT doc_id,
              doc_id::VARCHAR || '.json',
@@ -481,7 +481,7 @@ def multimodal_y4m_temporal_fingerprint(spark, sf_dir):
              doc_id::VARCHAR || '.lang',
              octet_length(encode(lang))::BIGINT,
              md5(lang)
-      FROM documents WHERE doc_id % 4 = 1
+      FROM documents WHERE doc_id % 4 = 1 AND lang IS NOT NULL
     )
     """,
 )
@@ -496,7 +496,10 @@ def multimodal_tar_webdataset_decode(spark, sf_dir):
     data, seek past the padding. One row per member with an md5
     content digest the oracle recomputes from the source columns —
     any header-arithmetic or padding bug breaks a size, a name, or a
-    digest.
+    digest. Members are OPTIONAL per sample (the WebDataset contract):
+    a NULL field plants no member and the oracle's per-member branch
+    filters the same rows out, so null-lang documents ship 2-member
+    samples on both sides.
 
     Scale: tar shards are read SEQUENTIALLY (pointer arithmetic per
     member, no random access) — the property that lets a 100 TB

@@ -44,6 +44,7 @@ def struct_pack_unpack(spark, sf_dir):
     SELECT event_id, 'k' AS prop_key,
            json_extract_string(props, '$.k')::INT AS prop_value
     FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
     """,
 )
 def json_to_map_explode(spark, sf_dir):
@@ -51,7 +52,12 @@ def json_to_map_explode(spark, sf_dir):
     property-bag flattening (schema-free JSON handled without a
     per-field parse). The Spark side is fully generic (any key set);
     the oracle exploits the fixture's known single-key props shape
-    because this DuckDB build lacks the json_each table function."""
+    because this DuckDB build lacks the json_each table function.
+    The oracle filter mirrors explode's NULL semantics: a row whose
+    props is NULL (or lacks the key) produces a NULL/empty map and
+    explode emits NOTHING for it — without the filter the oracle
+    emits a NULL-valued row per such event and the engines diverge
+    the moment props acquires NULLs (null-injection stress sweep)."""
     ev = load_table(spark, sf_dir, "events")
     m = ev.withColumn("props_map", F.from_json("props", "map<string,int>"))
     return m.select(

@@ -384,7 +384,13 @@ def url_parse_host_rollup(spark, sf_dir):
 
     Scale: parse_url is JVM codegen; host extraction at scan speed
     feeds the same broadcast-quota join `quota_cap_per_source`
-    demonstrates."""
+    demonstrates.
+
+    A NULL lang must not null the whole URL (``concat`` propagates
+    NULL through every argument — a null-lang page would silently
+    fall out of its host's rollup into a NULL-host group): the query
+    parameter is coalesced to the empty value, the serialization a
+    real URL builder produces for a missing field."""
     d = load_table(spark, sf_dir, "documents")
     url = F.concat(
         F.lit("https://crawl-"),
@@ -392,7 +398,7 @@ def url_parse_host_rollup(spark, sf_dir):
         F.lit(".example.com/docs/"),
         F.col("doc_id").cast("string"),
         F.lit("?lang="),
-        F.col("lang"),
+        F.coalesce(F.col("lang"), F.lit("")),
     )
     parsed = d.select(url.alias("u")).select(
         F.parse_url(F.col("u"), F.lit("HOST")).alias("host"),

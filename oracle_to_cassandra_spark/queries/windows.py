@@ -198,15 +198,21 @@ def ntile_quartiles(spark, sf_dir):
     "percent_rank_cume_dist",
     oracle="""
     SELECT c_custkey,
-           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
-           round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+           round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS FIRST), 6) AS pr,
+           round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal NULLS FIRST), 6) AS cd
     FROM customer
     """,
 )
 def percent_rank_cume_dist(spark, sf_dir):
     """Distribution functions — tie rows receive equal values on both
-    sides, so no tie-break needed."""
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    sides, so no tie-break needed. NULL placement is pinned explicitly
+    (NULLS FIRST both engines): Spark's ASC default is nulls-first,
+    DuckDB's is nulls-last, so an unpinned ORDER BY over a nullable
+    sort key silently diverges the moment the column acquires NULLs
+    (caught by the null-injection stress sweep, NULL_SWEEP.json)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_first("c_acctbal")
+    )
     return load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.round(F.percent_rank().over(w), 6).alias("pr"),
@@ -254,11 +260,13 @@ def first_last_value_frames(spark, sf_dir):
            CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT)
              AS cume_dist_ppm,
            CAST(round(nth_value(c_acctbal, 3) OVER (
-             PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey
+             PARTITION BY c_mktsegment
+             ORDER BY c_acctbal NULLS FIRST, c_custkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
            ) * 100) AS BIGINT) AS third_lowest_bal_cents
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY c_acctbal NULLS FIRST, c_custkey)
     ORDER BY c_mktsegment, pct_rank_ppm, c_custkey
     LIMIT 200
     """,
@@ -275,8 +283,12 @@ def window_distribution_functions(spark, sf_dir):
     Ordering carries a unique tiebreak so ranks are total.
 
     Scale: one window per segment partition; nth_value with an
-    unbounded frame evaluates once per partition, not per row."""
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    unbounded frame evaluates once per partition, not per row. NULL
+    placement pinned NULLS FIRST in both engines (Spark's ASC default
+    vs DuckDB's nulls-last — see percent_rank_cume_dist)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc_nulls_first("c_acctbal"), "c_custkey"
+    )
     w_full = w.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )

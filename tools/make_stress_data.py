@@ -1,20 +1,21 @@
-"""Build an invariant-breaking STRESS dataset from sf0.1.
+"""Build invariant-breaking STRESS datasets from sf0.1.
 
 Differential sweeps at sf0.001/0.01/0.1 all share the generator's
-invariants (key ranges, FK closure, unique texts), so they cannot
-catch fixture-coupled oracle/implementation drift — the class where
-both engines agree only because the data happens to satisfy an
-invariant neither text states (round 8's live instance:
-`gdpr_delete_propagation` relied on events.user_id ⊆ customer keys).
+invariants (key ranges, FK closure, unique texts, no NULLs, balanced
+keys), so they cannot catch fixture-coupled oracle/implementation
+drift — the class where both engines agree only because the data
+happens to satisfy an invariant neither text states (round 8's live
+instance: `gdpr_delete_propagation` relied on events.user_id ⊆
+customer keys).
 
-This tool deliberately BREAKS those invariants while preserving the
-properties correctness depends on (key uniqueness for deterministic
-tie-breaks, FK consistency within each copy):
+Three modes, each breaking a different invariant class while
+preserving the properties correctness depends on (key uniqueness for
+deterministic tie-breaks, FK consistency, declared non-null keys):
 
+``--mode shift`` (default — the original stress set):
 - facts (customer, orders, lineitem, events, documents, embeddings)
   are doubled: copy 0 verbatim, copy 1 with all primary/foreign keys
-  shifted by +1_000_000 consistently (custkey in customer+orders,
-  orderkey in orders+lineitem, doc_id/vec_id, event_id);
+  shifted by +1_000_000 consistently;
 - events.user_id in copy 1 shifts by +3_000_000 — OUTSIDE both
   customer key ranges, so any oracle silently assuming user_id ⊆
   customer keys diverges loudly;
@@ -22,28 +23,55 @@ tie-breaks, FK consistency within each copy):
   under a different id — dedup/fingerprint paths run at a 100% dup
   rate instead of the generator's planted rate;
 - dimensions (region, nation, supplier, part) stay single-copy, so
-  fact→dim joins fan 2× — the realistic shape of a fact-table append.
+  fact→dim joins fan 2×.
 
-Output: /root/repo/.scratch/stress/ (gitignored). Verify with:
-    python tools/sf_sweep.py /root/repo/.scratch/stress --out STRESS_SWEEP.json
+``--mode skew`` — one hot key per fan-out axis (the generator emits
+near-uniform keys; production never does):
+- 30% of orders remap o_custkey to the MIN customer key;
+- 30% of lineitem remap l_partkey / l_suppkey to the MIN part /
+  supplier keys ((l_orderkey, l_linenumber) uniqueness untouched);
+- 30% of events remap user_id to the MIN customer key;
+- 50% of documents collapse lang to the corpus's most common lang.
+  Every group-by/join/window keyed on these columns now sees a hot
+  partition; answers must still match DuckDB exactly (hot keys change
+  COST, never correctness — a tie-break that secretly leaned on
+  balanced groups diverges here).
+
+``--mode null`` — NULL/empty injection into the plausibly-nullable
+business columns (keys, timestamps, and spec-mandated TPC-H measure
+columns stay non-null; that's the documented data contract):
+- customer.c_acctbal NULL where c_custkey % 37 = 0;
+- events.value NULL where event_id % 41 = 0, events.props NULL where
+  event_id % 43 = 0;
+- documents.lang NULL where doc_id % 31 = 0, documents.text '' (empty,
+  n_chars 0) where doc_id % 53 = 0 — empty docs stress every
+  shingle/bigram/sequence guard (`sequence(0, n-2)` counts DOWN at
+  n=1), NULL langs stress group-by-NULL and count(col)-vs-count(*)
+  asymmetries between engines.
+
+Output: /root/repo/.scratch/stress[_skew|_null]/ (gitignored). Verify:
+    python tools/make_stress_data.py --mode skew
+    python tools/sf_sweep.py /root/repo/.scratch/stress_skew --out SKEW_SWEEP.json
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 
 SRC = os.environ.get("STRESS_SRC", "/root/testdata/sf0.1")
-OUT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scratch",
-    "stress",
-)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OFF = 1_000_000
 USER_OFF = 3_000_000
 
-#: per-table key-shift expressions for copy 1 (None = dim, not doubled)
+TABLES = (
+    "region", "nation", "supplier", "part",
+    "customer", "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+#: per-table key-shift expressions for shift-mode copy 1 (None = dim)
 SHIFTS: dict[str, dict[str, str] | None] = {
     "region": None,
     "nation": None,
@@ -63,33 +91,130 @@ SHIFTS: dict[str, dict[str, str] | None] = {
     "embeddings": {"vec_id": f"vec_id + {OFF}"},
 }
 
+#: skew-mode per-table column rewrites; {hot_*} placeholders resolve
+#: to scalars probed from the source at build time
+SKEWS: dict[str, dict[str, str]] = {
+    "orders": {
+        "o_custkey": "CASE WHEN o_orderkey % 10 < 3 THEN {hot_cust} "
+                     "ELSE o_custkey END",
+    },
+    "lineitem": {
+        "l_partkey": "CASE WHEN (l_orderkey * 7 + l_linenumber) % 10 < 3 "
+                     "THEN {hot_part} ELSE l_partkey END",
+        "l_suppkey": "CASE WHEN (l_orderkey * 7 + l_linenumber) % 10 < 3 "
+                     "THEN {hot_supp} ELSE l_suppkey END",
+    },
+    "events": {
+        "user_id": "CASE WHEN event_id % 10 < 3 THEN {hot_cust} "
+                   "ELSE user_id END",
+    },
+    "documents": {
+        "lang": "CASE WHEN doc_id % 2 = 0 THEN {hot_lang} ELSE lang END",
+    },
+}
 
-def main() -> None:
-    os.makedirs(OUT, exist_ok=True)
-    con = duckdb.connect()
-    for table, shift in SHIFTS.items():
+#: null-mode per-table column rewrites (deterministic by key mod)
+NULLS: dict[str, dict[str, str]] = {
+    "customer": {
+        "c_acctbal": "CASE WHEN c_custkey % 37 = 0 THEN NULL "
+                     "ELSE c_acctbal END",
+    },
+    "events": {
+        "value": "CASE WHEN event_id % 41 = 0 THEN NULL ELSE value END",
+        "props": "CASE WHEN event_id % 43 = 0 THEN NULL ELSE props END",
+    },
+    "documents": {
+        "lang": "CASE WHEN doc_id % 31 = 0 THEN NULL ELSE lang END",
+        "text": "CASE WHEN doc_id % 53 = 0 THEN '' ELSE text END",
+        "n_chars": "CASE WHEN doc_id % 53 = 0 THEN 0 ELSE n_chars END",
+    },
+}
+
+
+def _cols(con, src: str) -> list[str]:
+    return [d[0] for d in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()]
+
+
+def _copy_rewritten(con, table: str, src: str, dst: str,
+                    rewrites: dict[str, str]) -> None:
+    sel = ", ".join(
+        f"({rewrites[c]}) AS {c}" if c in rewrites else c
+        for c in _cols(con, src)
+    )
+    con.execute(f"COPY (SELECT {sel} FROM {src}) TO '{dst}' (FORMAT PARQUET)")
+
+
+def build_shift(con, out: str) -> None:
+    for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
-        dst = os.path.join(OUT, f"{table}.parquet")
+        dst = os.path.join(out, f"{table}.parquet")
+        shift = SHIFTS[table]
         if shift is None:
-            sql = f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET)"
+            con.execute(f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET)")
         else:
-            cols = [
-                d[0]
-                for d in con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()
-            ]
             shifted = ", ".join(
                 f"({shift[c]})::BIGINT AS {c}" if c in shift else c
-                for c in cols
+                for c in _cols(con, src)
             )
-            sql = (
+            con.execute(
                 f"COPY (SELECT * FROM {src} "
                 f"UNION ALL SELECT {shifted} FROM {src}) "
                 f"TO '{dst}' (FORMAT PARQUET)"
             )
-        con.execute(sql)
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{dst}')").fetchone()[0]
+
+
+def build_skew(con, out: str) -> None:
+    hot = {
+        "hot_cust": con.execute(
+            f"SELECT min(c_custkey) FROM read_parquet('{SRC}/customer.parquet')"
+        ).fetchone()[0],
+        "hot_part": con.execute(
+            f"SELECT min(p_partkey) FROM read_parquet('{SRC}/part.parquet')"
+        ).fetchone()[0],
+        "hot_supp": con.execute(
+            f"SELECT min(s_suppkey) FROM read_parquet('{SRC}/supplier.parquet')"
+        ).fetchone()[0],
+        "hot_lang": "'" + con.execute(
+            f"SELECT lang FROM read_parquet('{SRC}/documents.parquet') "
+            "GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1"
+        ).fetchone()[0] + "'",
+    }
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        rw = {
+            c: expr.format(**hot) for c, expr in SKEWS.get(table, {}).items()
+        }
+        _copy_rewritten(con, table, src, dst, rw)
+
+
+def build_null(con, out: str) -> None:
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        _copy_rewritten(con, table, src, dst, NULLS.get(table, {}))
+
+
+def main() -> None:
+    mode = "shift"
+    args = sys.argv[1:]
+    if "--mode" in args:
+        mode = args[args.index("--mode") + 1]
+    if mode not in ("shift", "skew", "null"):
+        raise SystemExit(f"unknown --mode {mode}")
+    out = os.path.join(
+        ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
+    )
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    {"shift": build_shift, "skew": build_skew, "null": build_null}[mode](con, out)
+    for table in TABLES:
+        dst = os.path.join(out, f"{table}.parquet")
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}')"
+        ).fetchone()[0]
         print(f"{table}: {n} rows")
-    print(f"stress dataset at {OUT}")
+    print(f"{mode} stress dataset at {out}")
 
 
 if __name__ == "__main__":
