@@ -122,12 +122,14 @@ def count_distinct_custkeys(spark, sf_dir):
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
     GROUP BY ROLLUP(r.r_name, n.n_name)
+    HAVING count(*) > 0
     """,
 )
 def rollup_region_nation(spark, sf_dir):
     """ROLLUP over the dimension hierarchy — region subtotals and the
     grand total in one pass (expands to 3 grouping sets, still one
-    shuffle)."""
+    shuffle). Empty-input semantics pinned to Spark's via ``HAVING
+    count(*) > 0`` — see cube_order_status_priority."""
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -156,10 +158,18 @@ def rollup_region_nation(spark, sf_dir):
            round(sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
                  / 100.0, 2)             AS sum_price
     FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    HAVING count(*) > 0
     """,
 )
 def cube_order_status_priority(spark, sf_dir):
-    """CUBE: all four grouping sets of (status, priority)."""
+    """CUBE: all four grouping sets of (status, priority).
+
+    Empty-input semantics are pinned to Spark's: CUBE over an empty
+    relation yields NO rows (DuckDB, per the standard, emits the ()
+    grouping set's grand-total row with count 0). ``HAVING count(*)
+    > 0`` filters exactly that row and nothing else — every grouping-
+    set row over non-empty input has count ≥ 1 (empty-dataset stress
+    sweep, EMPTY_SWEEP.json)."""
     return A.cube_summary(
         load_table(spark, sf_dir, "orders"),
         ["o_orderstatus", "o_orderpriority"],
@@ -219,10 +229,17 @@ def pivot_user_event_counts(spark, sf_dir):
     "stats_dispersion_per_segment",
     oracle="""
     SELECT c_mktsegment,
-           CAST(floor(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
-                      / 100.0 * 10000 + 0.5) AS BIGINT) AS sd_bal_e4,
-           CAST(floor(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0)
-                      / 100.0 + 0.5) AS BIGINT) AS var_bal_e2,
+           -- sample dispersion is UNDEFINED at n = 1 (the n-1 Bessel
+           -- divisor is 0): NULL on both sides, where Spark's ANSI
+           -- division would abort (single-row-group stress sweep)
+           CASE WHEN n > 1 THEN
+             CAST(floor(sqrt(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0))
+                        / 100.0 * 10000 + 0.5) AS BIGINT)
+           END AS sd_bal_e4,
+           CASE WHEN n > 1 THEN
+             CAST(floor(greatest((s2 - s1 * 1.0 * s1 / n) / (n - 1), 0)
+                        / 100.0 + 0.5) AS BIGINT)
+           END AS var_bal_e2,
            round(med, 6) AS median_bal
     FROM (
       SELECT c_mktsegment, count(*)::BIGINT AS n,
@@ -267,15 +284,19 @@ def stats_dispersion_per_segment(spark, sf_dir):
         / (F.col("n") - 1),
         F.lit(0.0),
     )
+    n_gt_1 = F.col("n") > 1  # Bessel divisor n-1: undefined at n = 1
     return sums.select(
         "c_mktsegment",
         # deterministic fixed-point emission: floor(x*10^nd + 0.5) on
         # the IDENTICAL double is the same in both engines (floor has
         # no repr-vs-binary tie ambiguity; round does)
-        F.floor(F.sqrt(var_cents) / 100.0 * 10000 + 0.5)
-        .cast("long")
-        .alias("sd_bal_e4"),
-        F.floor(var_cents / 100.0 + 0.5).cast("long").alias("var_bal_e2"),
+        F.when(
+            n_gt_1,
+            F.floor(F.sqrt(var_cents) / 100.0 * 10000 + 0.5).cast("long"),
+        ).alias("sd_bal_e4"),
+        F.when(
+            n_gt_1, F.floor(var_cents / 100.0 + 0.5).cast("long")
+        ).alias("var_bal_e2"),
         F.round(F.col("med"), 6).alias("median_bal"),
     )
 

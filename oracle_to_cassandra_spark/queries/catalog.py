@@ -122,13 +122,17 @@ def analyze_table_cbo_stats(spark, sf_dir):
         s = col_stats(col)
         ndv_stat = int(s["distinct_count"])
         tol = max(ndv_exact * 0.30, 10.0)  # 6 x rsd(0.05), floor 10
+        # the catalog prints the LITERAL string 'NULL' for absent
+        # min/max (empty table); the oracle's min()::VARCHAR is a real
+        # NULL — normalize (both profiled columns are numeric, so the
+        # string can never be a genuine value)
         out.append(
             (
                 col,
                 int(exact["n_rows"]),
                 int(s["num_nulls"]),
-                s["min"],
-                s["max"],
+                None if s["min"] == "NULL" else s["min"],
+                None if s["max"] == "NULL" else s["max"],
                 abs(ndv_stat - ndv_exact) <= tol,
             )
         )

@@ -599,12 +599,14 @@ def text_normalization_stats(spark, sf_dir):
 @query(
     "observed_ingest_metrics",
     oracle="""
+    -- all-zeros (never NULL) on an empty ingest: counts, and a
+    -- coalesced byte sum — the funnel report of nothing is zeros
     SELECT count(*)::BIGINT AS n_total,
-           sum(n_chars)::BIGINT AS total_chars,
-           sum(CASE WHEN len(string_split(lower(text), ' ')) < 20
-                    THEN 1 ELSE 0 END)::BIGINT AS n_short,
-           sum(CASE WHEN len(string_split(lower(text), ' ')) >= 20
-                    THEN 1 ELSE 0 END)::BIGINT AS n_kept
+           coalesce(sum(n_chars), 0)::BIGINT AS total_chars,
+           count(CASE WHEN len(string_split(lower(text), ' ')) < 20
+                      THEN 1 END)::BIGINT AS n_short,
+           count(CASE WHEN len(string_split(lower(text), ' ')) >= 20
+                      THEN 1 END)::BIGINT AS n_kept
     FROM documents
     """,
 )
@@ -631,10 +633,13 @@ def observed_ingest_metrics(spark, sf_dir):
     obs = Observation("ingest_funnel")
     observed = d.observe(
         obs,
+        # counts + coalesced sum: an empty ingest observes zeros, not
+        # NULLs (int(None) crashed the metric carry-over on the
+        # empty-dataset stress sweep)
         F.count(F.lit(1)).alias("n_total"),
-        F.sum("n_chars").alias("total_chars"),
-        F.sum(F.when(n_tok < 20, 1).otherwise(0)).alias("n_short"),
-        F.sum(F.when(n_tok >= 20, 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("total_chars"),
+        F.count(F.when(n_tok < 20, 1)).alias("n_short"),
+        F.count(F.when(n_tok >= 20, 1)).alias("n_kept"),
     )
     gated = observed.filter(n_tok >= 20)
     # the action the metrics ride on — the pipeline's own sink write

@@ -95,7 +95,9 @@ def jdbc_partitioned_roundtrip(spark, sf_dir):
         driver=DERBY_DRIVER,
         partition_column="c_custkey",
         lower_bound=0,
-        upper_bound=int(hi) + 1,
+        # max() is NULL on an empty source; (0, 1) is a valid stride
+        # spec over zero rows
+        upper_bound=(int(hi) + 1) if hi is not None else 1,
         num_partitions=4,
         fetchsize=1000,
     )

@@ -532,9 +532,9 @@ def referential_integrity_audit(spark, sf_dir):
         joined = child.join(keys, child[ckey] == F.col("__pk"), "left")
         return joined.agg(
             F.lit(name).alias("relationship"),
-            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("n_orphans"),
+            # count(CASE), not sum: 0 (not NULL) over an empty child
+            # table, matching the oracle's count(*) subquery
+            F.count(F.when(F.col("__pk").isNull(), 1)).alias("n_orphans"),
             F.count("*").alias("n_children"),
         )
 
@@ -679,7 +679,14 @@ def merge_upsert_apply(spark, sf_dir):
     )
     from oracle_to_cassandra_spark.functions.hashing import md5_int64
 
-    n_ops = changes.groupBy("op").agg(F.count("*").alias("n"))
+    # conditional counts, not a pivot: count() is 0 (never NULL) over
+    # an empty changeset, so the engines agree at zero rows — the
+    # pivot emitted NULL op columns on empty input (empty-dataset
+    # stress sweep)
+    n_ops = changes.agg(
+        F.count(F.when(F.col("op") == "D", 1)).alias("n_deleted"),
+        F.count(F.when(F.col("op") == "U", 1)).alias("n_updated"),
+    )
     digest_row = F.concat(
         F.col("o_orderkey").cast("string"),
         F.lit("|"),
@@ -688,17 +695,9 @@ def merge_upsert_apply(spark, sf_dir):
     return merged.agg(
         F.count("*").alias("n_rows_after"),
         F.bit_xor(md5_int64(digest_row)).alias("content_digest"),
-    ).crossJoin(
-        F.broadcast(
-            n_ops.groupBy()
-            .pivot("op", ["D", "U"])
-            .sum("n")
-            .select(
-                F.col("D").cast("long").alias("n_deleted"),
-                F.col("U").cast("long").alias("n_updated"),
-            )
-        )
-    ).select("n_rows_after", "n_deleted", "n_updated", "content_digest")
+    ).crossJoin(F.broadcast(n_ops)).select(
+        "n_rows_after", "n_deleted", "n_updated", "content_digest"
+    )
 
 
 @query(
@@ -768,8 +767,12 @@ def gdpr_delete_propagation(spark, sf_dir):
                 F.broadcast(tomb), F.col(key_col) == F.col("tomb_key"), "left"
             )
             .agg(
-                F.sum(F.when(hit, 1).otherwise(0)).alias("n_purge"),
-                F.sum(F.when(hit, 0).otherwise(1)).alias("n_keep"),
+                # count(CASE ...), not sum: count is 0 over an empty
+                # table where sum is NULL — the oracle's count FILTER
+                # is a count, so the engines must agree at zero rows
+                # (empty-dataset stress sweep)
+                F.count(F.when(hit, 1)).alias("n_purge"),
+                F.count(F.when(~hit, 1)).alias("n_keep"),
             )
             .select(F.lit(name).alias("table_name"), "n_purge", "n_keep")
         )

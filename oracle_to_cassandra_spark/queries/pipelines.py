@@ -69,7 +69,9 @@ def sink_roundtrip_partition_lookup(spark, sf_dir):
     write_query_table(
         df, path, partition_by=["c_mktsegment"], cluster_by=["c_custkey", "o_orderkey"]
     )
-    return read_partition(spark, path, "c_mktsegment", "BUILDING").select(
+    return read_partition(
+        spark, path, "c_mktsegment", "BUILDING", schema=df.schema
+    ).select(
         "c_custkey", "c_name", "o_orderkey", "o_orderstatus", "o_totalprice"
     )
 
@@ -357,7 +359,9 @@ def oracle_to_cassandra_e2e(spark, sf_dir):
         driver=DERBY_DRIVER,
         partition_column="C_CUSTKEY",
         lower_bound=0,
-        upper_bound=int(hi) + 1,
+        # max() is NULL on an empty source; (0, 1) is a valid stride
+        # spec over zero rows
+        upper_bound=(int(hi) + 1) if hi is not None else 1,
         num_partitions=4,
         fetchsize=1000,
     )
@@ -397,7 +401,9 @@ def oracle_to_cassandra_e2e(spark, sf_dir):
     spark.catalog.refreshByPath(path)
 
     # -- stage 5: S9/P7 pruned single-partition read-back --
-    dst = read_partition(spark, path, "c_mktsegment", "BUILDING")
+    dst = read_partition(
+        spark, path, "c_mktsegment", "BUILDING", schema=denorm.schema
+    )
 
     # -- stage 6: bucket reconciliation vs an INDEPENDENT parquet-only
     #    recompute (no shared lineage with the Derby path) --
@@ -514,9 +520,12 @@ def secondary_index_dpp_lookup(spark, sf_dir):
     spark.catalog.refreshByPath(idx_path)
     # probe: static pruning on the index's partition column
     idx = read_partition(
-        spark, idx_path, "o_orderpriority", "1-URGENT"
+        spark, idx_path, "o_orderpriority", "1-URGENT",
+        schema=orders.select("o_orderpriority", "pbucket", "o_orderkey").schema,
     ).select("pbucket", "o_orderkey")
-    base = spark.read.parquet(base_path)
+    base = spark.read.schema(
+        orders.select("o_orderkey", "price_cents", "pbucket").schema
+    ).parquet(base_path)
     # fetch: broadcast the index hits; DPP prunes base partitions at
     # runtime to the buckets present in the broadcast side
     fetched = base.join(

@@ -532,8 +532,13 @@ def unigram_cross_entropy_per_source(spark, sf_dir):
            (SELECT count(*) FROM vocab WHERE rnk <= k)::BIGINT AS vocab_size,
            (SELECT coalesce(sum(n_w), 0) FROM vocab WHERE rnk <= k)::BIGINT
              AS covered_tokens,
-           ((SELECT coalesce(sum(n_w), 0) FROM vocab WHERE rnk <= k)
-            * 1000000 // t.n_total)::BIGINT AS coverage_ppm
+           -- NULL (not an error, not 0) at n_total = 0: coverage of
+           -- an empty corpus is undefined, and Spark's ANSI division
+           -- would otherwise abort where DuckDB's // silently NULLs
+           CASE WHEN t.n_total > 0 THEN
+             ((SELECT coalesce(sum(n_w), 0) FROM vocab WHERE rnk <= k)
+              * 1000000 // t.n_total)::BIGINT
+           END AS coverage_ppm
     FROM (SELECT unnest([100, 1000, 10000]) AS k) CROSS JOIN total t
     """,
 )
@@ -584,13 +589,16 @@ def vocab_coverage_curve(spark, sf_dir):
             F.coalesce("covered_tokens", F.lit(0))
             .cast("long")
             .alias("covered_tokens"),
-            F.floor(
-                F.coalesce("covered_tokens", F.lit(0))
-                * 1000000
-                / F.col("n_total")
-            )
-            .cast("long")
-            .alias("coverage_ppm"),
+            # NULL at n_total = 0 (undefined, matching the oracle's
+            # CASE): ANSI division would abort on the empty corpus
+            F.when(
+                F.col("n_total") > 0,
+                F.floor(
+                    F.coalesce("covered_tokens", F.lit(0))
+                    * 1000000
+                    / F.col("n_total")
+                ).cast("long"),
+            ).alias("coverage_ppm"),
         )
     )
 

@@ -115,10 +115,20 @@ def write_to_cassandra(
 
 
 def read_partition(
-    spark: SparkSession, path: str, partition_col: str, key
+    spark: SparkSession, path: str, partition_col: str, key, schema=None
 ) -> DataFrame:
     """S9 + P7 analog: read back one partition — the CQL
     ``WHERE partition_key = ?`` point lookup (README.md:696-703).
     The equality predicate on the partition column prunes directories
-    at planning time."""
-    return spark.read.parquet(path).filter(F.col(partition_col) == F.lit(key))
+    at planning time.
+
+    ``schema`` (pass the written DataFrame's schema) makes the
+    read-back total: a partitioned overwrite of an EMPTY DataFrame
+    writes no data files, and schema inference then fails the whole
+    query instead of returning the empty table the sink actually
+    holds — the empty-backfill case every production read-back path
+    must survive (empty-dataset stress sweep)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path).filter(F.col(partition_col) == F.lit(key))

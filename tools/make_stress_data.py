@@ -37,6 +37,18 @@ near-uniform keys; production never does):
   COST, never correctness — a tie-break that secretly leaned on
   balanced groups diverges here).
 
+``--mode empty`` — every table present with the right schema and ZERO
+rows: the empty-source/empty-partition knife edge (aggregates over
+nothing, percentiles of the empty set, windows with no partitions,
+n−1 divisions at n=0). A 100 TB pipeline sees empty inputs on every
+backfill; both engines must agree on what nothing looks like.
+
+``--mode tiny`` — the first 7 rows of every table by leading key: the
+n=1-per-group / single-partition knife edge (stddev of one sample,
+percent_rank's n−1, `sequence(0, n-2)` at n=1), plus DANGLING foreign
+keys (kept orders reference un-kept customers), which left/anti/outer
+join paths must treat identically in both engines.
+
 ``--mode null`` — NULL/empty injection into the plausibly-nullable
 business columns (keys, timestamps, and spec-mandated TPC-H measure
 columns stay non-null; that's the documented data contract):
@@ -195,19 +207,40 @@ def build_null(con, out: str) -> None:
         _copy_rewritten(con, table, src, dst, NULLS.get(table, {}))
 
 
+def build_empty(con, out: str) -> None:
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM {src} LIMIT 0) TO '{dst}' (FORMAT PARQUET)"
+        )
+
+
+def build_tiny(con, out: str) -> None:
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        lead = _cols(con, src)[0]
+        con.execute(
+            f"COPY (SELECT * FROM {src} ORDER BY {lead} LIMIT 7) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+
+
 def main() -> None:
     mode = "shift"
     args = sys.argv[1:]
     if "--mode" in args:
         mode = args[args.index("--mode") + 1]
-    if mode not in ("shift", "skew", "null"):
+    if mode not in ("shift", "skew", "null", "empty", "tiny"):
         raise SystemExit(f"unknown --mode {mode}")
     out = os.path.join(
         ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
     )
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    {"shift": build_shift, "skew": build_skew, "null": build_null}[mode](con, out)
+    {"shift": build_shift, "skew": build_skew, "null": build_null,
+     "empty": build_empty, "tiny": build_tiny}[mode](con, out)
     for table in TABLES:
         dst = os.path.join(out, f"{table}.parquet")
         n = con.execute(
