@@ -20,9 +20,43 @@ EN_STOPWORDS = ("the", "a", "of", "and", "to")
 BPE_ISH_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+def fold_text(text: Column) -> Column:
+    """The engine's PINNED case fold: per-codepoint lower-case.
+
+    JVM ``toLowerCase`` (root locale) applies exactly two
+    SpecialCasing rules that per-codepoint folders — utf8proc, and
+    with it DuckDB and most non-JVM text stacks — do not:
+
+    * U+0130 İ (Turkish dotted capital I) expands to ``i`` + U+0307
+      COMBINING DOT ABOVE (two codepoints) instead of plain ``i``;
+    * U+03A3 Σ lowers CONTEXT-SENSITIVELY to final sigma ``ς`` at a
+      word end instead of the per-codepoint ``σ``.
+
+    Either one silently diverges every token, shingle, hash, and
+    quality score downstream (caught live by the unicode stress
+    sweep — 42 queries at once). Pre-mapping those two codepoints
+    BEFORE ``lower`` bypasses both special cases — pre-existing
+    lowercase ``ς`` in the source is untouched, matching utf8proc —
+    so the pinned fold equals per-codepoint lowercase for all of
+    Unicode at the JVM's Unicode version, while staying JVM-side
+    codegen (one translate). Known residual: codepoints added after
+    the JVM's Unicode version (e.g. U+1C89, Unicode 16) still fold
+    differently; they are outside the corpus contract.
+
+    Python twin for UDF/UDTF paths: ``fold_text_py``."""
+    return F.lower(F.translate(text, "İΣ", "iσ"))
+
+
+def fold_text_py(s: str) -> str:
+    """Python-string twin of ``fold_text`` — CPython's ``str.lower``
+    applies the same two SpecialCasing rules as the JVM, so UDF/UDTF
+    tokenizers need the same pre-map to stay on the pinned fold."""
+    return s.replace("İ", "i").replace("Σ", "σ").lower()
+
+
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization of lower-cased text."""
-    return F.split(F.lower(text), " ")
+    """Whitespace tokenization of case-folded text (``fold_text``)."""
+    return F.split(fold_text(text), " ")
 
 
 def shingles(tok: Column, k: int = 3) -> Column:
@@ -69,7 +103,7 @@ def bpe_ish_token_count(text: Column) -> Column:
     for a real BPE tokenizer's token count. ``regexp_count`` counts
     matches without materializing the match array (regexp_extract_all
     built an ArrayData per row just to take its size)."""
-    return F.regexp_count(F.lower(text), F.lit(BPE_ISH_PATTERN)).cast("int")
+    return F.regexp_count(fold_text(text), F.lit(BPE_ISH_PATTERN)).cast("int")
 
 
 def stopword_ratio(tok: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from oracle_to_cassandra_spark.operators import text as TX
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.staging import stage
 from oracle_to_cassandra_spark.sources import load_table
@@ -112,7 +113,7 @@ def bpe_train_merges(spark, sf_dir):
     select pairs containing previously merged symbols."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("w"))
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
     )
@@ -229,7 +230,7 @@ def bpe_apply_tokenize(spark, sf_dir):
     aggregate."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("w")
     )
     vocab = tok.groupBy("w").agg(F.count("*").alias("freq"))
     words = stage(vocab.select("w", "freq", F.expr(_CHARS_FOLD).alias("sym")))

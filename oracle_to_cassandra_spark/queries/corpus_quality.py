@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators.text import (
     EN_STOPWORDS,
+    fold_text,
     quality_micro,
     quality_micro_sql,
     quality_score,
@@ -582,7 +583,7 @@ def text_normalization_stats(spark, sf_dir):
     )
     clean = F.trim(
         F.regexp_replace(
-            F.replace(F.lower(dirty), F.expr("char(9)"), F.lit(" ")),
+            F.replace(fold_text(dirty), F.expr("char(9)"), F.lit(" ")),
             " +",
             " ",
         )

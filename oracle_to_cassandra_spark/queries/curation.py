@@ -19,7 +19,11 @@ from oracle_to_cassandra_spark.sources import load_table
     oracle=f"""
     WITH cands AS ({lsh_candidate_pairs_sql()})
     SELECT c.doc_a, c.doc_b,
-           levenshtein(substr(da.text, 1, 80), substr(db.text, 1, 80))::INT
+           levenshtein(
+             regexp_replace(substr(da.text, 1, 80),
+                            '[^\\x00-\\x7F]', chr(26), 'g'),
+             regexp_replace(substr(db.text, 1, 80),
+                            '[^\\x00-\\x7F]', chr(26), 'g'))::INT
              AS edit_distance_80
     FROM cands c
     JOIN documents da ON da.doc_id = c.doc_a
@@ -30,7 +34,17 @@ def levenshtein_candidate_pairs(spark, sf_dir):
     """Edit-distance refinement of LSH candidates — the character-level
     second opinion next to token Jaccard. Bounded to 80-char prefixes:
     Levenshtein is O(len²) per pair, so at scale it only ever runs on
-    candidate pairs and on clipped prefixes, never the full corpus."""
+    candidate pairs and on clipped prefixes, never the full corpus.
+
+    Distance UNIT pinned by ASCII projection: Spark's levenshtein
+    counts CODEPOINT edits while DuckDB's counts BYTE edits, so the
+    two disagree on any multibyte text (é = 1 vs 2, 😀 = 1 vs 4 —
+    unicode stress sweep). Replacing every non-ASCII codepoint with
+    one SUB byte (0x1A) before the distance makes bytes ≡ codepoints
+    in both engines; the metric collapses distinctions AMONG
+    non-ASCII characters, which for a near-dup refinement is a
+    conservative bias (substituted exotic characters read as equal)
+    and keeps the hot path at one regexp per prefix."""
     docs = load_table(spark, sf_dir, "documents")
     from oracle_to_cassandra_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -38,11 +52,18 @@ def levenshtein_candidate_pairs(spark, sf_dir):
     )
 
     cands = lsh_candidate_pairs(minhash_signatures(docs))
+
+    def ascii_prefix(col):
+        # one SUB byte per non-ASCII codepoint (docstring: unit pin)
+        return F.regexp_replace(
+            F.substring(col, 1, 80), r"[^\x00-\x7F]", "\x1a"
+        )
+
     da = docs.select(
-        F.col("doc_id").alias("doc_a"), F.substring("text", 1, 80).alias("ta")
+        F.col("doc_id").alias("doc_a"), ascii_prefix(F.col("text")).alias("ta")
     )
     db = docs.select(
-        F.col("doc_id").alias("doc_b"), F.substring("text", 1, 80).alias("tb")
+        F.col("doc_id").alias("doc_b"), ascii_prefix(F.col("text")).alias("tb")
     )
     return (
         cands.join(da, "doc_a")

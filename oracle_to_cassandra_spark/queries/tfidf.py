@@ -8,6 +8,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators.text import shingles, tokens
+from oracle_to_cassandra_spark.operators import text as TX
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
@@ -52,7 +53,7 @@ def tfidf_top_terms(spark, sf_dir):
     df join. Three exchanges total, all on the compact tf relation."""
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
     )
     tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     n_docs = docs.agg(F.count("*").alias("n_docs"))
@@ -173,7 +174,7 @@ def pmi_collocations_topk(spark, sf_dir):
     from oracle_to_cassandra_spark.staging import stage
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(F.split(F.lower("text"), " ").alias("ts"))
+    toks = d.select(TX.tokens(F.col("text")).alias("ts"))
     toks = stage(toks)
     uni = (
         toks.select(F.explode("ts").alias("t"))
@@ -265,7 +266,7 @@ def zipf_fit_per_corpus(spark, sf_dir):
     second-moment ratios rounded at 4 dp."""
     d = load_table(spark, sf_dir, "documents")
     uni = (
-        d.select(F.explode(F.split(F.lower("text"), " ")).alias("t"))
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
     )

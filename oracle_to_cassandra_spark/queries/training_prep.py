@@ -12,6 +12,7 @@ from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql
 from oracle_to_cassandra_spark.queries.text_analysis import (
     QUALITY_SQL as _QUALITY_SQL,
 )
+from oracle_to_cassandra_spark.operators import text as TX
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 from oracle_to_cassandra_spark.staging import stage
@@ -42,7 +43,7 @@ def pack_documents_token_budget(spark, sf_dir):
     parallelizes across partitions — a single global cumsum would
     serialize onto one task at 100 TB."""
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.lower("text"), " ")).cast("long")
+    n_tokens = F.size(TX.tokens(F.col("text"))).cast("long")
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -87,7 +88,7 @@ def train_val_test_split(spark, sf_dir):
         F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split")
     )
     return (
-        d.select(split, F.size(F.split(F.lower("text"), " ")).cast("long").alias("nt"))
+        d.select(split, F.size(TX.tokens(F.col("text"))).cast("long").alias("nt"))
         .groupBy("split")
         .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("n_tokens"))
     )
@@ -294,7 +295,7 @@ def packed_sequence_offsets(spark, sf_dir):
     per-language windowed cumsum (parallel across languages, never a
     global sort), then pure arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.lower("text"), " ")).cast("long")
+    n_tokens = F.size(TX.tokens(F.col("text"))).cast("long")
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -436,7 +437,7 @@ def rag_chunking_overlap(spark, sf_dir):
     explode inside codegen; output is metadata (5 ints/chunk), the
     text itself stays in place until the embed stage streams it."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.lower("text"), " ")).cast("long")
+    n_tok = F.size(TX.tokens(F.col("text"))).cast("long")
     n_chunks = F.greatest(
         F.ceil((n_tok - CHUNK_SIZE) / CHUNK_STRIDE), F.lit(0)
     ).cast("long") + 1
@@ -494,7 +495,7 @@ def stratified_split_audit(spark, sf_dir):
     from oracle_to_cassandra_spark.functions.hashing import md5_int64
 
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.lower("text"), " "))
+    n_tok = F.size(TX.tokens(F.col("text")))
     bucket = md5_int64(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 10
     tagged = d.select(
         "lang",
@@ -852,7 +853,7 @@ def kv_cache_block_allocation(spark, sf_dir):
     Scale: pure per-row arithmetic + one keyed aggregate; the same
     query over real request logs sizes a production cache."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.lower("text"), " ")).cast("long")
+    n_tok = F.size(TX.tokens(F.col("text"))).cast("long")
     per_doc = d.select(
         "source",
         n_tok.alias("n_tokens"),
@@ -920,7 +921,7 @@ def length_bucketed_batching_waste(spark, sf_dir):
     window partitions by bucket (bounded partitions after the
     power-of-2 split); two keyed aggregates."""
     d = load_table(spark, sf_dir, "documents")
-    n_tok = F.size(F.split(F.lower("text"), " ")).cast("long")
+    n_tok = F.size(TX.tokens(F.col("text"))).cast("long")
     sized = d.select(
         "doc_id",
         n_tok.alias("n_tokens"),

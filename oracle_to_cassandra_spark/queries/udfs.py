@@ -85,7 +85,12 @@ def udtf_chunk_documents(spark, sf_dir):
     )
     class ChunkDocs:
         def eval(self, doc_id, text):
-            toks = text.lower().split(" ")
+            # the pinned fold (operators/text.py fold_text_py),
+            # inlined: the UDTF body ships to Python workers where
+            # the repo package may not be importable
+            toks = (
+                text.replace("İ", "i").replace("Σ", "σ").lower().split(" ")
+            )
             for i in range(0, len(toks), 50):
                 yield doc_id, i // 50, " ".join(toks[i : i + 50])
 

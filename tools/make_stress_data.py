@@ -49,6 +49,14 @@ percent_rank's n−1, `sequence(0, n-2)` at n=1), plus DANGLING foreign
 keys (kept orders reference un-kept customers), which left/anti/outer
 join paths must treat identically in both engines.
 
+``--mode unicode`` — a multibyte gauntlet appended to 20% of document
+texts (n_chars recomputed) and 1/29 customer names: accented latin,
+CJK/Hangul, RTL arabic/hebrew, emoji, ligatures, Turkish İ, German ß,
+combining marks, zero-width and non-breaking spaces, LIKE
+metacharacters, quotes, tab/newline. Real corpus text IS this;
+tokenizer/regex/case-fold/hash paths that secretly assume ASCII (or
+where Java and utf8proc case-fold differently) diverge here.
+
 ``--mode null`` — NULL/empty injection into the plausibly-nullable
 business columns (keys, timestamps, and spec-mandated TPC-H measure
 columns stay non-null; that's the documented data contract):
@@ -207,6 +215,37 @@ def build_null(con, out: str) -> None:
         _copy_rewritten(con, table, src, dst, NULLS.get(table, {}))
 
 
+#: the multibyte gauntlet (single-quote-free; appended as one token
+#: stream so space-splitting tokenizers see each specimen)
+UNI_GAUNTLET = (
+    "café naïve Übung 漢字テスト 한국어 العربية עברית "
+    "😀🚀🔥 ﬁﬂ ﬀ İstanbul STRASSE ß ΣΊΣΥΦΟΣ σίσυφος "
+    "écombining a​zwsp x nbsp "
+    "100% _like_ \\back\\ \"dquote\" tab\there nl\nend"
+)
+
+
+def build_unicode(con, out: str) -> None:
+    g = UNI_GAUNTLET.replace("'", "''")
+    rewrites = {
+        "documents": {
+            "text": f"CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{g}' "
+                    "ELSE text END",
+            "n_chars": f"CASE WHEN doc_id % 5 = 0 THEN "
+                       f"length(text || ' ' || '{g}')::BIGINT "
+                       "ELSE n_chars END",
+        },
+        "customer": {
+            "c_name": "CASE WHEN c_custkey % 29 = 0 THEN "
+                      "c_name || ' Ünïcode😀' ELSE c_name END",
+        },
+    }
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        _copy_rewritten(con, table, src, dst, rewrites.get(table, {}))
+
+
 def build_empty(con, out: str) -> None:
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
@@ -232,7 +271,7 @@ def main() -> None:
     args = sys.argv[1:]
     if "--mode" in args:
         mode = args[args.index("--mode") + 1]
-    if mode not in ("shift", "skew", "null", "empty", "tiny"):
+    if mode not in ("shift", "skew", "null", "empty", "tiny", "unicode"):
         raise SystemExit(f"unknown --mode {mode}")
     out = os.path.join(
         ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
@@ -240,7 +279,8 @@ def main() -> None:
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     {"shift": build_shift, "skew": build_skew, "null": build_null,
-     "empty": build_empty, "tiny": build_tiny}[mode](con, out)
+     "empty": build_empty, "tiny": build_tiny,
+     "unicode": build_unicode}[mode](con, out)
     for table in TABLES:
         dst = os.path.join(out, f"{table}.parquet")
         n = con.execute(
