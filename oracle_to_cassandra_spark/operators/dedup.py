@@ -67,12 +67,21 @@ def doc_shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
     strings — at 100 TB the explode/shuffle carries longs, not
     n-gram text. Set semantics are preserved modulo md5 collisions
     (~2⁻⁶⁰ per pair), identically on both engines."""
-    tok = tokens(F.col("text"))
+    # tokenize ONCE per row behind a named projection: shingles()
+    # references its token input k times (zip_with slices are
+    # CodegenFallback, no CSE), so inlining tokens() here re-runs the
+    # whole translate+lower+split chain per slice — ~25% of this
+    # pipeline's wall time at k=5. CollapseProject keeps a non-cheap
+    # multi-referenced alias materialized, so the select is a real
+    # evaluation barrier.
+    toked = documents.select(
+        "doc_id", tokens(F.col("text")).alias("__tok")
+    )
     hashed = F.array_distinct(
-        F.transform(shingles(tok, k), lambda sh: base31(sh))
+        F.transform(shingles(F.col("__tok"), k), lambda sh: base31(sh))
     )
     return (
-        documents.filter(F.size(tok) >= k)
+        toked.filter(F.size("__tok") >= k)
         .select("doc_id", F.explode(hashed).alias("h31"))
     )
 

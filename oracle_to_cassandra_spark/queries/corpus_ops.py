@@ -78,13 +78,17 @@ def doc_repetition_stats(spark, sf_dir):
     doc_id, so AQE collapses them onto one exchange of the exploded
     bigrams."""
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    word_stats = d.select(
+    # tokenize once behind a named projection (evaluation barrier) —
+    # shingles() and the two size() consumers would otherwise each
+    # re-run the fold+split chain (see operators/dedup.py note)
+    toked = d.select("doc_id", tokens(F.col("text")).alias("__tok"))
+    tok = F.col("__tok")
+    word_stats = toked.select(
         "doc_id",
         F.size(tok).cast("long").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("long").alias("n_distinct"),
     )
-    bg = d.select(
+    bg = toked.select(
         "doc_id", F.explode(shingles(tok, 2)).alias("bigram")
     )
     bg_stats = (

@@ -418,9 +418,11 @@ def oov_bigram_novelty(spark, sf_dir):
     from oracle_to_cassandra_spark.functions.hashing import base31
 
     d = load_table(spark, sf_dir, "documents")
-    tok = TX.tokens(F.col("text"))
+    # tokenize once behind a projection barrier (operators/dedup.py)
+    toked = d.select("doc_id", TX.tokens(F.col("text")).alias("__tok"))
+    tok = F.col("__tok")
     bg = (
-        d.filter(F.size(tok) >= 2)
+        toked.filter(F.size(tok) >= 2)
         .select(
             "doc_id",
             F.explode(

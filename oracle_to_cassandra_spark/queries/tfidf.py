@@ -106,8 +106,11 @@ def top_bigrams_corpus(spark, sf_dir):
     CodegenFallback with no subexpression elimination), i.e. O(n²)
     per document — measured 4× slower on the sf0.1 corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    bigrams = docs.select(F.explode(shingles(tok, k=2)).alias("bigram"))
+    # tokenize once behind a projection barrier (operators/dedup.py)
+    toked = docs.select(tokens(F.col("text")).alias("__tok"))
+    bigrams = toked.select(
+        F.explode(shingles(F.col("__tok"), k=2)).alias("bigram")
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
     return (
         bigrams.groupBy("bigram")
