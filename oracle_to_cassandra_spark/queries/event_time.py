@@ -137,15 +137,22 @@ def sliding_2d_1d_windows(spark, sf_dir):
     "session_windows_per_user",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts, value,
+      -- BOTH windows order by (ts, event_id): under duplicate
+      -- timestamps a bare ORDER BY ts lets the lag window and the
+      -- running-sum window place the flag row at DIFFERENT positions
+      -- among the tied rows, splitting one session arbitrarily —
+      -- Spark's interval-merging session_window is tie-insensitive,
+      -- so the rewrite must be too (temporal stress sweep)
+      SELECT user_id, event_id, ts, value,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
                   THEN 1 ELSE 0 END AS new_session
       FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )

@@ -183,16 +183,23 @@ def asof_join_with_tolerance(spark, sf_dir):
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
+        F.col("event_id").alias("p_event_id"),
         F.col("ts").alias("p_ts"),
         F.round("value", 2).alias("p_value"),
     )
+    # payload LEADS with p_event_id: the operator breaks equal-ts
+    # ties by the largest payload struct, and the oracle's argmax
+    # orders by (ts DESC, event_id DESC) — leading with p_ts (equal
+    # among the tied rows) would fall through to max VALUE and
+    # diverge whenever two purchases share a timestamp (caught by
+    # the temporal stress sweep's deliberate ts collisions)
     joined = asof_join(
         errors,
         purchases,
         key="user_id",
         left_ts="ts",
         right_ts="p_ts",
-        payload_cols=["p_ts", "p_value"],
+        payload_cols=["p_event_id", "p_ts", "p_value"],
     )
     age = (
         F.unix_micros("ts") / 1e6 - F.unix_micros("asof_p_ts") / 1e6

@@ -49,6 +49,15 @@ percent_rank's n−1, `sequence(0, n-2)` at n=1), plus DANGLING foreign
 keys (kept orders reference un-kept customers), which left/anti/outer
 join paths must treat identically in both engines.
 
+``--mode temporal`` — timestamp/date knife edges injected into 40% of
+events and slices of orders/lineitem: instants spanning the
+America/New_York DST spring-forward gap and fall-back overlap (the
+hours a hand-rolled offset gets wrong), pre-epoch (negative int64)
+timestamps, leap-day and year-boundary dates, and end-of-day
+microsecond edges. Timezone conversion, date_trunc/windows, range
+joins, and watermark logic all cross these edges in production
+backfills.
+
 ``--mode unicode`` — a multibyte gauntlet appended to 20% of document
 texts (n_chars recomputed) and 1/29 customer names: accented latin,
 CJK/Hangul, RTL arabic/hebrew, emoji, ligatures, Turkish İ, German ß,
@@ -246,6 +255,55 @@ def build_unicode(con, out: str) -> None:
         _copy_rewritten(con, table, src, dst, rewrites.get(table, {}))
 
 
+#: temporal-mode rewrites, deterministic by key mod. Edge anchors:
+#: 2024-03-10 06:30Z (NY spring-forward: 07:00Z jumps local 02:00→03),
+#: 2024-11-03 04:30Z (NY fall-back: 06:00Z repeats local 01:00-02:00),
+#: 1969-12-31 (pre-epoch, negative int64 micros), 2024-02-29 (leap),
+#: 2023-12-31 23:59:59.999999 (year boundary at microsecond edge).
+TEMPORAL: dict[str, dict[str, str]] = {
+    "events": {
+        "ts": (
+            "CASE "
+            "WHEN event_id % 10 = 0 THEN TIMESTAMP '2024-03-10 06:30:00' "
+            "  + INTERVAL (event_id % 3600) SECOND "
+            "WHEN event_id % 10 = 1 THEN TIMESTAMP '2024-11-03 04:30:00' "
+            "  + INTERVAL (event_id % 7200) SECOND "
+            "WHEN event_id % 10 = 2 THEN TIMESTAMP '1969-12-31 00:00:00' "
+            "  + INTERVAL (event_id % 86400) SECOND "
+            "WHEN event_id % 10 = 3 THEN TIMESTAMP '2023-12-31 23:59:59.999999' "
+            "  + INTERVAL (event_id % 2) SECOND "
+            "ELSE ts END"
+        ),
+    },
+    "orders": {
+        "o_orderdate": (
+            "CASE "
+            "WHEN o_orderkey % 11 = 0 THEN TIMESTAMP '2024-02-29 12:00:00' "
+            "WHEN o_orderkey % 11 = 1 THEN TIMESTAMP '2000-02-29 00:00:00' "
+            "WHEN o_orderkey % 11 = 2 THEN TIMESTAMP '2023-12-31 23:59:59' "
+            "ELSE o_orderdate END"
+        ),
+    },
+    "lineitem": {
+        "l_shipdate": (
+            "CASE "
+            "WHEN (l_orderkey * 7 + l_linenumber) % 13 = 0 "
+            "  THEN TIMESTAMP '2024-02-29 18:00:00' "
+            "WHEN (l_orderkey * 7 + l_linenumber) % 13 = 1 "
+            "  THEN TIMESTAMP '2024-01-01 00:00:00' "
+            "ELSE l_shipdate END"
+        ),
+    },
+}
+
+
+def build_temporal(con, out: str) -> None:
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        _copy_rewritten(con, table, src, dst, TEMPORAL.get(table, {}))
+
+
 def build_empty(con, out: str) -> None:
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
@@ -271,7 +329,8 @@ def main() -> None:
     args = sys.argv[1:]
     if "--mode" in args:
         mode = args[args.index("--mode") + 1]
-    if mode not in ("shift", "skew", "null", "empty", "tiny", "unicode"):
+    if mode not in ("shift", "skew", "null", "empty", "tiny", "unicode",
+                    "temporal"):
         raise SystemExit(f"unknown --mode {mode}")
     out = os.path.join(
         ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
@@ -280,7 +339,7 @@ def main() -> None:
     con = duckdb.connect()
     {"shift": build_shift, "skew": build_skew, "null": build_null,
      "empty": build_empty, "tiny": build_tiny,
-     "unicode": build_unicode}[mode](con, out)
+     "unicode": build_unicode, "temporal": build_temporal}[mode](con, out)
     for table in TABLES:
         dst = os.path.join(out, f"{table}.parquet")
         n = con.execute(
