@@ -66,6 +66,13 @@ metacharacters, quotes, tab/newline. Real corpus text IS this;
 tokenizer/regex/case-fold/hash paths that secretly assume ASCII (or
 where Java and utf8proc case-fold differently) diverge here.
 
+``--mode gauntlet`` — ALL row-level axes composed on one dataset
+(skew ∘ null ∘ unicode ∘ temporal, applied in that order per column),
+then the shift-mode key-space doubling on top: interactions between
+axes (a NULL lang on a unicode-gauntleted doc, a skewed hot user with
+duplicate pre-epoch timestamps, a dangling shifted key with NULL
+value) only exist here.
+
 ``--mode null`` — NULL/empty injection into the plausibly-nullable
 business columns (keys, timestamps, and spec-mandated TPC-H measure
 columns stay non-null; that's the documented data contract):
@@ -304,6 +311,99 @@ def build_temporal(con, out: str) -> None:
         _copy_rewritten(con, table, src, dst, TEMPORAL.get(table, {}))
 
 
+def _subst(expr: str, col: str, inner: str) -> str:
+    """Replace bare references to ``col`` in ``expr`` with ``inner``
+    (word-boundary match, so e.g. `user_id` never hits `event_id`)."""
+    import re as _re
+
+    return _re.sub(rf"\b{col}\b", f"({inner})", expr)
+
+
+def build_gauntlet(con, out: str) -> None:
+    """Compose skew ∘ null ∘ unicode ∘ temporal per column, then the
+    shift-mode doubling on top (copy 1 gets the key shifts)."""
+    g = UNI_GAUNTLET.replace("'", "''")
+    hot = {
+        "hot_cust": con.execute(
+            f"SELECT min(c_custkey) FROM read_parquet('{SRC}/customer.parquet')"
+        ).fetchone()[0],
+        "hot_part": con.execute(
+            f"SELECT min(p_partkey) FROM read_parquet('{SRC}/part.parquet')"
+        ).fetchone()[0],
+        "hot_supp": con.execute(
+            f"SELECT min(s_suppkey) FROM read_parquet('{SRC}/supplier.parquet')"
+        ).fetchone()[0],
+        "hot_lang": "'" + con.execute(
+            f"SELECT lang FROM read_parquet('{SRC}/documents.parquet') "
+            "GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1"
+        ).fetchone()[0] + "'",
+    }
+    uni_text = (
+        f"CASE WHEN doc_id % 5 = 0 THEN text || ' ' || '{g}' ELSE text END"
+    )
+    composed: dict[str, dict[str, str]] = {
+        "customer": {
+            "c_acctbal": NULLS["customer"]["c_acctbal"],
+            "c_name": "CASE WHEN c_custkey % 29 = 0 THEN "
+                      "c_name || ' Ünïcode😀' ELSE c_name END",
+        },
+        "orders": {
+            "o_custkey": SKEWS["orders"]["o_custkey"].format(**hot),
+            "o_orderdate": TEMPORAL["orders"]["o_orderdate"],
+        },
+        "lineitem": {
+            **{c: e.format(**hot) for c, e in SKEWS["lineitem"].items()},
+            "l_shipdate": TEMPORAL["lineitem"]["l_shipdate"],
+        },
+        "events": {
+            "user_id": SKEWS["events"]["user_id"].format(**hot),
+            "value": NULLS["events"]["value"],
+            "props": NULLS["events"]["props"],
+            "ts": TEMPORAL["events"]["ts"],
+        },
+        "documents": {
+            # null ∘ skew on lang; null(empty) ∘ unicode on text
+            "lang": _subst(
+                NULLS["documents"]["lang"], "lang",
+                SKEWS["documents"]["lang"].format(**hot),
+            ),
+            "text": _subst(NULLS["documents"]["text"], "text", uni_text),
+            "n_chars": (
+                f"CASE WHEN doc_id % 53 = 0 THEN 0 "
+                f"WHEN doc_id % 5 = 0 THEN length(text || ' ' || '{g}')::BIGINT "
+                "ELSE n_chars END"
+            ),
+        },
+    }
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        rw = composed.get(table, {})
+        cols = _cols(con, src)
+        base_sel = ", ".join(
+            f"({rw[c]}) AS {c}" if c in rw else c for c in cols
+        )
+        shift = SHIFTS[table]
+        if shift is None:
+            con.execute(
+                f"COPY (SELECT {base_sel} FROM {src}) TO '{dst}' "
+                "(FORMAT PARQUET)"
+            )
+        else:
+            shifted_sel = ", ".join(
+                f"({_subst(shift[c], c, rw[c]) if c in rw else shift[c]})"
+                f"::BIGINT AS {c}"
+                if c in shift
+                else (f"({rw[c]}) AS {c}" if c in rw else c)
+                for c in cols
+            )
+            con.execute(
+                f"COPY (SELECT {base_sel} FROM {src} "
+                f"UNION ALL SELECT {shifted_sel} FROM {src}) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+
+
 def build_empty(con, out: str) -> None:
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
@@ -330,7 +430,7 @@ def main() -> None:
     if "--mode" in args:
         mode = args[args.index("--mode") + 1]
     if mode not in ("shift", "skew", "null", "empty", "tiny", "unicode",
-                    "temporal"):
+                    "temporal", "gauntlet"):
         raise SystemExit(f"unknown --mode {mode}")
     out = os.path.join(
         ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
@@ -339,7 +439,8 @@ def main() -> None:
     con = duckdb.connect()
     {"shift": build_shift, "skew": build_skew, "null": build_null,
      "empty": build_empty, "tiny": build_tiny,
-     "unicode": build_unicode, "temporal": build_temporal}[mode](con, out)
+     "unicode": build_unicode, "temporal": build_temporal,
+     "gauntlet": build_gauntlet}[mode](con, out)
     for table in TABLES:
         dst = os.path.join(out, f"{table}.parquet")
         n = con.execute(

@@ -1,0 +1,94 @@
+"""Run the ENTIRE stress campaign in one command: build every
+invariant-breaking dataset (tools/make_stress_data.py modes) and
+differentially sweep the full oracled surface on each
+(tools/sf_sweep.py), writing one report per axis plus a one-line
+rollup.
+
+This is the regression harness for the 47 cross-engine divergences
+round 8 found and fixed (NULL semantics, empty/single-row knife
+edges, JVM case-fold SpecialCasing, duplicate-timestamp ties, …):
+any future query or oracle change that re-introduces one of those
+classes fails the corresponding axis loudly.
+
+Usage:
+    python tools/stress_all.py [--modes m1,m2,...] [--src SF_DIR]
+
+Each axis writes <MODE>_SWEEP.json at the repo root (same names the
+round-8 artifacts use; EMPTY/TINY/... ). Exit code 1 if any axis has
+failures. Budget ~45 min for the full campaign at the default sf0.1
+source (the gauntlet and skew axes dominate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: mode -> (dataset dir name, report filename)
+AXES = {
+    "shift": ("stress", "STRESS_SWEEP.json"),
+    "skew": ("stress_skew", "SKEW_SWEEP.json"),
+    "null": ("stress_null", "NULL_SWEEP.json"),
+    "empty": ("stress_empty", "EMPTY_SWEEP.json"),
+    "tiny": ("stress_tiny", "TINY_SWEEP.json"),
+    "unicode": ("stress_unicode", "UNICODE_SWEEP.json"),
+    "temporal": ("stress_temporal", "TEMPORAL_SWEEP.json"),
+    "gauntlet": ("stress_gauntlet", "GAUNTLET_SWEEP.json"),
+}
+
+
+def main() -> int:
+    argv = sys.argv[1:]
+    modes = list(AXES)
+    env = dict(os.environ)
+    if "--modes" in argv:
+        modes = argv[argv.index("--modes") + 1].split(",")
+    if "--src" in argv:
+        env["STRESS_SRC"] = argv[argv.index("--src") + 1]
+
+    rollup = {}
+    failed_axes = []
+    for mode in modes:
+        dirname, report = AXES[mode]
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "make_stress_data.py"),
+             "--mode", mode],
+            check=True, env=env, cwd=ROOT,
+            stdout=subprocess.DEVNULL,
+        )
+        proc = subprocess.run(
+            [sys.executable, os.path.join(ROOT, "tools", "sf_sweep.py"),
+             os.path.join(ROOT, ".scratch", dirname), "--out", report],
+            env=env, cwd=ROOT,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        summary = json.load(open(os.path.join(ROOT, report)))["summary"]
+        rollup[mode] = {
+            "pass": summary["n_pass"],
+            "fail": summary["n_fail"],
+            "sec": round(time.time() - t0, 1),
+            "failures": summary["failures"],
+        }
+        status = "OK " if proc.returncode == 0 else "FAIL"
+        print(f"{status} {mode:9s} {summary['n_pass']}/"
+              f"{summary['n_pass'] + summary['n_fail']} "
+              f"({rollup[mode]['sec']}s)", file=sys.stderr)
+        if proc.returncode != 0:
+            failed_axes.append(mode)
+
+    print(json.dumps({
+        "metric": "stress_campaign",
+        "axes": rollup,
+        "failed_axes": failed_axes,
+    }, separators=(",", ":")))
+    return 1 if failed_axes else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
