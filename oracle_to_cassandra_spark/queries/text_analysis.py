@@ -775,3 +775,91 @@ def bm25_self_retrieval_mrr(spark, sf_dir):
         .cast("long")
         .alias("mrr_ppm"),
     )
+
+
+#: Unicode script classes for the mix profile — (name, codepoint
+#: class) in PRIORITY order (ties on equal counts resolve to the
+#: earlier class). The \x{...} class syntax parses identically in
+#: Java regex (Spark) and RE2 (DuckDB), and counting is per
+#: CODEPOINT in both (verified incl. astral-plane emoji).
+_SCRIPT_CLASSES = (
+    ("latin", r"[A-Za-z]"),
+    ("cjk", r"[\x{4E00}-\x{9FFF}\x{3040}-\x{30FF}]"),
+    ("hangul", r"[\x{AC00}-\x{D7AF}]"),
+    ("arabic", r"[\x{0600}-\x{06FF}]"),
+    ("hebrew", r"[\x{0590}-\x{05FF}]"),
+    ("greek", r"[\x{0370}-\x{03FF}]"),
+    ("cyrillic", r"[\x{0400}-\x{04FF}]"),
+    ("emoji", r"[\x{1F000}-\x{1FAFF}]"),
+)
+
+
+def _script_mix_oracle() -> str:
+    cnt = ",\n             ".join(
+        f"length(text) - length(regexp_replace(text, '{pat}', '', 'g'))"
+        f" AS c_{name}"
+        for name, pat in _SCRIPT_CLASSES
+    )
+    m = "greatest(" + ", ".join(f"c_{n}" for n, _ in _SCRIPT_CLASSES) + ")"
+    dom = "CASE WHEN " + m + " = 0 THEN 'none' " + " ".join(
+        f"WHEN c_{n} = {m} THEN '{n}'" for n, _ in _SCRIPT_CLASSES
+    ) + " END"
+    return f"""
+    WITH per_doc AS (
+      SELECT source, text,
+             {cnt}
+      FROM documents
+    ),
+    tagged AS (
+      SELECT source, {dom} AS dominant_script,
+             ({m})::BIGINT AS dom_chars
+      FROM per_doc
+    )
+    SELECT source, dominant_script,
+           count(*)::BIGINT AS n_docs,
+           sum(dom_chars)::BIGINT AS total_script_chars
+    FROM tagged GROUP BY source, dominant_script
+    """
+
+
+@query("script_mix_profile", oracle=_script_mix_oracle())
+def script_mix_profile(spark, sf_dir):
+    """Unicode-script mix profile — the script-aware filtering step a
+    multilingual corpus pipeline runs before language-specific
+    processing: classify each document by its DOMINANT script
+    (codepoint counts over 8 script classes, ties resolved by a fixed
+    priority order, 'none' for script-free docs) and roll up per
+    source. Downstream, script routing decides tokenizer choice,
+    normalization form, and per-script quality thresholds; a corpus
+    whose 'latin' source suddenly grows a CJK tail is a crawl
+    regression this table surfaces immediately.
+
+    Cross-engine: each class is ONE codepoint-class regex whose
+    ``\\x{...}`` syntax parses identically in Java regex and RE2;
+    Spark counts matches with ``regexp_count``, the oracle counts by
+    length difference after ``regexp_replace(..., 'g')`` — both per
+    codepoint, astral planes included (the unicode stress set
+    exercises all 8 classes; plain fixtures are all-latin).
+
+    Scale: 8 codegen regexes per row on the scan, one
+    map-side-combinable aggregate on (source, dominant) — profile
+    cost is one corpus read regardless of class count."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = [
+        F.regexp_count("text", F.lit(pat)).alias(f"c_{name}")
+        for name, pat in _SCRIPT_CLASSES
+    ]
+    per_doc = d.select("source", *counts)
+    m = F.greatest(*[F.col(f"c_{n}") for n, _ in _SCRIPT_CLASSES])
+    dom = F.when(m == 0, F.lit("none"))
+    for name, _ in _SCRIPT_CLASSES:
+        dom = dom.when(F.col(f"c_{name}") == m, F.lit(name))
+    tagged = per_doc.select(
+        "source",
+        dom.alias("dominant_script"),
+        m.cast("long").alias("dom_chars"),
+    )
+    return tagged.groupBy("source", "dominant_script").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dom_chars").alias("total_script_chars"),
+    )

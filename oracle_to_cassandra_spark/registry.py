@@ -227,11 +227,12 @@ _PRIORITY: tuple[str, ...] = (
     "intersect_custkeys",
     "except_custkeys",
     "semi_anti_join_customers",
-    # --- r9 queue: round-8 net-new additions (3 — held to a handful
+    # --- r9 queue: round-8 net-new additions (4 — held to a handful
     #     so the 37-item backlog + these fit r9's 50-slot window) ---
     "shingle_width_sensitivity",
     "weighted_systematic_sample",
     "tokenizer_fertility_per_lang",
+    "script_mix_profile",
 )
 
 _loaded = False
