@@ -242,7 +242,10 @@ def pivot_user_event_counts(spark, sf_dir):
            END AS var_bal_e2,
            round(med, 6) AS median_bal
     FROM (
-      SELECT c_mktsegment, count(*)::BIGINT AS n,
+      -- n counts NON-NULL balances (count(bal_c), not count(*)): s1/s2
+      -- skip NULLs, so a count(*) n deflates the mean under injected
+      -- NULLs and the n>1 guard passes with one non-null value
+      SELECT c_mktsegment, count(bal_c)::BIGINT AS n,
              sum(bal_c)::BIGINT AS s1,
              sum(bal_c * bal_c)::BIGINT AS s2,
              quantile_cont(c_acctbal, 0.5) AS med
@@ -273,7 +276,9 @@ def stats_dispersion_per_segment(spark, sf_dir):
         load_table(spark, sf_dir, "customer")
         .groupBy("c_mktsegment")
         .agg(
-            F.count("*").alias("n"),
+            # count the NON-NULL balances — s1/s2/med all skip NULLs,
+            # so count(*) would deflate the mean when NULLs are present
+            F.count(bal_c).alias("n"),
             F.sum(bal_c).alias("s1"),
             F.sum(bal_c * bal_c).alias("s2"),
             F.percentile("c_acctbal", F.lit(0.5)).alias("med"),

@@ -274,11 +274,13 @@ def tpch_q7_volume_shipping(spark, sf_dir):
         AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
     )
+    -- cent-scale sums (// 100) before the *1e4 multiply: same int64
+    -- headroom hardening as tpch_q14_promo_revenue's numerator
     SELECT o_year,
-           (sum(CASE WHEN supp_nation = 'NATION_5'
-                     THEN CAST(round(volume * 10000) AS BIGINT)
-                     ELSE 0 END)::BIGINT * 10000
-            // sum(CAST(round(volume * 10000) AS BIGINT))::BIGINT)
+           ((sum(CASE WHEN supp_nation = 'NATION_5'
+                      THEN CAST(round(volume * 10000) AS BIGINT)
+                      ELSE 0 END)::BIGINT // 100) * 10000
+            // (sum(CAST(round(volume * 10000) AS BIGINT))::BIGINT // 100))
              AS mkt_share_e4
     FROM all_nations GROUP BY o_year
     """,
@@ -320,18 +322,19 @@ def tpch_q8_market_share(spark, sf_dir):
     )
     vol_i = F.round(vol * 10000).cast("long")
     return joined.groupBy(F.year("o_orderdate").alias("o_year")).agg(
-        # exact e4 share: nation-sum ·1e4, one int64 div by the total
-        (
-            F.sum(
-                F.when(F.col("supp_nation") == "NATION_5", vol_i).otherwise(
-                    F.lit(0).cast("long")
-                )
+        # exact e4 share: nation-sum ·1e4, one int64 div by the total;
+        # both sums drop to cents (div 100) first for int64 headroom
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_5", vol_i).otherwise(
+                F.lit(0).cast("long")
             )
-            * 10000
-        ).alias("_num"),
-        F.sum(vol_i).alias("_den"),
+        ).alias("_nation"),
+        F.sum(vol_i).alias("_total"),
     ).select(
-        "o_year", F.expr("_num div _den").alias("mkt_share_e4")
+        "o_year",
+        F.expr(
+            "(_nation div 100) * 10000 div (_total div 100)"
+        ).alias("mkt_share_e4"),
     )
 
 
@@ -524,12 +527,16 @@ def tpch_q13_customer_distribution(spark, sf_dir):
 @query(
     "tpch_q14_promo_revenue",
     oracle="""
-    SELECT (sum(CASE WHEN p.p_type = 'PROMO'
-                     THEN CAST(round(l.l_extendedprice
-                           * (1 - l.l_discount) * 10000) AS BIGINT)
-                     ELSE 0 END)::BIGINT * 1000000
-            // sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
-                             * 10000) AS BIGINT))::BIGINT)
+    -- ratio computed over cent-scale sums (exact 1e-4-unit sums // 100)
+    -- so the *1e6 numerator keeps ~2 orders of int64 headroom beyond
+    -- the largest swept SF (at 1e-4 units the sf0.1 month sum is
+    -- 3.6e12 and *1e6 sits only 2.56x under int64 max)
+    SELECT ((sum(CASE WHEN p.p_type = 'PROMO'
+                      THEN CAST(round(l.l_extendedprice
+                            * (1 - l.l_discount) * 10000) AS BIGINT)
+                      ELSE 0 END)::BIGINT // 100) * 1000000
+            // (sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 10000) AS BIGINT))::BIGINT // 100))
              AS promo_pct_e4
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -554,19 +561,23 @@ def tpch_q14_promo_revenue(spark, sf_dir):
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .agg(
             # e4 percent units: promo-sum ·1e6, one int64 div by the
-            # total (== percent at 4 dp, with no float round to tie)
-            (
-                F.sum(
-                    F.when(
-                        F.col("p_type") == "PROMO",
-                        F.round(vol * 10000).cast("long"),
-                    ).otherwise(F.lit(0).cast("long"))
-                )
-                * 1000000
-            ).alias("_num"),
-            F.sum(F.round(vol * 10000).cast("long")).alias("_den"),
+            # total (== percent at 4 dp, with no float round to tie).
+            # Both exact sums drop to cent scale (div 100) BEFORE the
+            # ·1e6 multiply so the numerator keeps int64 headroom well
+            # past the largest swept SF (see oracle comment).
+            F.sum(
+                F.when(
+                    F.col("p_type") == "PROMO",
+                    F.round(vol * 10000).cast("long"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("_promo"),
+            F.sum(F.round(vol * 10000).cast("long")).alias("_total"),
         )
-        .select(F.expr("_num div _den").alias("promo_pct_e4"))
+        .select(
+            F.expr(
+                "(_promo div 100) * 1000000 div (_total div 100)"
+            ).alias("promo_pct_e4")
+        )
     )
 
 

@@ -135,66 +135,25 @@ _QUERY_MODULES = (
 #: knife edges the conversion removes) and are re-proved by this
 #: round's full sf0.1 differential sweep + the per-session replica,
 #: so they queue BEHIND the 37 genuinely stale/zero-history items.
+#: ROUND-9 rotation (executes item 1 of the round-8 verdict): the
+#: 50-window = the full r9 queue the r8 comments staged (6 deferred
+#: zero-history + 31 r1-stale + 4 r8 net-new = 41), PLUS the two
+#: TPC-H ratio queries round 9 changed (int64-headroom hardening per
+#: r8 ADVICE item 2 — tpch_q14_promo_revenue, tpch_q8_market_share;
+#: stats_dispersion_per_segment, changed by ADVICE item 1, already
+#: sits in the 41), PLUS 7 fillers drawn from the oldest remaining
+#: driver evidence (r2 rows, by CORRECTNESS_r02.json), preferring the
+#: float-audited and dedup cores. After r9 the remaining backlog is
+#: r2-green rows only (~39) — they queue for r10.
 _PRIORITY: tuple[str, ...] = (
-    # --- r8 window: 50 zero-history rows (drains the backlog) ---
-    "ldiversity_sensitive_attribute_audit",
-    "temperature_mixture_weights",
-    "oov_bigram_novelty",
-    "embedding_centroid_drift",
-    "trade_graph_pagerank",
-    "stream_custom_pysource_aggregate",
-    "cogrouped_order_reconciliation",
-    "observed_ingest_metrics",
-    "gdpr_delete_propagation",
-    "parameterized_sql_query",
-    "collation_ci_grouping",
-    "hinted_shuffle_hash_join",
-    "xml_roundtrip_extraction",
-    "unigram_cross_entropy_per_source",
-    "null_safe_join_reconciliation",
-    "secondary_index_dpp_lookup",
-    "stream_crash_resume_reconciliation",
-    "vocab_coverage_curve",
-    "dead_letter_replay_recovery",
-    "stream_rocksdb_state_aggregate",
-    "multimodal_tar_webdataset_decode",
-    "recursive_cte_trade_reachability",
-    "arrow_udf_embedding_l1_norm",
-    "analyze_table_cbo_stats",
-    "sft_conversation_render",
-    "sft_loss_mask_spans",
-    "dpo_preference_pairs",
-    "contrastive_inbatch_collision_audit",
-    "kv_cache_block_allocation",
-    "bootstrap_replicate_means",
-    "lsh_dedup_recall_vs_exact",
-    "lsh_candidate_precision_audit",
-    "epoch_reshuffle_prefix_overlap",
-    "length_bucketed_batching_waste",
-    "cassandra_partition_size_audit",
-    "ttl_expiry_compaction_plan",
-    "bm25_self_retrieval_mrr",
-    "temporal_label_join_no_leakage",
-    "salt_balance_audit",
-    "layout_skipping_comparison",
-    "token_budget_apportionment",
-    "props_key_profile",
-    "timezone_local_date_rollup",
-    "window_distribution_functions",
-    "map_higher_order_battery",
-    "try_arithmetic_null_semantics",
-    "percentile_disc_per_segment",
-    "bitmap_distinct_rollup",
-    "listagg_ordered_rollup",
-    "xpath_sidecar_extraction",
-    # --- r9 queue: 6 deferred zero-history rows ---
+    # --- r9 window: 6 deferred zero-history rows ---
     "multibyte_length_semantics",
     "url_parse_host_rollup",
     "struct_field_surgery",
     "stratified_exact_n_sample",
     "distinct_set_sorted_rollup",
     "date_trunc_granularity_rollup",
-    # --- r9 queue: 31 rows whose driver evidence is r1-only,
+    # --- r9 window: 31 rows whose driver evidence was r1-only,
     #     predating two testdata regenerations (replica-green) ---
     "full_scan_region",
     "projection_orders",
@@ -227,12 +186,23 @@ _PRIORITY: tuple[str, ...] = (
     "intersect_custkeys",
     "except_custkeys",
     "semi_anti_join_customers",
-    # --- r9 queue: round-8 net-new additions (4 — held to a handful
-    #     so the 37-item backlog + these fit r9's 50-slot window) ---
+    # --- r9 window: round-8 net-new additions ---
     "shingle_width_sensitivity",
     "weighted_systematic_sample",
     "tokenizer_fertility_per_lang",
     "script_mix_profile",
+    # --- r9 window: changed THIS round (r8 ADVICE item 2 ratio
+    #     headroom hardening) — need fresh driver rows ---
+    "tpch_q14_promo_revenue",
+    "tpch_q8_market_share",
+    # --- r9 window: 7 fillers with the oldest (r2) driver evidence ---
+    "correlation_price_quantity",
+    "approx_count_distinct_custkeys",
+    "approx_quantiles_acctbal",
+    "argmax_latest_order",
+    "dedup_exact_keepers",
+    "dedup_lsh_candidates",
+    "dedup_cluster_assignment",
 )
 
 _loaded = False

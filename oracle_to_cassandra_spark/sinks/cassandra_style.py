@@ -76,6 +76,47 @@ def write_query_table(
     out.write.mode(mode).partitionBy(*partition_by).parquet(path)
 
 
+#: DataSource v2 format name the spark-cassandra-connector registers
+CONNECTOR_FORMAT = "org.apache.spark.sql.cassandra"
+
+#: a class the connector jar is guaranteed to provide — the classpath
+#: capability probe loads this, not the format shortname, so the probe
+#: cannot false-positive on an unrelated DataSource registration
+CONNECTOR_PROBE_CLASS = (
+    "com.datastax.spark.connector.datasource.CassandraCatalog"
+)
+
+#: Maven coordinate to put on ``spark.jars.packages`` for a real run
+CONNECTOR_PACKAGE = "com.datastax.spark:spark-cassandra-connector_2.13"
+
+
+def connector_write_spec(
+    keyspace: str, table: str, mode: str = "append"
+) -> dict:
+    """The EXACT writer configuration ``write_to_cassandra`` executes —
+    exposed as data so the mapping is contract-testable without the
+    connector jar on the classpath (the format string only resolves at
+    ``save()`` time).  Keys mirror the DataFrameWriter calls:
+    ``format`` / ``options`` / ``mode``."""
+    if not keyspace or not table:
+        raise ValueError("keyspace and table are required")
+    return {
+        "format": CONNECTOR_FORMAT,
+        "options": {"keyspace": keyspace, "table": table},
+        "mode": mode,
+    }
+
+
+def connector_available(spark: SparkSession) -> bool:
+    """True when the spark-cassandra-connector jar is on the JVM
+    classpath (capability probe; no cluster contact)."""
+    try:
+        spark._jvm.java.lang.Class.forName(CONNECTOR_PROBE_CLASS)
+        return True
+    except Exception:
+        return False
+
+
 def write_to_cassandra(
     df: DataFrame, keyspace: str, table: str, mode: str = "append"
 ) -> None:
@@ -89,27 +130,17 @@ def write_to_cassandra(
     ClassNotFoundException mid-save. ``write_query_table`` is the
     parquet stand-in with identical layout semantics."""
     validate_sink_columns(df)
-    jvm_has_connector = False
-    try:
-        spark = df.sparkSession
-        # the connector registers this DataSource shortname
-        spark._jvm.java.lang.Class.forName(
-            "com.datastax.spark.connector.datasource.CassandraCatalog"
-        )
-        jvm_has_connector = True
-    except Exception:
-        pass
-    if not jvm_has_connector:
+    if not connector_available(df.sparkSession):
         raise RuntimeError(
             "spark-cassandra-connector not on the classpath; add "
-            "com.datastax.spark:spark-cassandra-connector_2.13 via "
-            "spark.jars.packages, or use write_query_table() for the "
-            "parquet stand-in sink"
+            f"{CONNECTOR_PACKAGE} via spark.jars.packages, or use "
+            "write_query_table() for the parquet stand-in sink"
         )
+    spec = connector_write_spec(keyspace, table, mode)
     (
-        df.write.format("org.apache.spark.sql.cassandra")
-        .options(keyspace=keyspace, table=table)
-        .mode(mode)
+        df.write.format(spec["format"])
+        .options(**spec["options"])
+        .mode(spec["mode"])
         .save()
     )
 

@@ -417,9 +417,12 @@ def build_tiny(con, out: str) -> None:
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
         dst = os.path.join(out, f"{table}.parquet")
-        lead = _cols(con, src)[0]
+        # ORDER BY every column before the LIMIT: the leading key alone
+        # ties (lineitem has up to 7 rows per l_orderkey), which made
+        # the selected row set nondeterministic across regenerations
+        order = ", ".join(_cols(con, src))
         con.execute(
-            f"COPY (SELECT * FROM {src} ORDER BY {lead} LIMIT 7) "
+            f"COPY (SELECT * FROM {src} ORDER BY {order} LIMIT 7) "
             f"TO '{dst}' (FORMAT PARQUET)"
         )
 

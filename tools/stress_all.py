@@ -62,13 +62,26 @@ def main() -> int:
             check=True, env=env, cwd=ROOT,
             stdout=subprocess.DEVNULL,
         )
+        # delete the axis report BEFORE the sweep: if the subprocess
+        # dies without writing one (build error, OOM), json.load must
+        # fail loudly rather than silently roll up a stale prior run
+        report_path = os.path.join(ROOT, report)
+        if os.path.exists(report_path):
+            os.remove(report_path)
         proc = subprocess.run(
             [sys.executable, os.path.join(ROOT, "tools", "sf_sweep.py"),
              os.path.join(ROOT, ".scratch", dirname), "--out", report],
             env=env, cwd=ROOT,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
         )
-        summary = json.load(open(os.path.join(ROOT, report)))["summary"]
+        if not os.path.exists(report_path):
+            print(f"CRASH {mode}: sweep exited {proc.returncode} without "
+                  f"writing {report}", file=sys.stderr)
+            rollup[mode] = {"pass": 0, "fail": -1, "sec": round(
+                time.time() - t0, 1), "failures": ["<sweep crashed>"]}
+            failed_axes.append(mode)
+            continue
+        summary = json.load(open(report_path))["summary"]
         rollup[mode] = {
             "pass": summary["n_pass"],
             "fail": summary["n_fail"],
