@@ -562,3 +562,92 @@ def stream_rocksdb_state_aggregate(spark, sf_dir):
                                     state_partitions=8)
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def _session_expiry_oracle() -> str:
+    """Composed from the SAME gap/watermark constants the processor
+    uses (the _gopher_gate_oracle pattern), with the timer-eligibility
+    boundary mirroring Spark's event-time timeout EXACTLY as probed on
+    a synthetic ms-knife-edge fixture: both the registered timer and
+    the watermark floor microseconds to MILLISECONDS, and the timer
+    fires only when strictly below the final watermark
+    (floor_ms(s_end) + gap_ms < floor_ms(max_ts) - wm_ms)."""
+    from oracle_to_cassandra_spark.streaming.stateful import (
+        SESSION_GAP_MIN,
+        SESSION_WM_MIN,
+    )
+
+    gap_ms = SESSION_GAP_MIN * 60_000
+    wm_ms = SESSION_WM_MIN * 60_000
+    return f"""
+    WITH on_time AS (
+      -- Spark's watermarked stateful operators DROP rows whose event
+      -- time is below the watermark; the file source delivers all
+      -- data in ONE batch, whose watermark is the INITIAL zero — so
+      -- pre-epoch events (temporal stress mode plants 1969 rows) are
+      -- late by definition and never reach the session state
+      SELECT user_id, ts, event_id FROM events
+      WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'
+    ), flagged AS (
+      -- event_id tiebreak: duplicate timestamps can never SPLIT a
+      -- session (gap 0), but a bare ORDER BY ts lets the lag pass and
+      -- the running-sum pass resolve a tie in DIFFERENT arbitrary
+      -- orders, stranding the new-session flag mid-tie and splitting
+      -- the tied run (caught live by the temporal stress sweep)
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL {SESSION_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM on_time
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, sid,
+             min(ts) AS session_start, max(ts) AS session_end,
+             count(*)::BIGINT AS n_events,
+             max(sid) OVER (PARTITION BY user_id) AS max_sid
+      FROM numbered GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           CASE WHEN sid < max_sid THEN 'gap' ELSE 'timer' END AS closed_by
+    FROM sessions
+    WHERE sid < max_sid
+       OR (epoch_us(session_end) // 1000) + {gap_ms}
+          < (SELECT max(epoch_us(ts)) // 1000 FROM events) - {wm_ms}
+    """
+
+
+@query("stream_session_expiry_timers", oracle=_session_expiry_oracle())
+def stream_session_expiry_timers(spark, sf_dir):
+    """TIMER-DRIVEN session expiry — the second ``transformWithState``
+    shape: per-user sessions close EITHER when a successor event
+    arrives past the 30-min gap (``closed_by='gap'``) OR when the
+    event-time watermark passes last_ts + gap with no successor — an
+    expiry TIMER (``handle.registerTimer`` → ``handleExpiredTimer`` on
+    the Spark 4 API; ``EventTimeTimeout`` + ``setTimeoutTimestamp`` on
+    the applyInPandasWithState fallback this environment runs). The
+    in-flight tail session per user stays open (never emitted) — so
+    the result is fully deterministic and DuckDB-oracled, including
+    which sessions the FINAL no-data micro-batch's timers flush
+    (boundary semantics probed and mirrored in the oracle:
+    ms-floored, strictly-less-than watermark).
+
+    Scale: state is one (start, last_ts, n) triple per live user in
+    the keyed state store; timers evict dormant keys the moment the
+    watermark proves their session unreachable — the mechanism that
+    keeps a 100 TB/day clickstream's session state bounded by ACTIVE
+    users rather than ever-seen users. Per-key batch work is
+    vectorized pandas (diff→cumsum→groupby), no per-event Python
+    (see ``streaming/stateful.py:_fold_sessions``)."""
+    from oracle_to_cassandra_spark.streaming.stateful import (
+        session_expiry_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        session_expiry_stream(ev), output_mode="append", state_partitions=8
+    )

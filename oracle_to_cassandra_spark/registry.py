@@ -146,6 +146,8 @@ _QUERY_MODULES = (
 #: float-audited and dedup cores. After r9 the remaining backlog is
 #: r2-green rows only (~39) — they queue for r10.
 _PRIORITY: tuple[str, ...] = (
+    # --- r9 window: landed THIS round (zero history outranks all) ---
+    "stream_session_expiry_timers",
     # --- r9 window: 6 deferred zero-history rows ---
     "multibyte_length_semantics",
     "url_parse_host_rollup",

@@ -186,6 +186,172 @@ def _update_user_activity_fallback(
     )
 
 
+SESSION_OUTPUT_SCHEMA = (
+    "user_id LONG, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events LONG, closed_by STRING"
+)
+
+#: gap that separates two sessions (strictly greater closes)
+SESSION_GAP_MIN = 30
+
+#: watermark delay for the session-expiry stream
+SESSION_WM_MIN = 10
+
+
+def _fold_sessions(
+    ts: "pd.Series", state: tuple | None, user_id: int
+) -> tuple[list[tuple], tuple]:
+    """Merge a sorted batch of event times into the open session from
+    ``state`` (``(s_start, last_ts, n)`` or None): returns the list of
+    GAP-CLOSED session rows and the new open-session state.
+
+    Vectorized (diff > gap → cumsum → groupby agg), so a hot key with
+    100k events in one batch costs a few pandas array ops, not a
+    Python-level loop per event (skew-stress safety)."""
+    gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+    sid = (ts.diff() > gap).cumsum()
+    g = ts.groupby(sid)
+    starts = g.min().tolist()
+    ends = g.max().tolist()
+    counts = [int(c) for c in g.size().tolist()]
+    closed = []
+    if state is not None:
+        s_start, last_ts, n = state
+        if ts.iloc[0] - last_ts <= gap:
+            # batch head continues the open session (min/max guard the
+            # out-of-order-across-batches case)
+            starts[0] = min(s_start, starts[0])
+            ends[0] = max(last_ts, ends[0])
+            counts[0] += n
+        else:
+            closed.append((user_id, s_start, last_ts, n, "gap"))
+    for i in range(len(starts) - 1):
+        closed.append((user_id, starts[i], ends[i], counts[i], "gap"))
+    return closed, (starts[-1], ends[-1], counts[-1])
+
+
+class SessionExpiryProcessor(StatefulProcessor):
+    """Timer-driven session expiry on the Spark 4 ``transformWithState``
+    API: per-user sessions close EITHER when a successor event arrives
+    more than ``SESSION_GAP_MIN`` after the session's last event
+    (``closed_by='gap'``) OR when the event-time watermark passes
+    last_ts + gap with no successor — an EXPIRY TIMER registered via
+    ``handle.registerTimer`` and delivered to ``handleExpiredTimer``
+    (``closed_by='timer'``). The timer is how a 100 TB clickstream
+    flushes dormant sessions without waiting for the user to return:
+    state for a quiet key is emitted and dropped the moment the
+    watermark proves no in-gap event can still arrive.
+
+    Local runs capability-dispatch to the applyInPandasWithState twin
+    (``_session_expiry_fallback`` — EventTimeTimeout +
+    ``setTimeoutTimestamp``, the pre-4.x spelling of the same timer).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._sess = handle.getValueState(
+            "sess", "s_start TIMESTAMP, last_ts TIMESTAMP, n LONG"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        parts = [pdf["ts"] for pdf in rows if len(pdf)]
+        if not parts:
+            return
+        ts = pd.concat(parts).sort_values().reset_index(drop=True)
+        state = self._sess.get() if self._sess.exists() else None
+        closed, open_sess = _fold_sessions(ts, state, user_id)
+        self._sess.update(open_sess)
+        # (re-)arm the expiry timer at last_ts + gap; clear any stale one
+        for old in self._handle.listTimers():
+            self._handle.deleteTimer(old)
+        self._handle.registerTimer(
+            int(open_sess[1].value // 1_000_000) + SESSION_GAP_MIN * 60_000
+        )
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "closed_by",
+                ],
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if self._sess.exists():
+            s_start, last_ts, n = self._sess.get()
+            self._sess.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [s_start],
+                    "session_end": [last_ts],
+                    "n_events": [n],
+                    "closed_by": ["timer"],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+def _session_expiry_fallback(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState twin of SessionExpiryProcessor: the
+    expiry timer is ``GroupStateTimeout.EventTimeTimeout`` +
+    ``state.setTimeoutTimestamp(last_ts + gap)`` — fired as a
+    ``state.hasTimedOut`` call with no input rows once the watermark
+    passes that instant."""
+    (user_id,) = key
+    cols = ["user_id", "session_start", "session_end", "n_events", "closed_by"]
+    if state.hasTimedOut:
+        s_start, last_ts, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [(user_id, s_start, last_ts, n, "timer")], columns=cols
+        )
+        return
+    parts = [pdf["ts"] for pdf in pdfs if len(pdf)]
+    if not parts:
+        return
+    ts = pd.concat(parts).sort_values().reset_index(drop=True)
+    prev = tuple(state.get) if state.exists else None
+    closed, open_sess = _fold_sessions(ts, prev, user_id)
+    state.update(open_sess)
+    state.setTimeoutTimestamp(
+        int(open_sess[1].value // 1_000_000) + SESSION_GAP_MIN * 60_000
+    )
+    if closed:
+        yield pd.DataFrame(closed, columns=cols)
+
+
+def session_expiry_stream(events: DataFrame) -> DataFrame:
+    """Per-user session close events (gap- and timer-closed) over a
+    watermarked event stream. Primary path: Spark 4 transformWithState
+    timers; fallback: applyInPandasWithState EventTimeTimeout."""
+    keyed = (
+        events.select("user_id", "ts")
+        .withWatermark("ts", f"{SESSION_WM_MIN} minutes")
+        .groupBy("user_id")
+    )
+    if _tws_available():
+        return keyed.transformWithStateInPandas(
+            SessionExpiryProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    return keyed.applyInPandasWithState(
+        _session_expiry_fallback,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType="s_start TIMESTAMP, last_ts TIMESTAMP, n LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def user_activity_tws_stream(events: DataFrame) -> DataFrame:
     """Stateful per-user activity profile. Primary path is the Spark 4
     ``transformWithStateInPandas`` API (typed ValueState + MapState);

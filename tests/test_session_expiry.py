@@ -1,0 +1,153 @@
+"""Timer-driven session expiry: unit tests for the vectorized session
+folder plus the ms-knife-edge pin for the event-time timer boundary the
+DuckDB oracle mirrors (fires iff floor_ms(last_ts) + gap_ms is STRICTLY
+below floor_ms(max_ts) - wm_ms — probed empirically; if a Spark upgrade
+shifts this, the boundary test fails before the differential sweep
+flakes on a regenerated fixture)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from oracle_to_cassandra_spark.streaming.stateful import (
+    SESSION_GAP_MIN,
+    _fold_sessions,
+)
+
+
+def _ts(*vals):
+    return pd.Series(
+        pd.to_datetime(list(vals), format="mixed")
+    ).reset_index(drop=True)
+
+
+class TestFoldSessions:
+    def test_single_session_no_state(self):
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:00", "2024-01-01 10:10"), None, 7
+        )
+        assert closed == []
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 10:10"), 2
+        )
+
+    def test_gap_splits_and_ties_do_not(self):
+        closed, open_sess = _fold_sessions(
+            _ts(
+                "2024-01-01 10:00", "2024-01-01 10:00",  # tie: same session
+                "2024-01-01 10:30",                      # exactly gap: stays
+                "2024-01-01 11:00:00.000001",            # gap exceeded: splits
+            ),
+            None,
+            7,
+        )
+        assert closed == [
+            (7, pd.Timestamp("2024-01-01 10:00"),
+             pd.Timestamp("2024-01-01 10:30"), 3, "gap")
+        ]
+        assert open_sess[2] == 1
+
+    def test_state_continues_session(self):
+        state = (pd.Timestamp("2024-01-01 09:50"),
+                 pd.Timestamp("2024-01-01 09:55"), 4)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:10"), state, 7
+        )
+        assert closed == []
+        # merged: start from state, count 4+1
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 09:50"), pd.Timestamp("2024-01-01 10:10"), 5
+        )
+
+    def test_state_closed_by_new_batch(self):
+        state = (pd.Timestamp("2024-01-01 08:00"),
+                 pd.Timestamp("2024-01-01 08:05"), 2)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:00"), state, 7
+        )
+        assert closed == [
+            (7, pd.Timestamp("2024-01-01 08:00"),
+             pd.Timestamp("2024-01-01 08:05"), 2, "gap")
+        ]
+        assert open_sess[2] == 1
+
+    def test_out_of_order_merge_keeps_extremes(self):
+        # a late-but-in-gap event older than the open session's last_ts
+        state = (pd.Timestamp("2024-01-01 10:00"),
+                 pd.Timestamp("2024-01-01 10:20"), 3)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:10"), state, 7
+        )
+        assert closed == []
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 10:00"), pd.Timestamp("2024-01-01 10:20"), 4
+        )
+
+
+@pytest.fixture(scope="module")
+def boundary_dir(tmp_path_factory):
+    """Events engineered around the exact timer boundary: max ts
+    2024-01-01 12:00:00.000500 → final watermark floor_ms = 11:50:00.000;
+    a 30-min-gap timer from a session ending at 11:20:00.000xxx lands
+    exactly ON the watermark (must NOT fire), at 11:19:59.999xxx lands
+    1 ms below (must fire)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("sess_boundary")
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (
+      SELECT * FROM (VALUES
+        (1::BIGINT, TIMESTAMP '2024-01-01 11:20:00.000500', 1::BIGINT, 'view', 1.0, 'p'),
+        (2::BIGINT, TIMESTAMP '2024-01-01 11:20:00.001500', 2::BIGINT, 'view', 1.0, 'p'),
+        (3::BIGINT, TIMESTAMP '2024-01-01 11:19:59.999500', 3::BIGINT, 'view', 1.0, 'p'),
+        (4::BIGINT, TIMESTAMP '2024-01-01 11:20:00.000999', 4::BIGINT, 'view', 1.0, 'p'),
+        (5::BIGINT, TIMESTAMP '2024-01-01 11:20:00.000001', 5::BIGINT, 'view', 1.0, 'p'),
+        (9::BIGINT, TIMESTAMP '2024-01-01 12:00:00.000500', 9::BIGINT, 'view', 1.0, 'p')
+      ) t(event_id, ts, user_id, event_type, value, props)
+    ) TO '{d}/events.parquet' (FORMAT PARQUET)
+    """)
+    return str(d)
+
+
+def test_timer_boundary_is_ms_floored_strict_less(spark, boundary_dir):
+    from oracle_to_cassandra_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+    )
+    from oracle_to_cassandra_spark.streaming.stateful import (
+        session_expiry_stream,
+    )
+
+    out = run_stream_to_memory(
+        session_expiry_stream(read_events_stream(spark, boundary_dir)),
+        output_mode="append",
+    )
+    fired = sorted(
+        r.user_id for r in out.filter("closed_by = 'timer'").collect()
+    )
+    # only user 3 (timer_ms 11:49:59.999 < wm 11:50:00.000); users 1/4/5
+    # floor to exactly the watermark and 2 floors past it
+    assert fired == [3]
+    assert out.filter("closed_by = 'gap'").count() == 0
+
+
+def test_oracle_mirrors_boundary(boundary_dir):
+    import duckdb
+
+    import __spark_entry__ as E
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{boundary_dir}/events.parquet')"
+    )
+    rows = con.execute(
+        E.oracle_sql()["stream_session_expiry_timers"]
+    ).fetchall()
+    timer_users = sorted(r[0] for r in rows if r[4] == "timer")
+    assert timer_users == [3]
+    assert SESSION_GAP_MIN == 30  # fixture arithmetic assumes 30/10
