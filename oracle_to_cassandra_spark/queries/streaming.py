@@ -15,13 +15,38 @@ from oracle_to_cassandra_spark.streaming import (
 )
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+#: Spark's watermarked stateful operators drop rows whose event time
+#: is below the current watermark; the file source delivers the whole
+#: table in ONE availableNow batch whose watermark is the INITIAL
+#: zero, so exactly the pre-epoch rows (temporal stress mode plants
+#: 1969 timestamps) are late. Oracles of WATERMARKED streams must
+#: read from this filtered view; unwatermarked streams must NOT.
+_ON_TIME = "(SELECT * FROM events WHERE ts >= TIMESTAMP '1970-01-01 00:00:00')"
 
 
-@query("stream_tumbling_event_counts")  # streaming: rows-only check
+def _twin_oracle(name: str) -> str:
+    """A stream's oracle IS its batch twin's registered oracle —
+    composed by reference so an edit to the twin can never de-sync
+    the stream's check (the _gopher_gate_oracle pattern)."""
+    from oracle_to_cassandra_spark import registry
+    from oracle_to_cassandra_spark.queries import event_time  # noqa: F401
+
+    return registry.ORACLE[name]
+
+
+@query(
+    "stream_tumbling_event_counts",
+    oracle=_twin_oracle("tumbling_daily_event_counts"),
+)
 def stream_tumbling_event_counts(spark, sf_dir):
     """readStream → tumbling 1-day window counts → memory sink
     (complete mode). Identical logical agg to
-    ``tumbling_daily_event_counts`` — the DuckDB-checked batch twin."""
+    ``tumbling_daily_event_counts`` — whose registered oracle this
+    stream reuses verbatim (complete mode emits the FINAL state after
+    the availableNow run, i.e. the full-data aggregate; no watermark,
+    so no late-row admission filter applies)."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
@@ -44,14 +69,47 @@ def stream_tumbling_event_counts(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete")
 
 
-@query("stream_sessionization_watermark")  # streaming: rows-only check
+@query(
+    "stream_sessionization_watermark",
+    oracle=f"""
+    WITH flagged AS (
+      -- gaps-and-islands with the (ts, event_id) tiebreak — see
+      -- session_windows_per_user. Admission differs from row-level
+      -- stateful ops: a watermarked WINDOWED aggregation drops a row
+      -- only when its window END (ts + gap) is at or below the
+      -- watermark (probed at µs precision: ts + 30min == wm drops,
+      -- +1µs admits). Single-batch watermark = the initial zero, so
+      -- the admitted set is ts > epoch − 30min — which INCLUDES the
+      -- last half-hour of 1969 the temporal stress mode plants.
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '30 minutes'
+                  THEN 1 ELSE 0 END AS new_session
+      FROM (SELECT * FROM events
+            WHERE ts > TIMESTAMP '1969-12-31 23:30:00') events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '{_TS_FMT_DUCK}') AS session_start,
+           count(*)::BIGINT AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
 def stream_sessionization_watermark(spark, sf_dir):
     """readStream → watermark(10 min) → session_window(30 min) per user
     → memory sink. The streaming twin of ``session_windows_per_user``;
     the watermark bounds session state — sessions idle past the
-    watermark are finalized and evicted. Session-window aggregation
-    supports append/complete output (not update); complete returns
-    every finalized + in-flight session for the rows-only check."""
+    watermark are finalized and evicted in append mode. Session-window
+    aggregation supports append/complete output (not update); complete
+    returns every finalized + in-flight session, i.e. the FULL batch
+    session set over the watermark-admitted rows — deterministic, so
+    the gaps-and-islands oracle checks it exactly."""
     ev = read_events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "10 minutes")
@@ -66,12 +124,24 @@ def stream_sessionization_watermark(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete")
 
 
-@query("stream_static_enrichment_join")  # streaming: rows-only check
+@query(
+    "stream_static_enrichment_join",
+    oracle="""
+    SELECT c.c_mktsegment AS c_mktsegment,
+           count(*)::BIGINT AS n_events,
+           (sum(CAST(round(e.value * 1000000) AS BIGINT))::BIGINT // 10000)
+             AS total_value_c
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY c.c_mktsegment
+    """,
+)
 def stream_static_enrichment_join(spark, sf_dir):
     """Stream-static join: the event stream enriched against the
     static customer dimension (broadcast per micro-batch) — the
     standard streaming-ETL enrichment shape; aggregated per segment so
-    the memory-sink result is small."""
+    the memory-sink result is small. Complete mode + no watermark →
+    the final state is the full-data join-aggregate, checked exactly
+    by the batch-join oracle."""
     from oracle_to_cassandra_spark.sources import load_table
 
     ev = read_events_stream(spark, sf_dir)
@@ -104,7 +174,22 @@ def stream_dedup_within_watermark(spark, sf_dir):
     return run_stream_to_memory(deduped, output_mode="append")
 
 
-@query("stream_stream_interval_join")  # streaming: rows-only check
+@query(
+    "stream_stream_interval_join",
+    oracle=f"""
+    SELECT v.user_id AS user_id,
+           v.event_id AS view_id,
+           strftime(v.ts, '{_TS_FMT_DUCK}') AS view_time,
+           strftime(p.ts, '{_TS_FMT_DUCK}') AS purchase_time,
+           CAST(round(p.value * 100) AS BIGINT) AS purchase_value_c
+    FROM {_ON_TIME} v
+    JOIN {_ON_TIME} p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL '30 minutes'
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
 def stream_stream_interval_join(spark, sf_dir):
     """Stream-stream inner join with watermarks + event-time range:
     view events matched to the same user's purchases within 30
@@ -118,7 +203,15 @@ def stream_stream_interval_join(spark, sf_dir):
     bound, stream-stream join state grows forever; with it, each
     side's buffer holds at most watermark-delay + range worth of
     rows per key. That bounded buffer is the whole 100 TB/day story:
-    state is O(rate × window), not O(history)."""
+    state is O(rate × window), not O(history).
+
+    Oracled exactly: an INNER interval join emits every qualifying
+    pair regardless of watermark timing (eviction only limits MATCHES
+    ACROSS batches, and availableNow delivers both sides in one
+    batch), so the result equals the batch self-join over the
+    watermark-admitted rows. The purchase value is emitted as integer
+    CENTS — a per-row float round(x, 2) compare column is the known
+    cross-engine tie hazard."""
     views = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -152,20 +245,56 @@ def stream_stream_interval_join(spark, sf_dir):
         "view_id",
         F.date_format("view_ts", _TS_FMT).alias("view_time"),
         F.date_format("purchase_ts", _TS_FMT).alias("purchase_time"),
-        F.round("purchase_value", 2).alias("purchase_value"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias(
+            "purchase_value_c"
+        ),
     )
     return run_stream_to_memory(joined, output_mode="append", state_partitions=8)
 
 
-@query("stream_stateful_user_profile")  # streaming: rows-only check
+@query(
+    "stream_stateful_user_profile",
+    oracle="""
+    SELECT user_id,
+           count(*)::BIGINT AS n_events,
+           -- coalesce pins the state semantics: the running total
+           -- STARTS at 0, so an all-NULL-value user emits 0 cents
+           -- where a bare SQL sum would emit NULL
+           (coalesce(sum(CAST(round(value * 1000000) AS BIGINT)), 0)::BIGINT
+             // 10000) AS total_value_c,
+           max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_user_profile(spark, sf_dir):
     """Custom stateful operator (applyInPandasWithState): per-user
     running profile with explicit state schema — the north-star custom
-    stateful streaming surface."""
+    stateful streaming surface.
+
+    Oracled exactly via the cumulative-emission trick (see
+    stream_tws_user_activity): update mode re-emits each key's
+    profile per touching batch; keeping the highest-n_events emission
+    per key (atomically, max_by on the struct) yields the final
+    full-data profile no matter how the source slices batches. No
+    watermark → no late-row admission filter."""
     from oracle_to_cassandra_spark.streaming.stateful import user_profile_stream
 
     ev = read_events_stream(spark, sf_dir)
-    return run_stream_to_memory(user_profile_stream(ev), output_mode="update")
+    out = run_stream_to_memory(user_profile_stream(ev), output_mode="update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("n_events", "total_value_c", "last_ts"), "n_events"
+            ).alias("f")
+        )
+        .select(
+            "user_id",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.total_value_c").alias("total_value_c"),
+            F.col("f.last_ts").alias("last_ts"),
+        )
+    )
 
 
 @query(
@@ -239,8 +368,10 @@ def stream_ingest_sink_roundtrip(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*)::BIGINT AS n_events,
-           (sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT // 10000)
-             AS total_value_c,
+           -- coalesce pins the state semantics: the running total
+           -- starts at 0 (all-NULL-value user → 0 cents, not NULL)
+           (coalesce(sum(CAST(round(value * 1000000) AS BIGINT)), 0)::BIGINT
+             // 10000) AS total_value_c,
            count(DISTINCT event_type)::BIGINT AS n_event_types
     FROM events GROUP BY user_id
     """,

@@ -146,8 +146,16 @@ _QUERY_MODULES = (
 #: float-audited and dedup cores. After r9 the remaining backlog is
 #: r2-green rows only (~39) — they queue for r10.
 _PRIORITY: tuple[str, ...] = (
-    # --- r9 window: landed THIS round (zero history outranks all) ---
+    # --- r9 window: landed THIS round (zero history outranks all):
+    #     the new timer-expiry stream plus the 5 streams upgraded
+    #     from rows-only to full oracles (their hashes have no
+    #     driver history either) ---
     "stream_session_expiry_timers",
+    "stream_tumbling_event_counts",
+    "stream_sessionization_watermark",
+    "stream_static_enrichment_join",
+    "stream_stream_interval_join",
+    "stream_stateful_user_profile",
     # --- r9 window: 6 deferred zero-history rows ---
     "multibyte_length_semantics",
     "url_parse_host_rollup",
@@ -197,7 +205,9 @@ _PRIORITY: tuple[str, ...] = (
     #     headroom hardening) — need fresh driver rows ---
     "tpch_q14_promo_revenue",
     "tpch_q8_market_share",
-    # --- r9 window: 7 fillers with the oldest (r2) driver evidence ---
+    # --- fillers with the oldest (r2) driver evidence: the first
+    #     fits the 50-window after the 6 round-9 stream insertions;
+    #     the rest head the r10 queue ---
     "correlation_price_quantity",
     "approx_count_distinct_custkeys",
     "approx_quantiles_acctbal",

@@ -190,10 +190,14 @@ def test_stream_stream_join_equals_batch_join(spark):
             F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias(
                 "purchase_time"
             ),
-            F.round("purchase_value", 2).alias("purchase_value"),
+            F.round(F.col("purchase_value") * 100).cast("long").alias(
+                "purchase_value_c"
+            ),
         )
     )
-    cols = ["user_id", "view_id", "view_time", "purchase_time", "purchase_value"]
+    cols = [
+        "user_id", "view_id", "view_time", "purchase_time", "purchase_value_c"
+    ]
     assert _rows(stream, cols) == _rows(batch, cols)
     assert stream.count() > 0
 
