@@ -513,3 +513,142 @@ def simhash_near_dup_stats_sql(
     FROM (SELECT doc_id FROM documents) d
     LEFT JOIN degrees ON d.doc_id = degrees.doc_id
     """
+
+
+def substring_dup_spans(documents: DataFrame, w: int = 8) -> DataFrame:
+    """Cross-document EXACT substring duplication (the suffix-array
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"), re-expressed for a shared-nothing
+    engine: instead of one global suffix array, every w-token window
+    ("anchor") is hashed in place, anchors whose hash occurs in ≥2
+    distinct documents are flagged, and per document the flagged
+    anchor positions are merged into maximal duplicated spans
+    (gaps-and-islands: anchors at positions p₁ < p₂ cover one
+    contiguous token range iff p₂ ≤ p₁ + w). A duplicated passage of
+    T ≥ w tokens yields anchors at every offset, so its merged span
+    recovers the FULL passage extent — the w-token granularity only
+    blinds the detector to duplicates shorter than w, exactly the
+    suffix-array method's own min-match-length parameter.
+
+    Returns one row per document that contains any cross-doc
+    duplicated span: (doc_id, n_dup_spans, dup_tokens, n_tokens,
+    dup_coverage_bp).  dup_coverage_bp (basis points of the doc's
+    tokens inside duplicated spans) is the removal/weighting signal.
+
+    Scale: the anchor table carries (doc_id, int64 hash, position) —
+    8-byte shuffle keys, never suffix text; the duplicated-hash set
+    comes from a hash groupBy (map-side partial on doc-sorted input)
+    and the flag-back is a shuffle-hash join on int64. Nothing is
+    quadratic in corpus size: cost is O(total tokens) rows through
+    two exchanges plus one per-doc sort — at 100 TB the same plan
+    partitions by hash and streams. The anchor table feeds BOTH the
+    duplicated-hash aggregate and the flag-back join, so it is staged
+    once (lazy checkpoint)."""
+    toked = documents.select(
+        "doc_id", tokens(F.col("text")).alias("__tok")
+    ).filter(F.size("__tok") >= w)
+    anchors = stage(
+        toked.select(
+            "doc_id",
+            F.size("__tok").cast("long").alias("n_tokens"),
+            F.posexplode(
+                F.transform(shingles(F.col("__tok"), w), lambda sh: base31(sh))
+            ).alias("pos0", "h"),
+        ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
+    )
+    dup_h = (
+        anchors.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    dup_anchor = anchors.join(dup_h, "h").select("doc_id", "n_tokens", "pos")
+    byp = Window.partitionBy("doc_id").orderBy("pos")
+    flagged = dup_anchor.withColumn(
+        "new_span",
+        F.when(
+            F.lag("pos").over(byp).isNull()
+            | (F.col("pos") > F.lag("pos").over(byp) + w),
+            1,
+        ).otherwise(0),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(byp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = spans.groupBy("doc_id", "n_tokens", "span_id").agg(
+        (F.max("pos") - F.min("pos") + w).alias("span_tokens")
+    )
+    return (
+        merged.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.expr("dup_tokens * 10000 div n_tokens")
+            .cast("long")
+            .alias("dup_coverage_bp"),
+        )
+    )
+
+
+def substring_dup_spans_sql(w: int = 8) -> str:
+    """DuckDB twin of ``substring_dup_spans`` (positions 1-based on
+    both engines; Spark's 0-based posexplode is shifted at the
+    source)."""
+    return f"""
+    WITH toked AS (
+      SELECT doc_id, {_TOK_SQL} AS tok FROM documents
+      WHERE len({_TOK_SQL}) >= {w}
+    ),
+    shlist AS (
+      SELECT doc_id, len(tok)::BIGINT AS n_tokens,
+             {shingles_sql("tok", w)} AS shl
+      FROM toked
+    ),
+    anchors AS (
+      SELECT doc_id, n_tokens,
+             unnest(shl) AS sh,
+             generate_subscripts(shl, 1)::BIGINT AS pos
+      FROM shlist
+    ),
+    hashed AS (
+      SELECT doc_id, n_tokens, pos, {base31_sql("sh")} AS h FROM anchors
+    ),
+    dup_h AS (
+      SELECT h FROM hashed GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dup_anchor AS (
+      SELECT a.doc_id, a.n_tokens, a.pos FROM hashed a JOIN dup_h USING (h)
+    ),
+    flagged AS (
+      SELECT doc_id, n_tokens, pos,
+             CASE WHEN lag(pos) OVER byp IS NULL
+                    OR pos > lag(pos) OVER byp + {w}
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dup_anchor
+      WINDOW byp AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    ),
+    merged AS (
+      SELECT doc_id, n_tokens, span_id,
+             max(pos) - min(pos) + {w} AS span_tokens
+      FROM spans GROUP BY doc_id, n_tokens, span_id
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_dup_spans,
+           sum(span_tokens)::BIGINT AS dup_tokens,
+           n_tokens,
+           (sum(span_tokens) * 10000 // n_tokens)::BIGINT AS dup_coverage_bp
+    FROM merged GROUP BY doc_id, n_tokens
+    """

@@ -550,3 +550,29 @@ def shingle_width_sensitivity(spark, sf_dir):
             .alias("w5_containment_ppm"),
         )
     )
+
+
+@query(
+    "substring_dedup_span_coverage",
+    oracle=D.substring_dup_spans_sql(w=8),
+)
+def substring_dedup_span_coverage(spark, sf_dir):
+    """Cross-document EXACT substring dedup (Lee et al. 2022's
+    suffix-array method, Spark-first): hash every 8-token window,
+    keep windows whose hash appears in ≥2 distinct docs, merge the
+    flagged positions per doc into maximal duplicated spans, and
+    report each affected doc's span count / duplicated-token count /
+    coverage in basis points. Complements the MinHash stack: MinHash
+    finds WHOLE near-duplicate documents; this finds VERBATIM
+    passages (boilerplate, licenses, quoted chunks) embedded in
+    otherwise-distinct documents — the signal used to cut memorized
+    repeats from training corpora.
+
+    Scale: anchor table = one (int64 hash, int position) pair per
+    token — linear, 16-byte shuffle payloads, staged once for its two
+    consumers; duplicated-hash detection is a hash groupBy, the
+    flag-back an equi-join on the hash, the span merge a per-doc sort
+    — no suffix array, no global sort, nothing n²."""
+    return D.substring_dup_spans(
+        load_table(spark, sf_dir, "documents"), w=8
+    )

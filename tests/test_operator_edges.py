@@ -381,3 +381,48 @@ def test_bpe_greedy_rewrite_edges(spark):
     assert got["·d·a·t·a"] == "·d·a·t·a"  # no adjacent (a, a)
     # 'ba' ends with 'a' but is a DIFFERENT symbol: must not merge
     assert got["·ba·a·b"] == "·ba·a·b"
+
+
+def test_substring_dup_spans_merge_and_extent(spark):
+    """Two docs sharing one long verbatim passage: the merged span
+    must recover the passage's FULL token extent (anchors at every
+    offset chain into one island), not w-token fragments — and a
+    second shared passage separated by unique text must come out as
+    a SEPARATE span."""
+    from oracle_to_cassandra_spark.operators.dedup import substring_dup_spans
+
+    shared_a = " ".join(f"dup{i}" for i in range(12))      # 12 tokens
+    shared_b = " ".join(f"boiler{i}" for i in range(9))    # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: [shared_a][10 unique][shared_b]
+            (1, shared_a + " " + " ".join(f"u{i}" for i in range(10)) + " " + shared_b),
+            # doc 2: [5 unique][shared_a][5 unique][shared_b]
+            (2, " ".join(f"v{i}" for i in range(5)) + " " + shared_a
+                + " " + " ".join(f"w{i}" for i in range(5)) + " " + shared_b),
+            # doc 3: fully unique, long enough to anchor
+            (3, " ".join(f"x{i}" for i in range(20))),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in substring_dup_spans(docs, w=8).collect()}
+    assert sorted(out) == [1, 2]  # doc 3 has no cross-doc span
+    for d, n_tok in ((1, 31), (2, 31)):
+        r = out[d]
+        assert r["n_dup_spans"] == 2
+        assert r["dup_tokens"] == 12 + 9
+        assert r["n_tokens"] == n_tok
+        assert r["dup_coverage_bp"] == (12 + 9) * 10000 // n_tok
+
+
+def test_substring_dup_spans_within_doc_repeat_not_flagged(spark):
+    """A passage repeated only WITHIN one document is not a cross-doc
+    duplicate (count(DISTINCT doc_id) >= 2 gate)."""
+    from oracle_to_cassandra_spark.operators.dedup import substring_dup_spans
+
+    rep = " ".join(f"r{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [(1, rep + " mid " + rep), (2, " ".join(f"z{i}" for i in range(10)))],
+        "doc_id int, text string",
+    )
+    assert substring_dup_spans(docs, w=8).count() == 0
