@@ -147,9 +147,10 @@ _QUERY_MODULES = (
 #: r2-green rows only (~39) — they queue for r10.
 _PRIORITY: tuple[str, ...] = (
     # --- r9 window: landed THIS round (zero history outranks all):
-    #     the new timer-expiry stream plus the 5 streams upgraded
-    #     from rows-only to full oracles (their hashes have no
-    #     driver history either) ---
+    #     the substring-dedup capstone, the new timer-expiry stream,
+    #     plus the 5 streams upgraded from rows-only to full oracles
+    #     (their hashes have no driver history either) ---
+    "substring_dedup_span_coverage",
     "stream_session_expiry_timers",
     "stream_tumbling_event_counts",
     "stream_sessionization_watermark",
@@ -205,9 +206,9 @@ _PRIORITY: tuple[str, ...] = (
     #     headroom hardening) — need fresh driver rows ---
     "tpch_q14_promo_revenue",
     "tpch_q8_market_share",
-    # --- fillers with the oldest (r2) driver evidence: the first
-    #     fits the 50-window after the 6 round-9 stream insertions;
-    #     the rest head the r10 queue ---
+    # --- fillers with the oldest (r2) driver evidence: none fit the
+    #     50-window after the 7 round-9 insertions (substring dedup +
+    #     6 streams); they head the r10 queue ---
     "correlation_price_quantity",
     "approx_count_distinct_custkeys",
     "approx_quantiles_acctbal",
