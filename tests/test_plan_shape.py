@@ -405,3 +405,19 @@ def test_width_sensitivity_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Python" not in plan
+
+
+def test_substring_dedup_bounded_exchanges_no_nested_loop(spark):
+    """Substring-dedup spans: the anchor stage feeds two consumers
+    through ONE staged scan; the duplicated-hash flag-back must be a
+    hash join (broadcast or shuffle — never a nested loop), and the
+    whole plan holds at ≤3 exchanges (dup-hash agg, span window sort,
+    final per-doc agg)."""
+    from oracle_to_cassandra_spark.plans import exchange_count, formatted_plan
+
+    df = E.queries()["substring_dedup_span_coverage"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    n = exchange_count(df)
+    assert n <= 3, f"substring dedup plan has {n} exchanges"
