@@ -544,9 +544,39 @@ def substring_dup_spans(documents: DataFrame, w: int = 8) -> DataFrame:
     partitions by hash and streams. The anchor table feeds BOTH the
     duplicated-hash aggregate and the flag-back join, so it is staged
     once (lazy checkpoint)."""
-    toked = documents.select(
+    merged = dup_span_table(documents, w)
+    return (
+        merged.groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_dup_spans",
+            "dup_tokens",
+            "n_tokens",
+            F.expr("dup_tokens * 10000 div n_tokens")
+            .cast("long")
+            .alias("dup_coverage_bp"),
+        )
+    )
+
+
+def _doc_tokens(documents: DataFrame, w: int) -> DataFrame:
+    """(doc_id, __tok) for docs long enough to carry a w-token anchor
+    — the shared tokenization of the substring-dedup family."""
+    return documents.select(
         "doc_id", tokens(F.col("text")).alias("__tok")
     ).filter(F.size("__tok") >= w)
+
+
+def dup_span_table(documents: DataFrame, w: int = 8) -> DataFrame:
+    """The substring-dedup core: maximal cross-document duplicated
+    spans, one row per (doc, span) — (doc_id, n_tokens, span_id,
+    start_pos, span_tokens), positions 1-based. Both public queries
+    (per-doc coverage, corpus hot passages) consume this table."""
+    toked = _doc_tokens(documents, w)
     anchors = stage(
         toked.select(
             "doc_id",
@@ -576,33 +606,62 @@ def substring_dup_spans(documents: DataFrame, w: int = 8) -> DataFrame:
         "span_id",
         F.sum("new_span").over(byp.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    merged = spans.groupBy("doc_id", "n_tokens", "span_id").agg(
-        (F.max("pos") - F.min("pos") + w).alias("span_tokens")
+    return spans.groupBy("doc_id", "n_tokens", "span_id").agg(
+        F.min("pos").alias("start_pos"),
+        (F.max("pos") - F.min("pos") + w).alias("span_tokens"),
+    )
+
+
+def substring_hot_passages(
+    documents: DataFrame, w: int = 8, k: int = 20
+) -> DataFrame:
+    """The corpus-level answer to "what IS the duplicated text":
+    extract every maximal duplicated span's literal passage and rank
+    passages by how many documents carry them — the boilerplate /
+    license / quoted-chunk leaderboard that drives a removal rule.
+
+    Scale: the span table is TINY relative to the corpus (one row per
+    duplicated span, a handful of ints); passage text materializes
+    only AFTER the join back to the token arrays, i.e. once per
+    duplicated span — never per anchor. The group-by shuffles the
+    passages themselves, which is exactly the output's size, and the
+    top-k is a TakeOrdered, not a global sort."""
+    spans = dup_span_table(documents, w)
+    toked = _doc_tokens(documents, w)
+    passages = spans.join(toked, "doc_id").select(
+        "doc_id",
+        F.array_join(
+            F.slice(F.col("__tok"), F.col("start_pos"), F.col("span_tokens")),
+            " ",
+        ).alias("passage"),
+        "span_tokens",
+    )
+    agg = passages.groupBy("passage").agg(
+        F.max("span_tokens").cast("long").alias("passage_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
     )
     return (
-        merged.groupBy("doc_id", "n_tokens")
-        .agg(
-            F.count("*").alias("n_dup_spans"),
-            F.sum("span_tokens").cast("long").alias("dup_tokens"),
+        agg.withColumn("passage_md5", F.md5("passage"))
+        .orderBy(
+            F.desc("n_docs"), F.desc("n_occurrences"), F.asc("passage_md5")
         )
+        .limit(k)
         .select(
-            "doc_id",
-            "n_dup_spans",
-            "dup_tokens",
-            "n_tokens",
-            F.expr("dup_tokens * 10000 div n_tokens")
-            .cast("long")
-            .alias("dup_coverage_bp"),
+            "passage_md5",
+            "passage_tokens",
+            "n_docs",
+            "n_occurrences",
+            F.substring("passage", 1, 64).alias("preview"),
         )
     )
 
 
-def substring_dup_spans_sql(w: int = 8) -> str:
-    """DuckDB twin of ``substring_dup_spans`` (positions 1-based on
-    both engines; Spark's 0-based posexplode is shifted at the
-    source)."""
-    return f"""
-    WITH toked AS (
+def _dup_span_cte(w: int) -> str:
+    """Shared DuckDB CTE chain ending in ``merged`` — the span table
+    both substring-dedup oracles build on (twin of
+    ``dup_span_table``)."""
+    return f"""toked AS (
       SELECT doc_id, {_TOK_SQL} AS tok FROM documents
       WHERE len({_TOK_SQL}) >= {w}
     ),
@@ -642,13 +701,46 @@ def substring_dup_spans_sql(w: int = 8) -> str:
     ),
     merged AS (
       SELECT doc_id, n_tokens, span_id,
+             min(pos) AS start_pos,
              max(pos) - min(pos) + {w} AS span_tokens
       FROM spans GROUP BY doc_id, n_tokens, span_id
-    )
+    )"""
+
+
+def substring_dup_spans_sql(w: int = 8) -> str:
+    """DuckDB twin of ``substring_dup_spans`` (positions 1-based on
+    both engines; Spark's 0-based posexplode is shifted at the
+    source)."""
+    return f"""
+    WITH {_dup_span_cte(w)}
     SELECT doc_id,
            count(*)::BIGINT AS n_dup_spans,
            sum(span_tokens)::BIGINT AS dup_tokens,
            n_tokens,
            (sum(span_tokens) * 10000 // n_tokens)::BIGINT AS dup_coverage_bp
     FROM merged GROUP BY doc_id, n_tokens
+    """
+
+
+def substring_hot_passages_sql(w: int = 8, k: int = 20) -> str:
+    """DuckDB twin of ``substring_hot_passages`` (list slicing is
+    1-based inclusive; md5 is the deterministic tiebreak)."""
+    return f"""
+    WITH {_dup_span_cte(w)},
+    passages AS (
+      SELECT m.doc_id,
+             array_to_string(
+               t.tok[m.start_pos : m.start_pos + m.span_tokens - 1], ' '
+             ) AS passage,
+             m.span_tokens
+      FROM merged m JOIN toked t USING (doc_id)
+    )
+    SELECT md5(passage) AS passage_md5,
+           max(span_tokens)::BIGINT AS passage_tokens,
+           count(DISTINCT doc_id)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occurrences,
+           substr(passage, 1, 64) AS preview
+    FROM passages GROUP BY passage
+    ORDER BY n_docs DESC, n_occurrences DESC, passage_md5 ASC
+    LIMIT {k}
     """

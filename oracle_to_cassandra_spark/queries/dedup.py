@@ -576,3 +576,25 @@ def substring_dedup_span_coverage(spark, sf_dir):
     return D.substring_dup_spans(
         load_table(spark, sf_dir, "documents"), w=8
     )
+
+
+@query(
+    "substring_dedup_hot_passages",
+    oracle=D.substring_hot_passages_sql(w=8, k=20),
+)
+def substring_dedup_hot_passages(spark, sf_dir):
+    """The corpus boilerplate leaderboard: literal text of the top-20
+    cross-document duplicated passages (by document reach, then
+    occurrence count, md5 tiebreak) with token length and a 64-char
+    preview. Pairs with substring_dedup_span_coverage — coverage says
+    HOW MUCH of each doc is duplicated, this says WHAT the duplicated
+    text is, which is what a removal/allowlist rule is written
+    against (license headers, navigation chrome, quoted chunks).
+
+    Scale: span extraction joins the tiny span table back to the
+    token arrays by doc key — passage strings materialize once per
+    duplicated span, never per anchor; the final ranking is a
+    TakeOrdered over per-passage aggregates."""
+    return D.substring_hot_passages(
+        load_table(spark, sf_dir, "documents"), w=8, k=20
+    )

@@ -151,6 +151,7 @@ _PRIORITY: tuple[str, ...] = (
     #     plus the 5 streams upgraded from rows-only to full oracles
     #     (their hashes have no driver history either) ---
     "substring_dedup_span_coverage",
+    "substring_dedup_hot_passages",
     "stream_session_expiry_timers",
     "stream_tumbling_event_counts",
     "stream_sessionization_watermark",
@@ -207,7 +208,7 @@ _PRIORITY: tuple[str, ...] = (
     "tpch_q14_promo_revenue",
     "tpch_q8_market_share",
     # --- fillers with the oldest (r2) driver evidence: none fit the
-    #     50-window after the 7 round-9 insertions (substring dedup +
+    #     50-window after the 8 round-9 insertions (2 substring-dedup +
     #     6 streams); they head the r10 queue ---
     "correlation_price_quantity",
     "approx_count_distinct_custkeys",

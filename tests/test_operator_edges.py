@@ -426,3 +426,30 @@ def test_substring_dup_spans_within_doc_repeat_not_flagged(spark):
         "doc_id int, text string",
     )
     assert substring_dup_spans(docs, w=8).count() == 0
+
+
+def test_substring_hot_passages_extracts_literal_text(spark):
+    """The leaderboard row must carry the exact shared passage (via
+    md5 + preview) and count reach correctly: 3 docs share passage A,
+    2 docs share passage B -> A ranks first."""
+    from oracle_to_cassandra_spark.operators.dedup import substring_hot_passages
+
+    pa = " ".join(f"alpha{i}" for i in range(10))
+    pb = " ".join(f"beta{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, pa + " one " + " ".join(f"f{i}" for i in range(8))),
+            (2, " pre " + pa + " two " + pb),
+            (3, pa + " " + " ".join(f"g{i}" for i in range(8))),
+            (4, pb + " " + " ".join(f"h{i}" for i in range(8))),
+        ],
+        "doc_id int, text string",
+    )
+    rows = substring_hot_passages(docs, w=8, k=20).collect()
+    assert [r["n_docs"] for r in rows] == [3, 2]
+    top = rows[0]
+    assert top["passage_tokens"] == 10
+    assert top["preview"].startswith("alpha0 alpha1")
+    import hashlib
+
+    assert top["passage_md5"] == hashlib.md5(pa.encode()).hexdigest()

@@ -421,3 +421,14 @@ def test_substring_dedup_bounded_exchanges_no_nested_loop(spark):
     assert "CartesianProduct" not in plan
     n = exchange_count(df)
     assert n <= 3, f"substring dedup plan has {n} exchanges"
+
+
+def test_substring_hot_passages_topk_is_take_ordered(spark):
+    """The passage leaderboard must plan its top-20 as TakeOrdered —
+    a global Sort of all passages would be the 100 TB regression."""
+    from oracle_to_cassandra_spark.plans import formatted_plan
+
+    df = E.queries()["substring_dedup_hot_passages"](spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
