@@ -8,7 +8,7 @@ happens to satisfy an invariant neither text states (round 8's live
 instance: `gdpr_delete_propagation` relied on events.user_id ⊆
 customer keys).
 
-Three modes, each breaking a different invariant class while
+Nine modes, each breaking a different invariant class while
 preserving the properties correctness depends on (key uniqueness for
 deterministic tie-breaks, FK consistency, declared non-null keys):
 
@@ -84,6 +84,18 @@ columns stay non-null; that's the documented data contract):
   shingle/bigram/sequence guard (`sequence(0, n-2)` counts DOWN at
   n=1), NULL langs stress group-by-NULL and count(col)-vs-count(*)
   asymmetries between engines.
+
+``--mode longdoc`` — every document's text replaced by 12 verbatim
+repetitions of itself (n_chars recomputed): the document-LENGTH axis.
+The generator emits ~100-token docs; production corpora have
+100k-token documents and crawler-loop pages that are one passage
+repeated thousands of times. Every per-doc pipeline stage (shingle
+construction, position windows, substring spans, BPE pair counts,
+quality ratios) must stay LINEAR in document length and exactly
+match DuckDB at 12× the token count — a per-doc quadratic (the
+higher-order-function re-evaluation trap) blows up here first, and
+within-doc repetition at 100% rate stresses every dedup/repetition
+signal's within-vs-cross-doc distinction.
 
 Output: /root/repo/.scratch/stress[_skew|_null]/ (gitignored). Verify:
     python tools/make_stress_data.py --mode skew
@@ -404,6 +416,20 @@ def build_gauntlet(con, out: str) -> None:
             )
 
 
+def build_longdoc(con, out: str) -> None:
+    long_text = "rtrim(repeat(text || ' ', 12))"
+    rewrites = {
+        "documents": {
+            "text": long_text,
+            "n_chars": f"length({long_text})::BIGINT",
+        },
+    }
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        _copy_rewritten(con, table, src, dst, rewrites.get(table, {}))
+
+
 def build_empty(con, out: str) -> None:
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
@@ -433,7 +459,7 @@ def main() -> None:
     if "--mode" in args:
         mode = args[args.index("--mode") + 1]
     if mode not in ("shift", "skew", "null", "empty", "tiny", "unicode",
-                    "temporal", "gauntlet"):
+                    "temporal", "gauntlet", "longdoc"):
         raise SystemExit(f"unknown --mode {mode}")
     out = os.path.join(
         ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
@@ -443,7 +469,7 @@ def main() -> None:
     {"shift": build_shift, "skew": build_skew, "null": build_null,
      "empty": build_empty, "tiny": build_tiny,
      "unicode": build_unicode, "temporal": build_temporal,
-     "gauntlet": build_gauntlet}[mode](con, out)
+     "gauntlet": build_gauntlet, "longdoc": build_longdoc}[mode](con, out)
     for table in TABLES:
         dst = os.path.join(out, f"{table}.parquet")
         n = con.execute(

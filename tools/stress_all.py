@@ -39,6 +39,7 @@ AXES = {
     "unicode": ("stress_unicode", "UNICODE_SWEEP.json"),
     "temporal": ("stress_temporal", "TEMPORAL_SWEEP.json"),
     "gauntlet": ("stress_gauntlet", "GAUNTLET_SWEEP.json"),
+    "longdoc": ("stress_longdoc", "LONGDOC_SWEEP.json"),
 }
 
 
