@@ -87,13 +87,21 @@ def doc_shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
 
 
 def doc_shingle_hashes_sql(k: int = 3) -> str:
-    """DuckDB CTE body matching ``doc_shingle_hashes``."""
+    """DuckDB CTE body matching ``doc_shingle_hashes``.
+
+    Tokenizes into a named column FIRST: inlining the split expression
+    into the shingle lambda makes DuckDB re-evaluate the whole
+    string_split per list element × k slice references — O(tokens²)
+    per document, the same higher-order-function re-evaluation trap
+    the Spark side's named-projection barrier avoids. Caught by the
+    longdoc stress axis at 12× document length (the MinHash oracle
+    family went from seconds to minutes)."""
     return f"""
       SELECT doc_id,
-             unnest(list_distinct(list_transform({shingles_sql(_TOK_SQL, k)},
+             unnest(list_distinct(list_transform({shingles_sql("tok", k)},
                                                  sh -> {base31_sql('sh')}))) AS h31
-      FROM documents
-      WHERE len({_TOK_SQL}) >= {k}
+      FROM (SELECT doc_id, {_TOK_SQL} AS tok FROM documents)
+      WHERE len(tok) >= {k}
     """
 
 

@@ -46,8 +46,12 @@ DECON_K = 4
       FROM documents
     ),
     bg AS (
-      SELECT doc_id, unnest({shingles_sql(_TOK_SQL, 2)}) AS bigram
-      FROM documents WHERE len({_TOK_SQL}) >= 2
+      -- tokens materialized first: an inlined split re-evaluates per
+      -- list element inside the shingle lambda (O(tokens²) per doc;
+      -- caught by the longdoc stress axis)
+      SELECT doc_id, unnest({shingles_sql("tok2", 2)}) AS bigram
+      FROM (SELECT doc_id, {_TOK_SQL} AS tok2 FROM documents)
+      WHERE len(tok2) >= 2
     ),
     bg_counts AS (
       SELECT doc_id, bigram, count(*)::BIGINT AS c

@@ -378,10 +378,14 @@ _NOV_VOCAB_K = 1000
     "oov_bigram_novelty",
     oracle=f"""
     WITH bg AS (
+      -- tokens materialized first: an inlined split re-evaluates per
+      -- list element inside the shingle lambda (O(tokens²) per doc;
+      -- caught by the longdoc stress axis)
       SELECT doc_id,
-             unnest(list_transform({TX.shingles_sql(_TOK, 2)},
+             unnest(list_transform({TX.shingles_sql("tok2", 2)},
                                    b -> {base31_sql("'bg:' || b")})) AS h
-      FROM documents WHERE len({_TOK}) >= 2
+      FROM (SELECT doc_id, {_TOK} AS tok2 FROM documents)
+      WHERE len(tok2) >= 2
     ),
     vocab AS (
       SELECT h FROM (
