@@ -121,7 +121,9 @@ def stream_sessionization_watermark(spark, sf_dir):
             "n_events",
         )
     )
-    return run_stream_to_memory(agg, output_mode="complete")
+    return run_stream_to_memory(
+        agg, output_mode="complete", expect_single_batch=True
+    )
 
 
 @query(
@@ -158,20 +160,37 @@ def stream_static_enrichment_join(spark, sf_dir):
     return run_stream_to_memory(agg, output_mode="complete")
 
 
-@query("stream_dedup_within_watermark")  # streaming: rows-only check
+@query(
+    "stream_dedup_within_watermark",
+    oracle=f"SELECT DISTINCT user_id, event_type FROM {_ON_TIME}",
+)
 def stream_dedup_within_watermark(spark, sf_dir):
     """Streaming deduplication: dropDuplicatesWithinWatermark on
     (user_id, event_type) — state for a key is held only until the
     watermark passes, so the dedup store is bounded (the streaming
     twin of exact dedup: at 100 TB/day the unbounded variant would
-    accumulate forever)."""
+    accumulate forever).
+
+    Fully DuckDB-oracled (upgraded from the rows-only contract) by
+    projecting to the DETERMINISTIC part of the output: WHICH
+    payload row survives per key depends on intra-batch processing
+    order, but the emitted KEY SET does not — every
+    watermark-admitted key appears exactly once (state is
+    hash-partitioned by key, so one partition owns each key), and a
+    row-level stateful op drops exactly the rows below the initial
+    zero watermark (ts < epoch; probed semantics, see _ON_TIME). The
+    single-batch precondition is asserted: across batches a key
+    could legally re-emit once its state expires past the
+    watermark."""
     ev = read_events_stream(spark, sf_dir)
     deduped = (
         ev.withWatermark("ts", "1 hour")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
-        .select("user_id", "event_type", "event_id")
+        .select("user_id", "event_type")
     )
-    return run_stream_to_memory(deduped, output_mode="append")
+    return run_stream_to_memory(
+        deduped, output_mode="append", expect_single_batch=True
+    )
 
 
 @query(
@@ -249,7 +268,12 @@ def stream_stream_interval_join(spark, sf_dir):
             "purchase_value_c"
         ),
     )
-    return run_stream_to_memory(joined, output_mode="append", state_partitions=8)
+    return run_stream_to_memory(
+        joined,
+        output_mode="append",
+        state_partitions=8,
+        expect_single_batch=True,
+    )
 
 
 @query(
@@ -780,5 +804,8 @@ def stream_session_expiry_timers(spark, sf_dir):
 
     ev = read_events_stream(spark, sf_dir)
     return run_stream_to_memory(
-        session_expiry_stream(ev), output_mode="append", state_partitions=8
+        session_expiry_stream(ev),
+        output_mode="append",
+        state_partitions=8,
+        expect_single_batch=True,
     )

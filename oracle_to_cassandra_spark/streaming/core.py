@@ -56,6 +56,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     state_partitions: int | None = None,
     available_now: bool = True,
+    expect_single_batch: bool = False,
 ) -> DataFrame:
     """Execute a streaming plan to completion against the memory sink
     (synchronous: availableNow trigger + processAllAvailable) and
@@ -75,7 +76,16 @@ def run_stream_to_memory(
     micro-batch at a time (the custom Python stream reader, a
     rate-limited queue cursor); the default trigger re-polls until
     ``processAllAvailable`` observes no progress, draining them
-    fully."""
+    fully.
+
+    ``expect_single_batch=True`` asserts, from the query's progress
+    log, that ALL input rows arrived in ONE micro-batch. The
+    watermark-sensitive oracles (initial-zero late-row admission, the
+    final-watermark timer boundary) are derived under exactly that
+    precondition — a fixture change that splits the events table into
+    multiple files/batches would advance the watermark mid-stream and
+    silently desync Spark from the oracle as a bare hash mismatch;
+    this assertion makes it fail loudly at the true cause instead."""
     spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -95,7 +105,27 @@ def run_stream_to_memory(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
+        if expect_single_batch:
+            data_batches = [
+                p for p in q.recentProgress if _input_rows(p) > 0
+            ]
+            if len(data_batches) > 1:
+                raise AssertionError(
+                    f"watermark-sensitive stream expected ONE data "
+                    f"micro-batch, got {len(data_batches)} — the source "
+                    f"fixture no longer delivers in a single batch, so "
+                    f"the initial-zero-watermark oracle premise is void"
+                )
     finally:
         q.stop()
         q.awaitTermination()
     return spark.table(name)
+
+
+def _input_rows(progress) -> int:
+    """numInputRows from a StreamingQueryProgress (attribute on the
+    PySpark object; key in its dict/json form)."""
+    try:
+        return int(progress["numInputRows"])
+    except (TypeError, KeyError):
+        return int(getattr(progress, "numInputRows", 0) or 0)

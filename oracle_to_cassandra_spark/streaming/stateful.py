@@ -207,27 +207,38 @@ def _fold_sessions(
 
     Vectorized (diff > gap → cumsum → groupby agg), so a hot key with
     100k events in one batch costs a few pandas array ops, not a
-    Python-level loop per event (skew-stress safety)."""
+    Python-level loop per event (skew-stress safety).
+
+    ORDER-ROBUST state merge: the open session is folded in as an
+    interval ``[s_start, last_ts]`` and merged with the batch's
+    gap-groups by a gap-tolerant interval sweep, not by checking only
+    the batch head. This is exact even for out-of-order-across-batch
+    events landing INSIDE the open session's span: a session whose
+    internal gaps are all <= gap has no point in its span farther
+    than gap from some member event, so span-overlap (extended by
+    gap on both sides) IS membership. Under the query's watermark
+    such stragglers are dropped upstream anyway — the sweep removes
+    the hidden ordering precondition rather than relying on it."""
     gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
     sid = (ts.diff() > gap).cumsum()
     g = ts.groupby(sid)
-    starts = g.min().tolist()
-    ends = g.max().tolist()
-    counts = [int(c) for c in g.size().tolist()]
-    closed = []
+    intervals = list(
+        zip(g.min().tolist(), g.max().tolist(),
+            (int(c) for c in g.size().tolist()))
+    )
     if state is not None:
         s_start, last_ts, n = state
-        if ts.iloc[0] - last_ts <= gap:
-            # batch head continues the open session (min/max guard the
-            # out-of-order-across-batches case)
-            starts[0] = min(s_start, starts[0])
-            ends[0] = max(last_ts, ends[0])
-            counts[0] += n
+        intervals.append((s_start, last_ts, n))
+        intervals.sort(key=lambda iv: (iv[0], iv[1]))
+    merged = [intervals[0]]
+    for s, e, c in intervals[1:]:
+        m_start, m_end, m_n = merged[-1]
+        if s - m_end <= gap:
+            merged[-1] = (m_start, max(m_end, e), m_n + c)
         else:
-            closed.append((user_id, s_start, last_ts, n, "gap"))
-    for i in range(len(starts) - 1):
-        closed.append((user_id, starts[i], ends[i], counts[i], "gap"))
-    return closed, (starts[-1], ends[-1], counts[-1])
+            merged.append((s, e, c))
+    closed = [(user_id, s, e, c, "gap") for s, e, c in merged[:-1]]
+    return closed, merged[-1]
 
 
 class SessionExpiryProcessor(StatefulProcessor):
