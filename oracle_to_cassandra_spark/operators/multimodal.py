@@ -376,30 +376,41 @@ BMP_G = "(doc_id * 2 + 3 * {i} + 1) % 256"
 BMP_R = "(doc_id * 3 + 3 * {i} + 2) % 256"
 
 
-def plant_bmp_blobs(documents: DataFrame) -> DataFrame:
+#: even-dimension planting formulas for the resize path (a 2×2 box
+#: filter needs both axes divisible by 2); widths 2/4/6/8 still hit
+#: both nonzero stride-pad cases (w*3 % 4 = 2 and 0)
+BMP_RS_W = "2 * (1 + doc_id % 4)"
+BMP_RS_H = "2 + 2 * (doc_id % 3)"
+
+
+def plant_bmp_blobs(
+    documents: DataFrame, w_expr: str = BMP_W, h_expr: str = BMP_H
+) -> DataFrame:
     """(doc_id, payload, media_kind): a spec-compliant 24bpp BMP —
     BITMAPFILEHEADER + BITMAPINFOHEADER + REAL pixel data stored the
     way BMP stores it: bottom-up row order, BGR byte order, each row
     zero-padded to a 4-byte boundary. Pixel channel values follow the
     deterministic ``BMP_B/G/R`` formulas over the logical pixel index
     i = y*w + x. All hex/unhex built-ins (nested transform lambdas),
-    whole-stage codegen, no Python."""
-    w = F.expr(BMP_W).cast("long")
-    h = F.expr(BMP_H).cast("long")
+    whole-stage codegen, no Python. ``w_expr``/``h_expr`` pick the
+    dimension formulas (default geometry exercises every stride pad;
+    ``BMP_RS_W/H`` give the even dims the resize path needs)."""
+    w = F.expr(w_expr).cast("long")
+    h = F.expr(h_expr).cast("long")
     pad = (4 - (w * 3) % 4) % 4
     stride = w * 3 + pad
-    px_idx = f"(y * ({BMP_W}) + x)"
+    px_idx = f"(y * ({w_expr}) + x)"
     pixel_hex = F.expr(
         f"""
-        array_join(transform(sequence(cast({BMP_H} AS INT) - 1, 0, -1), y ->
+        array_join(transform(sequence(cast({h_expr} AS INT) - 1, 0, -1), y ->
           concat(
-            array_join(transform(sequence(0, cast({BMP_W} AS INT) - 1), x ->
+            array_join(transform(sequence(0, cast({w_expr} AS INT) - 1), x ->
               concat(
                 lpad(hex({BMP_B.format(i=px_idx)}), 2, '0'),
                 lpad(hex({BMP_G.format(i=px_idx)}), 2, '0'),
                 lpad(hex({BMP_R.format(i=px_idx)}), 2, '0')
               )), ''),
-            repeat('00', cast((4 - (({BMP_W}) * 3) % 4) % 4 AS INT))
+            repeat('00', cast((4 - (({w_expr}) * 3) % 4) % 4 AS INT))
           )), '')
         """
     )
@@ -491,6 +502,144 @@ def decode_bmp_pixel_stats(planted: DataFrame) -> DataFrame:
 
     return planted.select("doc_id", "payload").mapInArrow(
         _decode, schema=BMP_DECODED_SCHEMA
+    )
+
+
+BMP_HEADER_SCHEMA = (
+    "doc_id LONG, n_bytes INT, data_offset INT, width INT, height INT, "
+    "bpp INT, stride INT, img_bytes INT"
+)
+
+
+def decode_bmp_headers(planted: DataFrame) -> DataFrame:
+    """REAL header decode over PANDAS batches (mapInPandas — the
+    pandas-batch leg of the Arrow plumbing, where the other decoders
+    ride mapInArrow): validate the BM magic, little-endian unpack the
+    BITMAPFILEHEADER + BITMAPINFOHEADER, and CROSS-CHECK every
+    derivable field against the blob itself — the declared file size
+    against len(blob), the declared image size against the
+    stride-aligned pixel area. The emitted fields are all header
+    bytes, so the closed-form oracle certifies genuine little-endian
+    struct parsing (PNG covers the big-endian case)."""
+    import pandas as pd
+
+    def _decode(batches):
+        import struct
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_bytes": [], "data_offset": [], "width": [],
+                "height": [], "bpp": [], "stride": [], "img_bytes": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                blob = bytes(blob)
+                if blob[:2] != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP")
+                file_size, _, offset = struct.unpack("<III", blob[2:14])
+                if file_size != len(blob):
+                    raise ValueError(f"doc {doc_id}: file size mismatch")
+                hdr_size, width, height = struct.unpack("<Iii", blob[14:26])
+                planes, bpp, compression = struct.unpack("<HHI", blob[26:34])
+                (img_bytes,) = struct.unpack("<I", blob[34:38])
+                if hdr_size != 40 or planes != 1 or compression != 0:
+                    raise ValueError(f"doc {doc_id}: unexpected BIH")
+                stride = (width * bpp // 8 + 3) // 4 * 4
+                if img_bytes != stride * height:
+                    raise ValueError(f"doc {doc_id}: image size mismatch")
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(file_size)
+                out["data_offset"].append(offset)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["bpp"].append(bpp)
+                out["stride"].append(stride)
+                out["img_bytes"].append(img_bytes)
+            yield pd.DataFrame(out)
+
+    return planted.select("doc_id", "payload").mapInPandas(
+        _decode, schema=BMP_HEADER_SCHEMA
+    )
+
+
+BMP_RESIZE_SCHEMA = (
+    "doc_id LONG, width INT, height INT, resized_w INT, resized_h INT, "
+    "rs_sum_b LONG, rs_sum_g LONG, rs_sum_r LONG, rs_b00 INT"
+)
+
+
+def decode_bmp_resize_box(planted: DataFrame) -> DataFrame:
+    """REAL resize over decoded pixels: decode the 24bpp pixel area
+    (stride strip + bottom-up flip into logical top-down order), then
+    2× downsample with an integer 2×2 BOX FILTER — each output pixel
+    is the floor-average of its four source pixels, the exact
+    arithmetic a production thumbnail/model-input resize does before
+    normalization. Emits per-channel amplitude sums of the RESIZED
+    image plus the resized top-left blue value ``rs_b00``: the sums
+    verify stride/interleave and the filter arithmetic; ``rs_b00``
+    is orientation-SENSITIVE, so a decoder that forgets the
+    bottom-up flip fails the compare even though channel sums are
+    flip-invariant."""
+    import pyarrow as pa
+
+    def _decode(batches):
+        import struct
+
+        import numpy as np
+
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            out = {
+                "doc_id": [], "width": [], "height": [], "resized_w": [],
+                "resized_h": [], "rs_sum_b": [], "rs_sum_g": [],
+                "rs_sum_r": [], "rs_b00": [],
+            }
+            for doc_id, blob in zip(doc_ids, payloads):
+                if blob[:2] != b"BM":
+                    raise ValueError(f"doc {doc_id}: not a BMP")
+                (offset,) = struct.unpack("<I", blob[10:14])
+                _, width, height = struct.unpack("<Iii", blob[14:26])
+                if width % 2 or height % 2:
+                    raise ValueError(
+                        f"doc {doc_id}: box resize needs even dims, "
+                        f"got {width}x{height}"
+                    )
+                stride = (width * 3 + 3) // 4 * 4
+                px = np.frombuffer(
+                    blob[offset : offset + stride * height], dtype=np.uint8
+                ).reshape(height, stride)[:, : width * 3]
+                # stored bottom-up -> flip to logical top-down BEFORE
+                # block-grouping (for height > 2 the top-left block
+                # covers different source rows in each order, so
+                # rs_b00 catches a missing flip)
+                img = px.reshape(height, width, 3)[::-1].astype(np.int64)
+                rh, rw = height // 2, width // 2
+                blocks = img.reshape(rh, 2, rw, 2, 3).sum(axis=(1, 3)) // 4
+                sums = blocks.sum(axis=(0, 1))
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                out["resized_w"].append(rw)
+                out["resized_h"].append(rh)
+                out["rs_sum_b"].append(int(sums[0]))
+                out["rs_sum_g"].append(int(sums[1]))
+                out["rs_sum_r"].append(int(sums[2]))
+                out["rs_b00"].append(int(blocks[0, 0, 0]))
+            yield pa.RecordBatch.from_pydict(
+                out,
+                schema=pa.schema(
+                    [
+                        ("doc_id", pa.int64()), ("width", pa.int32()),
+                        ("height", pa.int32()), ("resized_w", pa.int32()),
+                        ("resized_h", pa.int32()), ("rs_sum_b", pa.int64()),
+                        ("rs_sum_g", pa.int64()), ("rs_sum_r", pa.int64()),
+                        ("rs_b00", pa.int32()),
+                    ]
+                ),
+            )
+
+    return planted.select("doc_id", "payload").mapInArrow(
+        _decode, schema=BMP_RESIZE_SCHEMA
     )
 
 

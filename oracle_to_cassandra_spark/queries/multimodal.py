@@ -1,6 +1,8 @@
-"""Multimodal queries: binary payload metadata, Arrow-batched decode
-stub, frame sampling. The fake-decode formula is deterministic
-(size-derived), so even the Pandas-UDF stage is DuckDB-checkable.
+"""Multimodal queries: binary payload metadata + REAL byte-walked
+decoders (PNG/BMP/WAV/Y4M/TAR) over planted spec-compliant blobs,
+each checked closed-form by its oracle. The remaining size-formula
+fake decode (frame sampling) is deterministic, so even that
+Pandas-UDF stage is DuckDB-checkable.
 """
 
 from __future__ import annotations
@@ -29,25 +31,38 @@ def multimodal_binary_metadata(spark, sf_dir):
     )
 
 
-@query(
-    "multimodal_decode_stub",
-    oracle="""
-    SELECT doc_id,
-           octet_length(encode(text))::INT            AS n_bytes,
-           (octet_length(encode(text)) % 640)::INT    AS width,
-           (octet_length(encode(text)) % 480)::INT    AS height,
-           (octet_length(encode(text)) % 5 + 1)::INT  AS n_frames
-    FROM documents
-    """,
-)
-def multimodal_decode_stub(spark, sf_dir):
-    """Arrow-batched decode via mapInPandas (STUBBED decoder — see
-    operators/multimodal.py): verifies the real plumbing (binary in
-    Arrow batches → pandas → typed metadata out) against the same
-    formula in SQL."""
-    return M.decode_metadata(
-        M.attach_binary_payload(load_table(spark, sf_dir, "documents"))
+def _bmp_header_oracle() -> str:
+    from oracle_to_cassandra_spark.operators.multimodal import BMP_H, BMP_W
+
+    return f"""
+    WITH s AS (
+      SELECT doc_id, ({BMP_W})::INT AS w, ({BMP_H})::INT AS h,
+             ((({BMP_W}) * 3 + 3) // 4 * 4)::INT AS stride
+      FROM documents
     )
+    SELECT doc_id, (54 + stride * h)::INT AS n_bytes, 54::INT AS data_offset,
+           w AS width, h AS height, 24::INT AS bpp, stride,
+           (stride * h)::INT AS img_bytes
+    FROM s
+    """
+
+
+@query("multimodal_bmp_header_decode", oracle=_bmp_header_oracle())
+def multimodal_bmp_header_decode(spark, sf_dir):
+    """REAL header decode via PANDAS-batched mapInPandas (retires the
+    size-formula decode stub): plant the spec-compliant 24bpp BMPs,
+    then little-endian struct-unpack BITMAPFILEHEADER +
+    BITMAPINFOHEADER in Python, cross-checking the declared file size
+    against the actual blob length and the declared image size
+    against the stride-aligned pixel area. Every emitted field is
+    parsed from header BYTES and the oracle restates them closed-form
+    from the planting geometry — a construction or parsing bug breaks
+    the magic, a cross-check, or a dimension. Complements
+    decode_png_headers (big-endian chunk walk) with the little-endian
+    fixed-layout case, and keeps the pandas (non-Arrow-native) batch
+    plumbing under test."""
+    d = load_table(spark, sf_dir, "documents")
+    return M.decode_bmp_headers(M.plant_bmp_blobs(d))
 
 
 @query(

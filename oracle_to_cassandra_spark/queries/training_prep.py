@@ -94,49 +94,71 @@ def train_val_test_split(spark, sf_dir):
     )
 
 
-@query(
-    "multimodal_resize_stub",
-    oracle="""
-    SELECT doc_id,
-           (octet_length(encode(text)) % 640)::INT AS width,
-           (octet_length(encode(text)) % 480)::INT AS height,
-           least((octet_length(encode(text)) % 640), 224)::INT  AS resized_w,
-           least((octet_length(encode(text)) % 480), 224)::INT  AS resized_h
-    FROM documents
-    """,
-)
-def multimodal_resize_stub(spark, sf_dir):
-    """Resize stage of the multimodal pipeline: Arrow-batched
-    mapInPandas clamping each decoded frame to the model's input size
-    (STUB math — a real build calls PIL/opencv on the payload; the
-    batch plumbing, schema, and clamp semantics are the real thing)."""
-    import pandas as pd
-
+def _bmp_resize_oracle() -> str:
     from oracle_to_cassandra_spark.operators.multimodal import (
-        attach_binary_payload,
-        decode_metadata,
+        BMP_B,
+        BMP_G,
+        BMP_R,
+        BMP_RS_H,
+        BMP_RS_W,
     )
 
-    decoded = decode_metadata(
-        attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    # 2x2 box filter in closed form: resized pixel i (row-major over
+    # the rw x rh grid) floor-averages source pixels at base, base+1,
+    # base+w, base+w+1 where base = 2*(i // rw)*w + 2*(i % rw)
+    def box(ch: str, base: str) -> str:
+        taps = " + ".join(
+            f"({ch.format(i=f'({base} + {off})')})"
+            for off in ("0", "1", "w", "w + 1")
+        )
+        return f"(({taps}) // 4)"
+
+    base = "(2 * (i // rw) * w + 2 * (i % rw))"
+    return f"""
+    WITH dims AS (
+      SELECT doc_id, ({BMP_RS_W})::INT AS w, ({BMP_RS_H})::INT AS h,
+             (({BMP_RS_W}) // 2)::INT AS rw, (({BMP_RS_H}) // 2)::INT AS rh
+      FROM documents
+    )
+    SELECT doc_id, w AS width, h AS height,
+           rw AS resized_w, rh AS resized_h,
+           list_sum(list_transform(range(0, rw * rh),
+                                   i -> {box(BMP_B, base)}))::BIGINT AS rs_sum_b,
+           list_sum(list_transform(range(0, rw * rh),
+                                   i -> {box(BMP_G, base)}))::BIGINT AS rs_sum_g,
+           list_sum(list_transform(range(0, rw * rh),
+                                   i -> {box(BMP_R, base)}))::BIGINT AS rs_sum_r,
+           {box(BMP_B, "0")}::INT AS rs_b00
+    FROM dims
+    """
+
+
+@query("multimodal_bmp_resize_boxfilter", oracle=_bmp_resize_oracle())
+def multimodal_bmp_resize_boxfilter(spark, sf_dir):
+    """Resize stage of the multimodal training pipeline, on REAL
+    pixels (retires the clamp-formula resize stub): plant even-
+    dimension 24bpp BMPs, decode the actual pixel bytes (stride
+    strip + bottom-up flip), and 2× downsample with an integer 2×2
+    box filter — the decode→resize step every vision-model ingest
+    runs before batching. The oracle restates the filter closed-form
+    over the planting formulas: per-channel sums of the RESIZED image
+    verify stride/interleave and the floor-average arithmetic, and
+    the orientation-sensitive top-left probe ``rs_b00`` catches a
+    decoder that forgets BMP's bottom-up row order.
+
+    Scale: Arrow-batched, embarrassingly parallel, nothing but
+    16-byte stat rows ever shuffles — the pixels stay inside the
+    executor that decoded them."""
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        BMP_RS_H,
+        BMP_RS_W,
+        decode_bmp_resize_box,
+        plant_bmp_blobs,
     )
 
-    def _resize(batches):
-        for pdf in batches:
-            out = pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "width": pdf["width"],
-                    "height": pdf["height"],
-                    "resized_w": pdf["width"].clip(upper=224).astype("int32"),
-                    "resized_h": pdf["height"].clip(upper=224).astype("int32"),
-                }
-            )
-            yield out
-
-    return decoded.mapInPandas(
-        _resize,
-        schema="doc_id LONG, width INT, height INT, resized_w INT, resized_h INT",
+    d = load_table(spark, sf_dir, "documents")
+    return decode_bmp_resize_box(
+        plant_bmp_blobs(d, w_expr=BMP_RS_W, h_expr=BMP_RS_H)
     )
 
 

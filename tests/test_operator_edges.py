@@ -453,3 +453,68 @@ def test_substring_hot_passages_extracts_literal_text(spark):
     import hashlib
 
     assert top["passage_md5"] == hashlib.md5(pa.encode()).hexdigest()
+
+
+def _hand_bmp(width, height, px_bgr):
+    """Build a 24bpp BMP from a logical top-down pixel grid
+    ``px_bgr[y][x] = (b, g, r)`` — independent of the planting
+    expressions, so the decoder is tested against bytes a second
+    implementation produced."""
+    import struct
+
+    stride = (width * 3 + 3) // 4 * 4
+    rows = b""
+    for y in range(height - 1, -1, -1):  # stored bottom-up
+        row = b"".join(bytes(px_bgr[y][x]) for x in range(width))
+        rows += row + b"\x00" * (stride - len(row))
+    return (
+        b"BM"
+        + struct.pack("<III", 54 + stride * height, 0, 54)
+        + struct.pack("<Iii", 40, width, height)
+        + struct.pack("<HHI", 1, 24, 0)
+        + struct.pack("<I", stride * height)
+        + struct.pack("<II", 2835, 2835)
+        + struct.pack("<II", 0, 0)
+        + rows
+    )
+
+
+def test_bmp_header_decode_parses_and_cross_checks(spark):
+    """decode_bmp_headers must emit the parsed little-endian fields
+    and reject a blob whose declared file size disagrees with its
+    actual length."""
+    import pytest
+
+    from oracle_to_cassandra_spark.operators import multimodal as M
+
+    px = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    blob = _hand_bmp(2, 2, px)
+    df = spark.createDataFrame([(7, bytearray(blob))], "doc_id long, payload binary")
+    row = M.decode_bmp_headers(df).collect()[0]
+    assert (row.width, row.height, row.bpp) == (2, 2, 24)
+    assert row.stride == 8 and row.img_bytes == 16
+    assert row.n_bytes == len(blob) and row.data_offset == 54
+
+    bad = spark.createDataFrame(
+        [(7, bytearray(blob + b"\x00"))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="file size mismatch"):
+        M.decode_bmp_headers(bad).count()
+
+
+def test_bmp_resize_box_filter_and_orientation(spark):
+    """The 2x2 box filter must floor-average LOGICAL top-down blocks:
+    on a 2x4 image whose top half is all-16 and bottom half all-80,
+    the resized top-left pixel is 16 only if the decoder flipped
+    BMP's bottom-up storage."""
+    from oracle_to_cassandra_spark.operators import multimodal as M
+
+    top, bot = (16, 17, 18), (80, 90, 100)
+    px = [[top, top], [top, top], [bot, bot], [bot, bot]]
+    blob = _hand_bmp(2, 4, px)
+    df = spark.createDataFrame([(3, bytearray(blob))], "doc_id long, payload binary")
+    row = M.decode_bmp_resize_box(df).collect()[0]
+    assert (row.resized_w, row.resized_h) == (1, 2)
+    assert row.rs_b00 == 16  # un-flipped decode would read 80
+    # resized pixels: (16,17,18) and (80,90,100) -> channel sums
+    assert (row.rs_sum_b, row.rs_sum_g, row.rs_sum_r) == (96, 107, 118)
