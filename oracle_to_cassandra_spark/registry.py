@@ -145,79 +145,117 @@ _QUERY_MODULES = (
 #: driver evidence (r2 rows, by CORRECTNESS_r02.json), preferring the
 #: float-audited and dedup cores. After r9 the remaining backlog is
 #: r2-green rows only (~39) — they queue for r10.
-_PRIORITY: tuple[str, ...] = (
-    # --- r9 window: landed THIS round (zero history outranks all):
-    #     the substring-dedup capstone, the new timer-expiry stream,
-    #     plus the 5 streams upgraded from rows-only to full oracles
-    #     (their hashes have no driver history either) ---
-    "substring_dedup_span_coverage",
-    "substring_dedup_hot_passages",
-    "stream_session_expiry_timers",
-    "stream_tumbling_event_counts",
-    "stream_sessionization_watermark",
-    "stream_static_enrichment_join",
-    "stream_stream_interval_join",
-    "stream_stateful_user_profile",
-    # --- r9 window: 6 deferred zero-history rows ---
-    "multibyte_length_semantics",
-    "url_parse_host_rollup",
-    "struct_field_surgery",
-    "stratified_exact_n_sample",
-    "distinct_set_sorted_rollup",
-    "date_trunc_granularity_rollup",
-    # --- r9 window: 31 rows whose driver evidence was r1-only,
-    #     predating two testdata regenerations (replica-green) ---
-    "full_scan_region",
-    "projection_orders",
-    "rename_bulk_customer",
-    "filter_eq_numeric",
-    "global_counts",
-    "distinct_departments",
-    "static_column_per_partition",
-    "top_orders_limit",
-    "clustering_order_scan",
-    "self_join_adjacent_lines",
-    "count_distinct_custkeys",
-    "conditional_aggregation",
-    "cube_order_status_priority",
-    "rollup_region_nation",
-    "grouping_sets_status_priority",
-    "stats_dispersion_per_segment",
-    "having_filter_hot_parts",
-    "revenue_per_nation",
-    "moving_avg_3_orders",
-    "running_total_per_customer",
-    "rank_dense_rank_orders",
-    "ntile_quartiles",
-    "percent_rank_cume_dist",
-    "first_last_value_frames",
-    "range_frame_value_neighborhood",
-    "topk_orders_per_customer",
-    "union_all_custkeys",
-    "union_distinct_custkeys",
-    "intersect_custkeys",
-    "except_custkeys",
-    "semi_anti_join_customers",
-    # --- r9 window: round-8 net-new additions ---
-    "shingle_width_sensitivity",
-    "weighted_systematic_sample",
-    "tokenizer_fertility_per_lang",
-    "script_mix_profile",
-    # --- r9 window: changed THIS round (r8 ADVICE item 2 ratio
-    #     headroom hardening) — need fresh driver rows ---
-    "tpch_q14_promo_revenue",
-    "tpch_q8_market_share",
-    # --- fillers with the oldest (r2) driver evidence: none fit the
-    #     50-window after the 8 round-9 insertions (2 substring-dedup +
-    #     6 streams); they head the r10 queue ---
-    "correlation_price_quantity",
+#:
+#: ROUND-10 rotation (executes item 1 of the round-9 verdict, and the
+#: r9 ADVICE off-by-one fix: the window is now an EXPLICIT 50-slot
+#: tuple, length-asserted in ``_reorder`` and pinned by
+#: ``tests/test_driver_contract.py``, so "claimed 50, spanned 51" can
+#: never recur). Composition: 3 zero-history rows (the two queries
+#: that replaced the retired multimodal formula stubs, plus
+#: stream_dedup_within_watermark — first-ever hash oracle), then the
+#: 44 remaining rows whose freshest driver evidence is
+#: CORRECTNESS_r02 (leading with the three dedup-core queries whose
+#: implementation file operators/dedup.py was heavily edited in r9),
+#: then 3 of the r4-stale rows to fill the window. After r10, the
+#: oldest remaining evidence anywhere is r4 (29 rows) — they are the
+#: r11 queue below.
+_WINDOW: tuple[str, ...] = (
+    # --- zero driver history (landed/changed this round) ---
+    "multimodal_bmp_header_decode",
+    "multimodal_bmp_resize_boxfilter",
+    "stream_dedup_within_watermark",
+    # --- r2-stale dedup cores whose implementation changed in r9 ---
+    "dedup_minhash_signatures",
+    "dedup_lsh_candidates",
+    "dedup_neardup_pairs_verified",
+    # --- remaining 41 rows with r2-only driver evidence ---
     "approx_count_distinct_custkeys",
     "approx_quantiles_acctbal",
     "argmax_latest_order",
-    "dedup_exact_keepers",
-    "dedup_lsh_candidates",
+    "array_functions_embeddings",
+    "bitwise_aggregates",
+    "case_when_coalesce_nullif",
+    "correlation_price_quantity",
+    "date_functions_orders",
     "dedup_cluster_assignment",
+    "dedup_cluster_size_histogram",
+    "dedup_embedding_top_neighbor",
+    "dedup_exact_keepers",
+    "dedup_minhash_winnowed",
+    "dedup_simhash_fingerprints",
+    "embedding_dimension_stats",
+    "fingerprint_documents",
+    "jdbc_partitioned_roundtrip",
+    "lang_id_heuristic",
+    "like_in_between_predicates",
+    "linear_regression_price_size",
+    "math_functions_lineitem",
+    "merge_scd_status_update",
+    "multimodal_binary_metadata",
+    "multimodal_frame_sample",
+    "pack_documents_token_budget",
+    "pipeline_lineitems_by_part",
+    "pipeline_lineitems_by_supplier",
+    "quality_scores_documents",
+    "range_join_shipments_after_order",
+    "regexp_extraction_documents",
+    "rollup_cascade_hourly_daily",
+    "similarity_bruteforce_topk",
+    "similarity_ivf_recall_at_10",
+    "similarity_ivf_topk",
+    "similarity_lsh_bucket_sizes",
+    "sink_ddl_roundtrip",
+    "sink_roundtrip_partition_lookup",
+    "string_functions_part",
+    "tfidf_top_terms",
+    "token_counts_documents",
+    "train_val_test_split",
+    # --- 3 r4-stale fillers (corpus_curation_pipeline is also in the
+    #     r9 bench drift cluster — a fresh row certifies it) ---
+    "corpus_curation_pipeline",
+    "catalog_list_tables",
+    "catalog_describe_customer",
 )
+
+#: r11 queue: the 29 remaining rows whose freshest driver evidence is
+#: CORRECTNESS_r04 (29 rows + 21 slots for r10 net-new/changed or the
+#: oldest r5 rows).
+_QUEUE: tuple[str, ...] = (
+    "bucketed_join_orders_customers",
+    "calendar_spine_daily_orders",
+    "correlated_exists_orders",
+    "cte_sql_text_pipeline",
+    "custom_pysource_aggregate",
+    "derived_table_top_segment",
+    "embedding_int8_quantization",
+    "full_outer_key_reconciliation",
+    "grouped_map_zscore",
+    "hash_systematic_sample",
+    "histogram_binning_prices",
+    "in_subquery_customers",
+    "left_outer_customer_orders",
+    "levenshtein_candidate_pairs",
+    "na_fill_drop_imputation",
+    "not_exists_anti_join",
+    "null_handling_outer_join",
+    "ordered_string_agg_nations",
+    "pandas_udf_scalar_score",
+    "salted_skew_aggregate",
+    "scalar_subquery_above_avg",
+    "stratified_quota_sample",
+    "struct_pack_unpack",
+    "top_bigrams_corpus",
+    "tpch_q10_returned_items",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_revenue_change",
+    "udtf_chunk_documents",
+    "unpivot_stack_measures",
+)
+
+#: the driver verifies the FIRST 50 registered queries each round
+DRIVER_WINDOW = 50
+
+_PRIORITY: tuple[str, ...] = _WINDOW + _QUEUE
 
 _loaded = False
 
@@ -238,6 +276,15 @@ def _reorder() -> None:
     Dict insertion order is the driver's verification order; names not
     in ``_PRIORITY`` keep their module-registration order after it.
     """
+    if len(_WINDOW) != DRIVER_WINDOW:
+        raise ValueError(
+            f"_WINDOW must hold exactly {DRIVER_WINDOW} names, "
+            f"has {len(_WINDOW)}"
+        )
+    if set(_WINDOW) & set(_QUEUE):
+        raise ValueError(
+            f"window/queue overlap: {sorted(set(_WINDOW) & set(_QUEUE))}"
+        )
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:
         raise ValueError(f"_PRIORITY names not registered: {missing}")

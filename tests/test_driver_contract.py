@@ -28,6 +28,21 @@ def test_every_query_has_callable_shape():
     assert not unknown, f"oracle_sql keys without queries: {unknown}"
 
 
+def test_driver_window_is_exactly_the_staged_fifty():
+    """The driver verifies the FIRST 50 entries of ``queries()``; the
+    r9 ADVICE off-by-one (a claimed 50-window spanning 51 names) must
+    be structurally impossible: the explicit ``_WINDOW`` tuple IS the
+    first 50 iteration order, every window/queue name is registered,
+    and the two never overlap."""
+    from oracle_to_cassandra_spark import registry
+
+    names = list(E.queries())
+    assert len(registry._WINDOW) == registry.DRIVER_WINDOW == 50
+    assert names[: registry.DRIVER_WINDOW] == list(registry._WINDOW)
+    assert not set(registry._WINDOW) & set(registry._QUEUE)
+    assert set(registry._QUEUE) <= set(names)
+
+
 @pytest.mark.parametrize("name", _names())
 def test_query_matches_oracle(spark, duck, name):
     qs = E.queries()
