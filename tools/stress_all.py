@@ -43,6 +43,16 @@ AXES = {
 }
 
 
+def _registered_oracled() -> set[str]:
+    """Names of every registered DuckDB-oracled query (import-only —
+    no SparkSession is started)."""
+    sys.path.insert(0, ROOT)
+    from oracle_to_cassandra_spark import registry
+
+    registry.load_all()
+    return set(registry.ORACLE)
+
+
 def main() -> int:
     argv = sys.argv[1:]
     modes = list(AXES)
@@ -82,7 +92,23 @@ def main() -> int:
                 time.time() - t0, 1), "failures": ["<sweep crashed>"]}
             failed_axes.append(mode)
             continue
-        summary = json.load(open(report_path))["summary"]
+        loaded = json.load(open(report_path))
+        summary = loaded["summary"]
+        # every axis must cover the FULL registered oracled surface —
+        # a report missing queries (sweep-list lag, partial rerun)
+        # would otherwise roll up as green while never exercising the
+        # absent oracles on this axis (r9 ADVICE finding)
+        missing = _registered_oracled() - set(loaded["queries"])
+        if missing:
+            print(f"INCOMPLETE {mode}: report lacks {len(missing)} "
+                  f"registered queries, e.g. {sorted(missing)[:5]}",
+                  file=sys.stderr)
+            rollup[mode] = {"pass": summary["n_pass"], "fail": -1,
+                            "sec": round(time.time() - t0, 1),
+                            "failures": [f"<missing:{n}>"
+                                         for n in sorted(missing)]}
+            failed_axes.append(mode)
+            continue
         rollup[mode] = {
             "pass": summary["n_pass"],
             "fail": summary["n_fail"],
