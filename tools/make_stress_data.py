@@ -97,6 +97,19 @@ higher-order-function re-evaluation trap) blows up here first, and
 within-doc repetition at 100% rate stresses every dedup/repetition
 signal's within-vs-cross-doc distinction.
 
+``--mode bigvec`` — the embeddings table replaced by 12 key-shifted
+VERBATIM copies of itself (vec_id + k*1M, vectors and labels
+untouched; every other table verbatim): the vector-VOLUME axis, the
+longdoc analog for the ANN/semantic-dedup family. 12 bit-identical
+copies of every vector mean (a) every LSH/IVF bucket fans out 12×
+(each candidate set grows 144× in pairs — a quadratic candidate
+stage blows up here first), (b) every distance computation produces
+EXACT score ties in blocks of 12, so any top-k / argmin that orders
+by score alone (no id tiebreak) goes nondeterministic and fails the
+hash compare, and (c) exact-duplicate vectors are what semantic
+dedup exists to collapse — recall audits must hold at 100%
+duplication, not degrade.
+
 Output: /root/repo/.scratch/stress[_skew|_null]/ (gitignored). Verify:
     python tools/make_stress_data.py --mode skew
     python tools/sf_sweep.py /root/repo/.scratch/stress_skew --out SKEW_SWEEP.json
@@ -430,6 +443,26 @@ def build_longdoc(con, out: str) -> None:
         _copy_rewritten(con, table, src, dst, rewrites.get(table, {}))
 
 
+def build_bigvec(con, out: str) -> None:
+    copies = " UNION ALL ".join(
+        f"SELECT (vec_id + {k * 1_000_000})::BIGINT AS vec_id, "
+        "embedding, label FROM src"
+        for k in range(12)
+    )
+    for table in TABLES:
+        src = f"read_parquet('{SRC}/{table}.parquet')"
+        dst = os.path.join(out, f"{table}.parquet")
+        if table == "embeddings":
+            con.execute(
+                f"COPY (WITH src AS (SELECT * FROM {src}) {copies}) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+        else:
+            con.execute(
+                f"COPY (SELECT * FROM {src}) TO '{dst}' (FORMAT PARQUET)"
+            )
+
+
 def build_empty(con, out: str) -> None:
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
@@ -459,7 +492,7 @@ def main() -> None:
     if "--mode" in args:
         mode = args[args.index("--mode") + 1]
     if mode not in ("shift", "skew", "null", "empty", "tiny", "unicode",
-                    "temporal", "gauntlet", "longdoc"):
+                    "temporal", "gauntlet", "longdoc", "bigvec"):
         raise SystemExit(f"unknown --mode {mode}")
     out = os.path.join(
         ROOT, ".scratch", "stress" if mode == "shift" else f"stress_{mode}"
@@ -469,7 +502,8 @@ def main() -> None:
     {"shift": build_shift, "skew": build_skew, "null": build_null,
      "empty": build_empty, "tiny": build_tiny,
      "unicode": build_unicode, "temporal": build_temporal,
-     "gauntlet": build_gauntlet, "longdoc": build_longdoc}[mode](con, out)
+     "gauntlet": build_gauntlet, "longdoc": build_longdoc,
+     "bigvec": build_bigvec}[mode](con, out)
     for table in TABLES:
         dst = os.path.join(out, f"{table}.parquet")
         n = con.execute(

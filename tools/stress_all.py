@@ -40,6 +40,7 @@ AXES = {
     "temporal": ("stress_temporal", "TEMPORAL_SWEEP.json"),
     "gauntlet": ("stress_gauntlet", "GAUNTLET_SWEEP.json"),
     "longdoc": ("stress_longdoc", "LONGDOC_SWEEP.json"),
+    "bigvec": ("stress_bigvec", "BIGVEC_SWEEP.json"),
 }
 
 
