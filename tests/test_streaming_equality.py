@@ -284,3 +284,49 @@ def test_tws_stream_equals_batch_agg(spark):
     )
     cols = ["user_id", "n_events", "total_value_c", "n_event_types"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_single_batch_assert_fires_on_multibatch_source(spark):
+    """The watermark-sensitive streams' oracles assume ONE data
+    micro-batch (initial-zero watermark); run_stream_to_memory's
+    expect_single_batch must fail LOUDLY when the source delivers
+    more. Forced here with a two-file copy of events read under
+    maxFilesPerTrigger=1 — each file becomes its own batch even with
+    availableNow."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from oracle_to_cassandra_spark import scratch
+    from oracle_to_cassandra_spark.streaming.core import run_stream_to_memory
+
+    src = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    two_files = scratch.session_path("multibatch", "events_2f")
+    src.repartition(2).write.mode("overwrite").parquet(two_files)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(two_files).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(two_files)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    with pytest.raises(AssertionError, match="ONE data micro-batch"):
+        run_stream_to_memory(
+            stream, output_mode="append", expect_single_batch=True
+        )
+
+    # control: the same two-file source WITHOUT the file cap is one
+    # availableNow batch and passes the assertion
+    stream_ok = (
+        spark.readStream.schema(spark.read.parquet(two_files).schema)
+        .parquet(two_files)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = run_stream_to_memory(
+        stream_ok, output_mode="complete", expect_single_batch=True
+    )
+    assert out.count() > 0
