@@ -210,17 +210,37 @@ _WINDOW: tuple[str, ...] = (
     "tfidf_top_terms",
     "token_counts_documents",
     "train_val_test_split",
-    # --- 3 r4-stale fillers (corpus_curation_pipeline is also in the
+    # --- the r9 off-by-one victim: tpch_q8_market_share's ratio form
+    #     changed in round 9 but the 51st-position overflow left its
+    #     freshest driver row PRE-change (r5) — changed code with
+    #     stale evidence outranks any unchanged filler ---
+    "tpch_q8_market_share",
+    # --- 2 r4-stale fillers (corpus_curation_pipeline is also in the
     #     r9 bench drift cluster — a fresh row certifies it) ---
     "corpus_curation_pipeline",
     "catalog_list_tables",
-    "catalog_describe_customer",
 )
 
-#: r11 queue: the 29 remaining rows whose freshest driver evidence is
-#: CORRECTNESS_r04 (29 rows + 21 slots for r10 net-new/changed or the
-#: oldest r5 rows).
+#: r11 queue: the 30 remaining rows whose freshest driver evidence is
+#: CORRECTNESS_r04, then 20 slots for r11 net-new/changed or the head
+#: of the r5-stale backlog (46 rows after tpch_q8 moved up:
+#: asof_join_last_purchase, bm25_retrieval_topk, cms_heavy_hitters,
+#: compaction_bin_packing, corpus_global_shuffle,
+#: corpus_mixture_weights, decontamination_overlap,
+#: dedup_keep_best_quality, dedup_simhash_near_stats,
+#: dense_global_ids, doc_repetition_stats, duplicate_span_stats,
+#: hll_sketch_union_rollup, incremental_lsh_dedup,
+#: incremental_rollup_merge, inverted_index_postings,
+#: ivf_centroid_refinement, map_in_arrow_token_stats,
+#: migration_bucket_reconciliation, mixture_weighted_sample,
+#: oov_rate_top_vocab, pii_redaction_stats,
+#: quantile_cutpoint_bucketing, quota_cap_per_source,
+#: runtime_bloom_filtered_join, similarity_hyperplane_ann_topk,
+#: skew_diagnostics_orders_custkey, split_leakage_audit,
+#: stream_ingest_sink_roundtrip, tpch q2/q4/q5/q7/q9/q11-q13/q15-q22,
+#: zorder_layout_audit — then the 46 r6-stale rows for r12).
 _QUEUE: tuple[str, ...] = (
+    "catalog_describe_customer",
     "bucketed_join_orders_customers",
     "calendar_spine_daily_orders",
     "correlated_exists_orders",
