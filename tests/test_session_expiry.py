@@ -151,3 +151,141 @@ def test_oracle_mirrors_boundary(boundary_dir):
     timer_users = sorted(r[0] for r in rows if r[4] == "timer")
     assert timer_users == [3]
     assert SESSION_GAP_MIN == 30  # fixture arithmetic assumes 30/10
+
+
+class TestFoldSessionsOrderRobust:
+    """The r10 interval-sweep rewrite: out-of-order-across-batch
+    events landing anywhere relative to the open session must merge
+    exactly (not just at the batch head — the pre-r10 fold's hidden
+    precondition)."""
+
+    def test_interleaved_in_span_events_do_not_split(self):
+        # open session spans [10:00, 12:00]; the batch carries two
+        # events INSIDE that span, >gap apart from each other — the
+        # head-only merge closed [10:00,12:00] and spuriously opened
+        # a new session at the second event
+        state = (pd.Timestamp("2024-01-01 10:00"),
+                 pd.Timestamp("2024-01-01 12:00"), 9)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:20", "2024-01-01 11:40"), state, 7
+        )
+        assert closed == []
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 10:00"),
+            pd.Timestamp("2024-01-01 12:00"), 11,
+        )
+
+    def test_stale_group_before_open_session_closes_separately(self):
+        # a batch group ending >gap before the open session START must
+        # close on its own — the head-only merge glued it into the
+        # open session through last_ts
+        state = (pd.Timestamp("2024-01-01 10:00"),
+                 pd.Timestamp("2024-01-01 12:00"), 3)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 08:00", "2024-01-01 08:10"), state, 7
+        )
+        assert closed == [
+            (7, pd.Timestamp("2024-01-01 08:00"),
+             pd.Timestamp("2024-01-01 08:10"), 2, "gap")
+        ]
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 10:00"),
+            pd.Timestamp("2024-01-01 12:00"), 3,
+        )
+
+    def test_backward_extension_chains_through_gap(self):
+        # two batch groups each within gap of the NEXT interval but
+        # not of last_ts directly: 09:10 <-25min-> 09:35 <-25min->
+        # state start 10:00; the sweep must chain-merge all three
+        state = (pd.Timestamp("2024-01-01 10:00"),
+                 pd.Timestamp("2024-01-01 10:30"), 2)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 09:10", "2024-01-01 09:35"), state, 7
+        )
+        assert closed == []
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 09:10"),
+            pd.Timestamp("2024-01-01 10:30"), 4,
+        )
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    _minutes = st.lists(
+        st.integers(min_value=0, max_value=24 * 60), min_size=1,
+        max_size=40,
+    )
+
+    def _series(mins):
+        base = pd.Timestamp("2024-01-01")
+        return pd.Series(
+            sorted(base + pd.Timedelta(minutes=m) for m in mins)
+        ).reset_index(drop=True)
+
+    def _brute_sessions(mins):
+        """Independent reference: O(n) loop over sorted minutes."""
+        out = []
+        for m in sorted(mins):
+            if out and m - out[-1][1] <= SESSION_GAP_MIN:
+                out[-1][1] = max(out[-1][1], m)
+                out[-1][2] += 1
+            else:
+                out.append([m, m, 1])
+        return [tuple(s) for s in out]
+
+    class TestFoldSessionsProperties:
+        @settings(max_examples=200, deadline=None)
+        @given(_minutes)
+        def test_matches_brute_force_without_state(self, mins):
+            closed, open_sess = _fold_sessions(_series(mins), None, 1)
+            got = [
+                (int((s - pd.Timestamp("2024-01-01")).total_seconds() // 60),
+                 int((e - pd.Timestamp("2024-01-01")).total_seconds() // 60),
+                 n)
+                for (_, s, e, n, _) in closed
+            ] + [(
+                int((open_sess[0] - pd.Timestamp("2024-01-01"))
+                    .total_seconds() // 60),
+                int((open_sess[1] - pd.Timestamp("2024-01-01"))
+                    .total_seconds() // 60),
+                open_sess[2],
+            )]
+            assert got == _brute_sessions(mins)
+
+        @settings(max_examples=200, deadline=None)
+        @given(_minutes, st.integers(0, 24 * 60), st.integers(0, 90),
+               st.integers(1, 50))
+        def test_invariants_with_state(self, mins, s_start_min, span, n):
+            state = (
+                pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=s_start_min),
+                pd.Timestamp("2024-01-01")
+                + pd.Timedelta(minutes=s_start_min + span),
+                n,
+            )
+            closed, open_sess = _fold_sessions(_series(mins), state, 1)
+            sessions = [(s, e, c) for (_, s, e, c, _) in closed] + [
+                tuple(open_sess)
+            ]
+            # count conservation
+            assert sum(c for (_, _, c) in sessions) == len(mins) + n
+            # well-formed, chronologically ordered, gap-separated
+            gap = pd.Timedelta(minutes=SESSION_GAP_MIN)
+            for s, e, c in sessions:
+                assert s <= e and c >= 1
+            for (s1, e1, _), (s2, e2, _) in zip(sessions, sessions[1:]):
+                assert s2 - e1 > gap
+            # every input instant (batch + state bounds) is inside
+            # exactly one session
+            instants = [_series(mins).iloc[i] for i in range(len(mins))]
+            instants += [state[0], state[1]]
+            for t in instants:
+                assert sum(1 for s, e, _ in sessions if s <= t <= e) == 1
