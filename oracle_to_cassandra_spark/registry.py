@@ -156,9 +156,14 @@ _QUERY_MODULES = (
 #: 44 remaining rows whose freshest driver evidence is
 #: CORRECTNESS_r02 (leading with the three dedup-core queries whose
 #: implementation file operators/dedup.py was heavily edited in r9),
-#: then 3 of the r4-stale rows to fill the window. After r10, the
-#: oldest remaining evidence anywhere is r4 (29 rows) — they are the
-#: r11 queue below.
+#: then tpch_q8_market_share (ratio form changed in r9 but its
+#: freshest driver row is pre-change r5 — the r9 off-by-one victim),
+#: then 2 of the r4-stale rows to fill the window (3+44+1+2 = 50,
+#: verified against the CORRECTNESS_r0*.json ledger by
+#: tests/test_driver_contract.py). After r10, the oldest remaining
+#: evidence on any LIVE query is r4 (exactly the 30 rows of the r11
+#: queue below; the two retired multimodal formula stubs keep older
+#: ledger rows but are no longer registered).
 _WINDOW: tuple[str, ...] = (
     # --- zero driver history (landed/changed this round) ---
     "multimodal_bmp_header_decode",

@@ -43,6 +43,56 @@ def test_driver_window_is_exactly_the_staged_fifty():
     assert set(registry._QUEUE) <= set(names)
 
 
+def test_rotation_matches_the_evidence_ledger():
+    """The registry's rotation comments make arithmetic claims about
+    driver-evidence freshness ("44 r2-stale rows", "the r11 queue is
+    exactly the r4-stale tail") — the kind of claim the r9 ADVICE
+    caught drifting from reality. Derive freshness from the actual
+    ``CORRECTNESS_r*.json`` ledger and assert the structural
+    invariants, so the claims can never silently rot:
+
+    * every registered query NOT in the current window has a green
+      driver row from round 4 or later (no forgotten stale strays);
+    * the staged ``_QUEUE`` is exactly the live queries whose
+      freshest evidence is the oldest remaining round.
+
+    Both invariants survive the driver landing a new CORRECTNESS
+    file (window rows then carry the new round, leaving the queue as
+    the oldest tail until the next rotation edits both tuples)."""
+    import glob
+    import json
+    import re
+
+    from oracle_to_cassandra_spark import registry
+
+    fresh: dict[str, int] = {}
+    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f).group(1))
+        for q, row in json.load(open(f)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match") in (True, None)
+            ):
+                fresh[q] = max(rnd, fresh.get(q, 0))
+    assert fresh, "no CORRECTNESS ledger files found"
+
+    live = set(E.queries())
+    window = set(registry._WINDOW)
+    outside = {q: r for q, r in fresh.items() if q in live - window}
+    strays = sorted(q for q, r in outside.items() if r < 4)
+    assert not strays, (
+        f"live queries outside the window with pre-r4 evidence "
+        f"(rotate them in): {strays}"
+    )
+    oldest = min(outside.values())
+    stalest_tail = {q for q, r in outside.items() if r == oldest}
+    assert stalest_tail <= set(registry._QUEUE), (
+        f"stalest live rows (r{oldest}) missing from the staged "
+        f"queue: {sorted(stalest_tail - set(registry._QUEUE))}"
+    )
+
+
 @pytest.mark.parametrize("name", _names())
 def test_query_matches_oracle(spark, duck, name):
     qs = E.queries()
