@@ -306,6 +306,14 @@ def _reorder() -> None:
             f"_WINDOW must hold exactly {DRIVER_WINDOW} names, "
             f"has {len(_WINDOW)}"
         )
+    # a DUPLICATE inside either tuple passes the length check but
+    # dedups at dict insertion — the driver's first-50 iteration would
+    # silently pull the queue head into slot 50 (the exact
+    # claimed-50-spanned-51 failure this guard exists to prevent)
+    for label, names in (("_WINDOW", _WINDOW), ("_QUEUE", _QUEUE)):
+        if len(set(names)) != len(names):
+            dupes = sorted(n for n in set(names) if names.count(n) > 1)
+            raise ValueError(f"duplicate names in {label}: {dupes}")
     if set(_WINDOW) & set(_QUEUE):
         raise ValueError(
             f"window/queue overlap: {sorted(set(_WINDOW) & set(_QUEUE))}"

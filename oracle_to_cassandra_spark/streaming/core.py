@@ -124,8 +124,18 @@ def run_stream_to_memory(
 
 def _input_rows(progress) -> int:
     """numInputRows from a StreamingQueryProgress (attribute on the
-    PySpark object; key in its dict/json form)."""
+    PySpark object; key in its dict/json form). Raises when the field
+    can't be read at all: returning 0 would silently disarm the
+    ``expect_single_batch`` loud-failure guard (every batch would look
+    empty and the assertion could never fire)."""
     try:
         return int(progress["numInputRows"])
     except (TypeError, KeyError):
-        return int(getattr(progress, "numInputRows", 0) or 0)
+        pass
+    rows = getattr(progress, "numInputRows", None)
+    if rows is None:
+        raise AttributeError(
+            f"cannot read numInputRows from {type(progress).__name__} — "
+            f"the single-batch precondition guard would be blind"
+        )
+    return int(rows)

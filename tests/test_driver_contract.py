@@ -43,6 +43,21 @@ def test_driver_window_is_exactly_the_staged_fifty():
     assert set(registry._QUEUE) <= set(names)
 
 
+def test_reorder_rejects_duplicate_window_names(monkeypatch):
+    """A duplicate inside _WINDOW passes the length check but dedups
+    at dict insertion, silently pulling the queue head into slot 50 —
+    _reorder must reject it at import time, not leave it to pytest."""
+    import pytest
+
+    from oracle_to_cassandra_spark import registry
+
+    dup = list(registry._WINDOW)
+    dup[-1] = dup[0]
+    monkeypatch.setattr(registry, "_WINDOW", tuple(dup))
+    with pytest.raises(ValueError, match="duplicate names in _WINDOW"):
+        registry._reorder()
+
+
 def test_rotation_matches_the_evidence_ledger():
     """The registry's rotation comments make arithmetic claims about
     driver-evidence freshness ("44 r2-stale rows", "the r11 queue is
@@ -61,12 +76,14 @@ def test_rotation_matches_the_evidence_ledger():
     the oldest tail until the next rotation edits both tuples)."""
     import glob
     import json
+    import os
     import re
 
     from oracle_to_cassandra_spark import registry
 
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     fresh: dict[str, int] = {}
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
+    for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"r(\d+)", f).group(1))
         for q, row in json.load(open(f)).items():
             if (
@@ -79,6 +96,15 @@ def test_rotation_matches_the_evidence_ledger():
 
     live = set(E.queries())
     window = set(registry._WINDOW)
+    # a live query with NO ledger row at all (registered but never
+    # rotated into any window) is the worst stray — it would be
+    # invisible to the freshness checks below, which only see names
+    # present in `fresh`
+    unverified = sorted(live - window - set(fresh))
+    assert not unverified, (
+        f"live queries with zero driver evidence outside the window "
+        f"(rotate them in): {unverified}"
+    )
     outside = {q: r for q, r in fresh.items() if q in live - window}
     strays = sorted(q for q, r in outside.items() if r < 4)
     assert not strays, (

@@ -205,7 +205,38 @@ def _copy_rewritten(con, table: str, src: str, dst: str,
     con.execute(f"COPY (SELECT {sel} FROM {src}) TO '{dst}' (FORMAT PARQUET)")
 
 
+#: (table, column, stride) for every key SHIFTS displaces — validated
+#: against the actual source before any shifted copy is written
+_SHIFTED_KEYS = (
+    ("customer", "c_custkey", OFF),
+    ("orders", "o_orderkey", OFF),
+    ("orders", "o_custkey", OFF),
+    ("lineitem", "l_orderkey", OFF),
+    ("events", "event_id", OFF),
+    ("events", "user_id", USER_OFF),
+    ("documents", "doc_id", OFF),
+    ("embeddings", "vec_id", OFF),
+)
+
+
+def _check_shift_headroom(con) -> None:
+    """Fail loudly if any source key reaches its shift stride: the
+    shifted copy would collide with original ids (duplicate keys), and
+    the resulting sweep divergence would be misattributed to the axis
+    under test instead of the generator."""
+    for table, col, stride in _SHIFTED_KEYS:
+        (mx,) = con.execute(
+            f"SELECT max({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+        ).fetchone()
+        if mx is not None and mx >= stride:
+            raise ValueError(
+                f"shift stride {stride} collides: {table}.{col} max is "
+                f"{mx} in {SRC} — raise OFF/USER_OFF for this source"
+            )
+
+
 def build_shift(con, out: str) -> None:
+    _check_shift_headroom(con)
     for table in TABLES:
         src = f"read_parquet('{SRC}/{table}.parquet')"
         dst = os.path.join(out, f"{table}.parquet")
@@ -347,6 +378,7 @@ def _subst(expr: str, col: str, inner: str) -> str:
 def build_gauntlet(con, out: str) -> None:
     """Compose skew ∘ null ∘ unicode ∘ temporal per column, then the
     shift-mode doubling on top (copy 1 gets the key shifts)."""
+    _check_shift_headroom(con)
     g = UNI_GAUNTLET.replace("'", "''")
     hot = {
         "hot_cust": con.execute(
@@ -444,8 +476,16 @@ def build_longdoc(con, out: str) -> None:
 
 
 def build_bigvec(con, out: str) -> None:
+    # key shift derived from the ACTUAL id range: a fixed 1e6 stride
+    # would silently collide copies (duplicate vec_ids) the moment a
+    # larger source's max vec_id reaches the stride, misattributing
+    # any resulting sweep failure to the axis instead of the keys
+    (shift,) = con.execute(
+        f"SELECT max(vec_id) + 1 FROM "
+        f"read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()
     copies = " UNION ALL ".join(
-        f"SELECT (vec_id + {k * 1_000_000})::BIGINT AS vec_id, "
+        f"SELECT (vec_id + {k * int(shift)})::BIGINT AS vec_id, "
         "embedding, label FROM src"
         for k in range(12)
     )

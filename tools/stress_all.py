@@ -46,8 +46,10 @@ AXES = {
 
 def _registered_oracled() -> set[str]:
     """Names of every registered DuckDB-oracled query (import-only —
-    no SparkSession is started)."""
-    sys.path.insert(0, ROOT)
+    no SparkSession is started). Computed once per campaign: the
+    registry is fixed for the process lifetime."""
+    if ROOT not in sys.path:
+        sys.path.insert(0, ROOT)
     from oracle_to_cassandra_spark import registry
 
     registry.load_all()
@@ -63,6 +65,7 @@ def main() -> int:
     if "--src" in argv:
         env["STRESS_SRC"] = argv[argv.index("--src") + 1]
 
+    oracled = _registered_oracled()
     rollup = {}
     failed_axes = []
     for mode in modes:
@@ -99,7 +102,7 @@ def main() -> int:
         # a report missing queries (sweep-list lag, partial rerun)
         # would otherwise roll up as green while never exercising the
         # absent oracles on this axis (r9 ADVICE finding)
-        missing = _registered_oracled() - set(loaded["queries"])
+        missing = oracled - set(loaded["queries"])
         if missing:
             print(f"INCOMPLETE {mode}: report lacks {len(missing)} "
                   f"registered queries, e.g. {sorted(missing)[:5]}",
