@@ -11,6 +11,11 @@ session (no AQE tuning, shuffle=8, a different core count).
 
 Usage:
     python tools/driver_replica.py [sf_dir] [name_substring ...]
+    python tools/driver_replica.py --window [sf_dir]   # first 50 only
+
+``--window`` restricts the run to the driver's verification window
+(the first DRIVER_WINDOW entries of ``queries()``) — the fast
+rotation check after editing registry._WINDOW (~50 s vs ~4 min).
 
 Prints one JSON summary line; exit 1 on any mismatch.
 """
@@ -27,8 +32,12 @@ sys.path.insert(0, ROOT)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2:]
+    args = sys.argv[1:]
+    window_only = "--window" in args
+    if window_only:
+        args.remove("--window")
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = args[1:]
 
     from pyspark.sql import SparkSession
 
@@ -56,6 +65,10 @@ def main() -> int:
     names = [
         m for m in qs if not only or any(s in m for s in only)
     ]
+    if window_only:
+        from oracle_to_cassandra_spark.registry import DRIVER_WINDOW
+
+        names = list(qs)[:DRIVER_WINDOW]
 
     failures = []
     t0 = time.time()
