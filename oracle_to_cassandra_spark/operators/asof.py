@@ -37,10 +37,23 @@ def asof_join(
     payload_cols: list[str],
 ) -> DataFrame:
     """Left as-of join: every ``left`` row + the latest ``right``
-    payload at or before its timestamp (NULLs where none exists)."""
+    payload at or before its timestamp (NULLs where none exists).
+
+    Tie-break contract: the struct comparison that resolves EQUAL
+    right timestamps is lexicographic over ``payload_cols`` order, so
+    the intended tie-break column (the id) must come FIRST in
+    ``payload_cols`` — callers choosing a different leading column
+    get max-of-that-column tie-breaks instead.
+
+    A right row with NULL ``right_ts`` is dropped up front: it can
+    never satisfy ``right.ts <= left.ts`` (SQL three-valued logic —
+    the DuckDB argmax twin excludes it), but ascending-NULLS-FIRST
+    ordering would otherwise place it at the partition head where
+    ``last(ignorenulls)`` carries it into every left row."""
     l_tag = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
     r_tag = (
-        right.withColumn("_side", F.lit(0))
+        right.filter(F.col(right_ts).isNotNull())
+        .withColumn("_side", F.lit(0))
         .withColumn("_ts", F.col(right_ts))
         .withColumn("_payload", F.struct(*[F.col(c) for c in payload_cols]))
     )

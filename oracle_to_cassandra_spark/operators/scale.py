@@ -53,11 +53,20 @@ def salted_join(
 
     AQE's skew-join split handles most cases automatically; explicit
     salting remains for when the skewed side must ALSO aggregate on
-    the key (AQE can't split a skewed aggregation). The salt is
-    derived from other row attributes (not random) so reruns are
-    deterministic."""
+    the key (AQE can't split a skewed aggregation). The salt mixes
+    the row's attributes with ``monotonically_increasing_id`` so even
+    BYTE-IDENTICAL duplicate rows of the hot key spread across
+    buckets — an attribute-only hash would send them all to one task,
+    the exact straggler this operator exists to break up. The salt
+    never reaches the output (dropped after the join), so result
+    determinism is unaffected by the id's partition-layout
+    dependence."""
     salted_fact = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[c for c in fact.columns]), F.lit(salt_buckets))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*fact.columns, F.monotonically_increasing_id()),
+            F.lit(salt_buckets),
+        ),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -42,7 +42,11 @@ def zscore_per_group(df: DataFrame, key: str, value: str) -> DataFrame:
         mu = pdf[value].mean()
         sd = pdf[value].std(ddof=1)
         pdf = pdf[[key, value]].copy()
-        pdf["zscore"] = ((pdf[value] - mu) / sd).round(6)
+        # single-row/zero-variance groups: pandas yields NaN (std
+        # NaN or 0-division) where SQL stddev_samp arithmetic yields
+        # NULL — map to None so the twins agree on the exact bytes
+        z = (pdf[value] - mu) / sd
+        pdf["zscore"] = z.round(6).where(z.notna(), None)
         return pdf
 
     return df.select(key, value).groupBy(key).applyInPandas(_z, schema=out_schema)

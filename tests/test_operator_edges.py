@@ -58,6 +58,43 @@ def test_asof_equal_right_ts_picks_max_payload(spark):
     assert out[0]["asof_p_event_id"] == 9
 
 
+def test_asof_null_right_ts_never_matches(spark):
+    # a right row with NULL ts can't satisfy right.ts <= left.ts (SQL
+    # three-valued logic); without the up-front filter it would sort
+    # NULLS-FIRST to the partition head and be carried into EVERY
+    # left row by last(ignorenulls)
+    left = _ts(spark, [(1, 100, "2024-01-01 12:00:00")], "user_id int, event_id int, ts string")
+    right = _ts(
+        spark,
+        [(1, 7, None, 9.9), (1, 5, "2024-01-01 13:00:00", 2.0)],
+        "user_id int, p_event_id int, p_ts string, p_value double",
+    )
+    out = asof_join(left, right, "user_id", "ts", "p_ts", ["p_event_id", "p_value"]).collect()
+    assert out[0]["asof_p_event_id"] is None and out[0]["asof_p_value"] is None
+
+
+def test_zscore_single_row_group_is_null_not_nan(spark):
+    # pandas std(ddof=1) of one row is NaN; the SQL twin's
+    # stddev_samp is NULL — the operator must emit NULL so the
+    # driver's exact compare can't diverge on singleton groups
+    import math
+
+    from oracle_to_cassandra_spark.operators.udfs import zscore_per_group
+
+    df = spark.createDataFrame(
+        [("solo", 5.0), ("pair", 1.0), ("pair", 3.0)], "seg string, v double"
+    )
+    rows = {
+        (r["seg"], r["v"]): r["zscore"]
+        for r in zscore_per_group(df, "seg", "v").collect()
+    }
+    assert rows[("solo", 5.0)] is None
+    assert not any(
+        isinstance(z, float) and math.isnan(z) for z in rows.values()
+    )
+    assert rows[("pair", 3.0)] == 0.707107
+
+
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([("a b",), ("a b c d",)], "text string")
     out = df.select(F.size(shingles(tokens(F.col("text")))).alias("n")).collect()
