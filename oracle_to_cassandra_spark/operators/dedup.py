@@ -33,14 +33,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import (
-    MERSENNE_P,
-    MINHASH_A,
-    MINHASH_B,
     N_PERM,
     base31,
     base31_sql,
     md5_int64,
     md5_int64_sql,
+    perm_hash,
+    perm_hash_sql,
 )
 from oracle_to_cassandra_spark.operators.text import shingles, shingles_sql, tokens
 from oracle_to_cassandra_spark.staging import stage
@@ -117,7 +116,7 @@ def minhash_signatures(
     already-staged shingle table with other pipeline stages."""
     sh = shingle_hashes if shingle_hashes is not None else doc_shingle_hashes(documents)
     sig_cols = [
-        F.min((F.col("h31") * MINHASH_A[i] + MINHASH_B[i]) % MERSENNE_P).alias(f"sig{i}")
+        F.min(perm_hash(F.col("h31"), i)).alias(f"sig{i}")
         for i in range(n_perm)
     ]
     return sh.groupBy("doc_id").agg(*sig_cols)
@@ -125,8 +124,7 @@ def minhash_signatures(
 
 def minhash_signatures_sql(n_perm: int = N_PERM, k: int = 3) -> str:
     sig_cols = ",\n           ".join(
-        f"min((h31 * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P}) AS sig{i}"
-        for i in range(n_perm)
+        f"min({perm_hash_sql('h31', i)}) AS sig{i}" for i in range(n_perm)
     )
     return f"""
     WITH sh_tbl AS ({doc_shingle_hashes_sql(k)})
@@ -579,12 +577,20 @@ def _doc_tokens(documents: DataFrame, w: int) -> DataFrame:
     ).filter(F.size("__tok") >= w)
 
 
-def dup_span_table(documents: DataFrame, w: int = 8) -> DataFrame:
+def dup_span_table(
+    documents: DataFrame, w: int = 8, toked: DataFrame | None = None
+) -> DataFrame:
     """The substring-dedup core: maximal cross-document duplicated
     spans, one row per (doc, span) — (doc_id, n_tokens, span_id,
     start_pos, span_tokens), positions 1-based. Both public queries
-    (per-doc coverage, corpus hot passages) consume this table."""
-    toked = _doc_tokens(documents, w)
+    (per-doc coverage, corpus hot passages) consume this table.
+
+    Pass ``toked`` (a ``_doc_tokens`` table, staged by the caller) to
+    share one tokenization with downstream stages that also need the
+    token arrays — the translate+lower+split chain is ~25% of
+    pipeline wall time and must not run twice."""
+    if toked is None:
+        toked = _doc_tokens(documents, w)
     anchors = stage(
         toked.select(
             "doc_id",
@@ -634,8 +640,8 @@ def substring_hot_passages(
     duplicated span — never per anchor. The group-by shuffles the
     passages themselves, which is exactly the output's size, and the
     top-k is a TakeOrdered, not a global sort."""
-    spans = dup_span_table(documents, w)
-    toked = _doc_tokens(documents, w)
+    toked = stage(_doc_tokens(documents, w))
+    spans = dup_span_table(documents, w, toked=toked)
     passages = spans.join(toked, "doc_id").select(
         "doc_id",
         F.array_join(
@@ -670,8 +676,12 @@ def _dup_span_cte(w: int) -> str:
     both substring-dedup oracles build on (twin of
     ``dup_span_table``)."""
     return f"""toked AS (
-      SELECT doc_id, {_TOK_SQL} AS tok FROM documents
-      WHERE len({_TOK_SQL}) >= {w}
+      -- split evaluated ONCE in the inner projection: filtering on
+      -- the alias (not a repeated {{_TOK_SQL}}) halves tokenize cost
+      -- on the longdoc axis, same guard as doc_shingle_hashes_sql
+      SELECT doc_id, tok
+      FROM (SELECT doc_id, {_TOK_SQL} AS tok FROM documents)
+      WHERE len(tok) >= {w}
     ),
     shlist AS (
       SELECT doc_id, len(tok)::BIGINT AS n_tokens,

@@ -183,15 +183,11 @@ def hyperplane_bucket(emb, signs) -> "F.Column":
     between engines."""
     sig = F.lit(0)
     for j, row in enumerate(signs):
-        dotj = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(s) for s in row]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+        # the canonical sequential fold (functions/vector.dot) — the
+        # ±1 literals are exact in double, so casting both sides
+        # changes nothing while keeping ONE dot implementation whose
+        # element order the cross-engine argument is made about
+        dotj = dot(emb, F.array(*[F.lit(s) for s in row]))
         sig = sig + F.when(dotj > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return sig.cast("long")
 
