@@ -120,7 +120,14 @@ def sample_frames(decoded: DataFrame) -> DataFrame:
 PNG_W = "16 + doc_id % 320"
 PNG_H = "16 + doc_id % 240"
 WAV_RATES = (8000, 16000, 44100)
-WAV_N_SAMPLES = "8 + doc_id % 25"
+#: channel count over the PLANTED (odd) doc_ids: doc_id%4==1 → stereo,
+#: doc_id%4==3 → mono — both decode paths exercised every run. Pure
+#: modulo arithmetic so the identical text runs in Spark SQL and DuckDB.
+WAV_CHANNELS = "(doc_id % 4 + 1) % 3"
+#: TOTAL int16 sample count — a multiple of the channel count by
+#: construction, so every blob holds whole PCM frames (spec-compliant:
+#: data size is a multiple of block_align; no orphan half-frame)
+WAV_N_SAMPLES = f"({WAV_CHANNELS}) * (8 + doc_id % 25)"
 WAV_SAMPLE = "((doc_id * 31 + i * 17) % 4096) - 2048"
 
 
@@ -175,12 +182,15 @@ def plant_png_blobs(documents: DataFrame) -> DataFrame:
 def plant_wav_blobs(documents: DataFrame) -> DataFrame:
     """(doc_id, payload, media_kind): a spec-compliant RIFF/WAVE blob —
     canonical 44-byte header (PCM fmt chunk: doc_id-derived channel
-    count and sample rate) followed by real 16-bit little-endian PCM
-    samples from the deterministic ``WAV_SAMPLE`` formula. The sample
+    count, MONO and STEREO both planted via ``WAV_CHANNELS``, and a
+    doc_id-derived sample rate) followed by real 16-bit little-endian
+    PCM samples from the deterministic ``WAV_SAMPLE`` formula —
+    ``WAV_N_SAMPLES`` is a multiple of the channel count, so the data
+    chunk holds whole frames (size % block_align == 0). The sample
     array is hex-encoded by a ``transform`` over ``sequence`` (two's
     complement by hand for negatives) — all JVM-side."""
     n_samp = F.expr(WAV_N_SAMPLES).cast("long")
-    channels = (F.lit(1) + F.col("doc_id") % 2).cast("long")
+    channels = F.expr(WAV_CHANNELS).cast("long")
     rate = F.element_at(
         F.array(*[F.lit(r) for r in WAV_RATES]),
         (F.col("doc_id") % 3 + 1).cast("int"),

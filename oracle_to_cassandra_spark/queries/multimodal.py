@@ -114,16 +114,26 @@ def multimodal_png_header_decode(spark, sf_dir):
     return M.decode_png_headers(M.plant_png_blobs(d))
 
 
-@query(
-    "multimodal_wav_pcm_stats",
-    oracle="""
+def _wav_stats_oracle() -> str:
+    """Composed from the SAME planting constants the operator uses
+    (WAV_CHANNELS / WAV_N_SAMPLES / WAV_SAMPLE) — one formula source,
+    so the twins cannot drift apart."""
+    from oracle_to_cassandra_spark.operators.multimodal import (
+        WAV_CHANNELS,
+        WAV_N_SAMPLES,
+        WAV_RATES,
+        WAV_SAMPLE,
+    )
+
+    rates = ", ".join(str(r) for r in WAV_RATES)
+    return f"""
     WITH wav AS (
       SELECT doc_id,
-             (1 + doc_id % 2)::INT                    AS n_channels,
-             ([8000, 16000, 44100])[doc_id % 3 + 1]   AS sample_rate,
-             (8 + doc_id % 25)::INT                   AS n_samples,
-             list_transform(range(0, (8 + doc_id % 25)::INT),
-                            i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS s
+             ({WAV_CHANNELS})::INT                  AS n_channels,
+             ([{rates}])[doc_id % 3 + 1]            AS sample_rate,
+             ({WAV_N_SAMPLES})::INT                 AS n_samples,
+             list_transform(range(0, ({WAV_N_SAMPLES})::INT),
+                            i -> {WAV_SAMPLE}) AS s
       FROM documents WHERE doc_id % 2 = 1
     )
     SELECT doc_id, n_channels, sample_rate::INT AS sample_rate, n_samples,
@@ -132,8 +142,10 @@ def multimodal_png_header_decode(spark, sf_dir):
            list_max(list_transform(s, x -> abs(x)))::INT AS peak_amp,
            list_sum(s)::BIGINT AS sum_amp
     FROM wav
-    """,
-)
+    """
+
+
+@query("multimodal_wav_pcm_stats", oracle=_wav_stats_oracle())
 def multimodal_wav_pcm_stats(spark, sf_dir):
     """REAL audio decode path: plant spec-compliant RIFF/WAVE blobs
     whose data chunk holds genuine int16-LE PCM samples (deterministic
@@ -239,26 +251,7 @@ def multimodal_y4m_frame_sample_stats(spark, sf_dir):
     return M.decode_y4m_frame_stats(M.plant_y4m_blobs(d), sample_every=2)
 
 
-@query(
-    "stream_multimodal_wav_decode",
-    oracle="""
-    WITH wav AS (
-      SELECT doc_id,
-             (1 + doc_id % 2)::INT                    AS n_channels,
-             ([8000, 16000, 44100])[doc_id % 3 + 1]   AS sample_rate,
-             (8 + doc_id % 25)::INT                   AS n_samples,
-             list_transform(range(0, (8 + doc_id % 25)::INT),
-                            i -> ((doc_id * 31 + i * 17) % 4096) - 2048) AS s
-      FROM documents WHERE doc_id % 2 = 1
-    )
-    SELECT doc_id, n_channels, sample_rate::INT AS sample_rate, n_samples,
-           ((n_samples // n_channels) * 1000000 // sample_rate)::BIGINT
-             AS duration_us,
-           list_max(list_transform(s, x -> abs(x)))::INT AS peak_amp,
-           list_sum(s)::BIGINT AS sum_amp
-    FROM wav
-    """,
-)
+@query("stream_multimodal_wav_decode", oracle=_wav_stats_oracle())
 def stream_multimodal_wav_decode(spark, sf_dir):
     """Streaming twin of the real audio decode — and a fully
     DuckDB-oracled stream (not rows-only): ``readStream`` over the

@@ -158,12 +158,14 @@ _QUERY_MODULES = (
 #: implementation file operators/dedup.py was heavily edited in r9),
 #: then tpch_q8_market_share (ratio form changed in r9 but its
 #: freshest driver row is pre-change r5 — the r9 off-by-one victim),
-#: then 2 of the r4-stale rows to fill the window (3+44+1+2 = 50,
-#: verified against the CORRECTNESS_r0*.json ledger by
-#: tests/test_driver_contract.py). After r10, the oldest remaining
-#: evidence on any LIVE query is r4 (exactly the 30 rows of the r11
-#: queue below; the two retired multimodal formula stubs keep older
-#: ledger rows but are no longer registered).
+#: then the 2 batch WAV queries whose planting formula changed this
+#: round (3+44+1+2 = 50, verified against the CORRECTNESS_r0*.json
+#: ledger by tests/test_driver_contract.py). After r10, the oldest
+#: remaining evidence on any LIVE query is r4 (exactly the 32 r4
+#: rows of the r11 queue below, which also leads with the one
+#: changed-this-round query that did not fit the window; the two
+#: retired multimodal formula stubs keep older ledger rows but are
+#: no longer registered).
 _WINDOW: tuple[str, ...] = (
     # --- zero driver history (landed/changed this round) ---
     "multimodal_bmp_header_decode",
@@ -220,15 +222,20 @@ _WINDOW: tuple[str, ...] = (
     #     freshest driver row PRE-change (r5) — changed code with
     #     stale evidence outranks any unchanged filler ---
     "tpch_q8_market_share",
-    # --- 2 r4-stale fillers (corpus_curation_pipeline is also in the
-    #     r9 bench drift cluster — a fresh row certifies it) ---
-    "corpus_curation_pipeline",
-    "catalog_list_tables",
+    # --- 2 queries whose planting formula changed THIS round (the WAV
+    #     mono/stereo + frame-alignment fix): changed code with r6
+    #     evidence outranks the unchanged r4 fillers these slots held.
+    #     The third changed WAV query (stream_multimodal_wav_decode,
+    #     same _wav_stats_oracle, trigger path pinned by the
+    #     stream⇔batch equality test) heads the r11 queue. ---
+    "multimodal_wav_pcm_stats",
+    "multimodal_wav_energy_fingerprint",
 )
 
-#: r11 queue: the 30 remaining rows whose freshest driver evidence is
-#: CORRECTNESS_r04, then 20 slots for r11 net-new/changed or the head
-#: of the r5-stale backlog (46 rows after tpch_q8 moved up:
+#: r11 queue: the changed-in-r10 stream WAV twin, then the 32 rows
+#: whose freshest driver evidence is CORRECTNESS_r04, then 17 slots
+#: for r11 net-new/changed or the head of the r5-stale backlog
+#: (46 rows after tpch_q8 moved up:
 #: asof_join_last_purchase, bm25_retrieval_topk, cms_heavy_hitters,
 #: compaction_bin_packing, corpus_global_shuffle,
 #: corpus_mixture_weights, decontamination_overlap,
@@ -245,6 +252,9 @@ _WINDOW: tuple[str, ...] = (
 #: stream_ingest_sink_roundtrip, tpch q2/q4/q5/q7/q9/q11-q13/q15-q22,
 #: zorder_layout_audit — then the 46 r6-stale rows for r12).
 _QUEUE: tuple[str, ...] = (
+    "stream_multimodal_wav_decode",
+    "corpus_curation_pipeline",
+    "catalog_list_tables",
     "catalog_describe_customer",
     "bucketed_join_orders_customers",
     "calendar_spine_daily_orders",

@@ -82,6 +82,18 @@ def test_wav_walker_skips_odd_list_chunk(spark):
     assert row.sum_amp == sum(samples)
 
 
+def test_wav_mono_frame_math(spark):
+    # mono path: n_samples == frames, duration from the full count —
+    # the channel-division arithmetic the stereo test can't pin
+    samples = [7, -7, 32767]
+    row = M.decode_wav_pcm_stats(
+        _df(spark, _hand_wav(samples, rate=16000, channels=1))
+    ).collect()[0]
+    assert (row.n_channels, row.n_samples) == (1, 3)
+    assert row.duration_us == 3 * 1_000_000 // 16000
+    assert (row.peak_amp, row.sum_amp) == (32767, 32767)
+
+
 def _hand_y4m(w: int, h: int, frames: list[bytes], params: bool) -> bytes:
     head = f"YUV4MPEG2 W{w} H{h} F25:1 C420\n".encode()
     marker = b"FRAME Ixyz\n" if params else b"FRAME\n"
