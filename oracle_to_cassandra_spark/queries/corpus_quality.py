@@ -255,6 +255,38 @@ MIN_DIVERSITY = 0.45
 MIN_STOPWORDS = 2
 
 
+def gopher_rule_flags(text_col) -> dict:
+    """The four Gopher rule expressions over a raw text Column — the
+    ONE Spark-side rule battery. Both the batch report
+    (``gopher_quality_rules``) and the streaming gate
+    (``stream_gopher_quality_gate``) compose from these flags, so an
+    expression-form fix (e.g. a tokenizer-fold change) propagates to
+    every consumer instead of silently forking the twins."""
+    ts = tokens(text_col)
+    mwl = F.aggregate(
+        F.transform(ts, F.length),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.size(ts)
+    return {
+        "r_len": F.size(ts) >= MIN_WORDS,
+        "r_mwl": (mwl >= MWL_LO) & (mwl <= MWL_HI),
+        "r_div": F.size(F.array_distinct(ts)) / F.size(ts) >= MIN_DIVERSITY,
+        "r_stop": (
+            F.size(
+                F.array_distinct(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS)))
+            )
+            >= MIN_STOPWORDS
+        ),
+    }
+
+
+def gopher_pass_expr(text_col):
+    """AND of all four rules — the keep/drop gate expression."""
+    flags = gopher_rule_flags(text_col)
+    return flags["r_len"] & flags["r_mwl"] & flags["r_div"] & flags["r_stop"]
+
+
 @query(
     "gopher_quality_rules",
     oracle=f"""
@@ -305,21 +337,9 @@ def gopher_quality_rules(spark, sf_dir):
     (`/root/reference/README.md:877`) to the rule-report shape its
     WHERE-clause examples cannot express without N passes."""
     d = load_table(spark, sf_dir, "documents")
-    ts = tokens(F.col("text"))
-    mwl = F.aggregate(
-        F.transform(ts, F.length),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ) / F.size(ts)
+    flags = gopher_rule_flags(F.col("text"))
     rules = d.select(
-        "source",
-        (F.size(ts) >= MIN_WORDS).alias("r_len"),
-        ((mwl >= MWL_LO) & (mwl <= MWL_HI)).alias("r_mwl"),
-        (F.size(F.array_distinct(ts)) / F.size(ts) >= MIN_DIVERSITY).alias("r_div"),
-        (
-            F.size(F.array_distinct(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS))))
-            >= MIN_STOPWORDS
-        ).alias("r_stop"),
+        "source", *[expr.alias(name) for name, expr in flags.items()]
     )
     pass_all = F.col("r_len") & F.col("r_mwl") & F.col("r_div") & F.col("r_stop")
     return rules.groupBy("source").agg(

@@ -191,7 +191,10 @@ def incremental_lsh_dedup(spark, sf_dir):
     the index incremental instead of re-running pairwise dedup over
     100 TB nightly."""
     docs = load_table(spark, sf_dir, "documents")
-    bands = D.lsh_bands(D.minhash_signatures(docs))
+    # staged: the snap/batch self-join consumes the band table TWICE,
+    # and Spark has no cross-branch CSE — unstaged, the whole
+    # tokenize→shingle→md5→MinHash derivation would execute per side
+    bands = stage(D.lsh_bands(D.minhash_signatures(docs)))
     snap = bands.filter(F.col("doc_id") % 2 == 0)
     batch = bands.filter(F.col("doc_id") % 2 == 1)
     return (

@@ -1,7 +1,10 @@
-"""Structured Streaming queries (rows-only driver checks — these are
-the genuinely non-SQL-expressible ops per the driver contract; their
-batch-equivalent twins in queries/event_time.py carry the DuckDB
-oracles).
+"""Structured Streaming queries — every one fully DuckDB-oracled
+(the last rows-only query was upgraded in round 10 by projecting the
+stream's output to its deterministic part). The convention for a new
+stream: register an exact oracle — either the batch twin's oracle by
+reference (``_twin_oracle``), or a closed form over ``_ON_TIME`` /
+``events`` depending on whether the stream is watermarked. Rows-only
+registration is no longer used in this file.
 """
 
 from __future__ import annotations
@@ -482,15 +485,9 @@ def stream_gopher_quality_gate(spark, sf_dir):
     Scale: rules run inside codegen on each micro-batch; state is the
     per-source running counts (a handful of rows in the state store);
     the sink table is source-count-sized."""
-    from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS
     from oracle_to_cassandra_spark.queries.corpus_quality import (
-        MIN_DIVERSITY,
-        MIN_STOPWORDS,
-        MIN_WORDS,
-        MWL_HI,
-        MWL_LO,
+        gopher_pass_expr,
     )
-    from oracle_to_cassandra_spark.operators.text import tokens as _tokens
 
     raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     docs = (
@@ -498,20 +495,9 @@ def stream_gopher_quality_gate(spark, sf_dir):
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    ts = _tokens(F.col("text"))
-    mwl = F.aggregate(
-        F.transform(ts, F.length), F.lit(0.0), lambda acc, x: acc + x
-    ) / F.size(ts)
-    pass_all = (
-        (F.size(ts) >= MIN_WORDS)
-        & (mwl >= MWL_LO)
-        & (mwl <= MWL_HI)
-        & (F.size(F.array_distinct(ts)) / F.size(ts) >= MIN_DIVERSITY)
-        & (
-            F.size(F.array_distinct(F.filter(ts, lambda t: t.isin(*EN_STOPWORDS))))
-            >= MIN_STOPWORDS
-        )
-    )
+    # the SAME rule-battery expression as the batch report — shared
+    # builder, so an expression fix propagates to both twins
+    pass_all = gopher_pass_expr(F.col("text"))
     agg = (
         docs.select("source", pass_all.cast("int").alias("ok"))
         .groupBy("source")
@@ -629,8 +615,15 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
     class _PlantedCrash(RuntimeError):
         pass
 
+    fired = {"crash": False}
+
     def crash_after_two(batch_df, batch_id):
         if batch_id == 1:
+            # flag FIRST: identifying the planted fault by this flag
+            # (not by substring-matching the wrapped exception text)
+            # survives PySpark changing how StreamingQueryException
+            # renders a foreachBatch cause chain
+            fired["crash"] = True
             raise _PlantedCrash("planted crash after batch 1")
 
     n_src = src.count()
@@ -640,26 +633,33 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
             "value_micro"
         ),
     ]
-    if n_src == 0:
-        # the resume-after-partial-write property is vacuous on an
-        # empty source (no batch 1 exists to crash in); an empty
-        # backfill must degrade to the empty aggregate, not to a
-        # "fault did not fire" failure (empty-dataset stress sweep)
+    import os as _os
+
+    n_files = len(
+        [f for f in _os.listdir(in_dir) if f.endswith(".parquet")]
+    )
+    if n_src == 0 or n_files < 3:
+        # the resume-after-partial-write property needs >= 3
+        # micro-batches: the fault fires AFTER batch 1's sink write,
+        # so with 1 file batch 1 never exists ("fault did not fire")
+        # and with 2 files the crash lands after the LAST write
+        # (n_partial == n_src — a cold restart, not a resume). A
+        # tiny/empty source must degrade to the plain aggregate, not
+        # to a harness assertion (empty/tiny stress sweeps).
         return src.groupBy("event_type").agg(*agg_cols)
-    crashed = False
     try:
         run_resumable_ingest(
             spark, _source(), out_dir, ckpt, on_batch=crash_after_two
         )
-    except Exception as exc:  # noqa: BLE001 - filtered just below
+    except Exception:  # noqa: BLE001 - filtered just below
         # Only the PLANTED crash may pass: an unrelated run-1 failure
         # before batch 0 commits would let run 2 ingest everything and
         # still hash-match, silently voiding the resume-after-partial-
-        # write property this query exists to certify.
-        if "planted crash" not in str(exc):
+        # write property this query exists to certify. The fault hook
+        # flags itself before raising, so this check is exact.
+        if not fired["crash"]:
             raise
-        crashed = True
-    if not crashed:
+    if not fired["crash"]:
         raise AssertionError("fault injection did not fire in run 1")
     # the crash must have landed MID-stream: some batches written,
     # some not — otherwise run 2 is a cold start, not a resume

@@ -20,18 +20,56 @@ from oracle_to_cassandra_spark.staging import stage
 _TOKENS = "len(string_split(lower(text), ' '))"
 PACK_BUDGET = 512
 
+#: the ONE packing-cumsum formulation (per-language windowed running
+#: sum → start_tok → chunk_id) — both packing oracles select from this
+#: fragment, and both Spark plans come from ``_packed_cumsum``, so the
+#: packing rule (budget, ordering tiebreak, token definition) lives in
+#: exactly one place per engine.
+_PACK_CUMSUM_SQL = f"""
+      SELECT doc_id, lang, n_tokens,
+             (cum_tokens - n_tokens)::BIGINT AS start_tok,
+             floor((cum_tokens - n_tokens) / {PACK_BUDGET})::BIGINT AS chunk_id
+      FROM (
+        SELECT doc_id, lang, {_TOKENS}::BIGINT AS n_tokens,
+               sum({_TOKENS}) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        FROM documents
+      )
+"""
+
+
+def _packed_cumsum(spark, sf_dir):
+    """(doc_id, lang, n_tokens, start_tok, chunk_id) — the Spark twin
+    of ``_PACK_CUMSUM_SQL``; the per-language window keeps the cumsum
+    parallel across partitions (a global cumsum would serialize onto
+    one task at 100 TB)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(TX.tokens(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .withColumn(
+            "start_tok",
+            (F.col("cum_tokens") - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "chunk_id",
+            F.floor(F.col("start_tok") / PACK_BUDGET).cast("long"),
+        )
+        .drop("cum_tokens")
+    )
+
 
 @query(
     "pack_documents_token_budget",
     oracle=f"""
-    SELECT doc_id, lang, n_tokens,
-           floor((cum_tokens - n_tokens) / {PACK_BUDGET})::BIGINT AS chunk_id
-    FROM (
-      SELECT doc_id, lang, {_TOKENS}::BIGINT AS n_tokens,
-             sum({_TOKENS}) OVER (PARTITION BY lang ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
-      FROM documents
-    )
+    SELECT doc_id, lang, n_tokens, chunk_id
+    FROM ({_PACK_CUMSUM_SQL})
     """,
 )
 def pack_documents_token_budget(spark, sf_dir):
@@ -42,23 +80,8 @@ def pack_documents_token_budget(spark, sf_dir):
     Scale: the running sum is windowed PER LANGUAGE so packing
     parallelizes across partitions — a single global cumsum would
     serialize onto one task at 100 TB."""
-    d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(TX.tokens(F.col("text"))).cast("long")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = d.select(
-        "doc_id", "lang", n_tokens.alias("n_tokens")
-    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return staged.select(
-        "doc_id",
-        "lang",
-        "n_tokens",
-        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / PACK_BUDGET)
-        .cast("long")
-        .alias("chunk_id"),
+    return _packed_cumsum(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", "chunk_id"
     )
 
 
@@ -291,17 +314,7 @@ def split_leakage_audit(spark, sf_dir):
     SELECT doc_id, lang, chunk_id,
            (start_tok - chunk_id * {PACK_BUDGET})::BIGINT AS off_begin,
            (start_tok - chunk_id * {PACK_BUDGET} + n_tokens)::BIGINT AS off_end
-    FROM (
-      SELECT doc_id, lang, n_tokens,
-             cum_tokens - n_tokens AS start_tok,
-             floor((cum_tokens - n_tokens) / {PACK_BUDGET})::BIGINT AS chunk_id
-      FROM (
-        SELECT doc_id, lang, {_TOKENS}::BIGINT AS n_tokens,
-               sum({_TOKENS}) OVER (PARTITION BY lang ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
-        FROM documents
-      )
-    )
+    FROM ({_PACK_CUMSUM_SQL})
     """,
 )
 def packed_sequence_offsets(spark, sf_dir):
@@ -313,25 +326,11 @@ def packed_sequence_offsets(spark, sf_dir):
     into the next chunk (contiguous packing keeps documents whole;
     the loader wraps the tail).
 
-    Scale: identical shape to pack_documents_token_budget — one
-    per-language windowed cumsum (parallel across languages, never a
-    global sort), then pure arithmetic."""
-    d = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(TX.tokens(F.col("text"))).cast("long")
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    staged = (
-        d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
-        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .withColumn("start_tok", F.col("cum_tokens") - F.col("n_tokens"))
-        .withColumn(
-            "chunk_id",
-            F.floor(F.col("start_tok") / PACK_BUDGET).cast("long"),
-        )
-    )
+    Scale: identical shape to pack_documents_token_budget — the SAME
+    ``_packed_cumsum`` plan (one per-language windowed cumsum,
+    parallel across languages, never a global sort), then pure
+    arithmetic."""
+    staged = _packed_cumsum(spark, sf_dir)
     return staged.select(
         "doc_id",
         "lang",
