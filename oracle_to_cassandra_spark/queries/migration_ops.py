@@ -18,11 +18,13 @@ turns parquet min/max stats into real file skipping.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import md5_int64, md5_int64_sql
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
+from oracle_to_cassandra_spark.staging import stage
 
 #: hash-range buckets for reconciliation; 50 divides the planted
 #: update key pattern (keys ≡ 0 mod 100) so drift localizes to ONE
@@ -128,6 +130,20 @@ _BIN_SHIFT = 16
 _EPOCH = "1992-01-01"
 
 
+def _zorder_keyed(orders) -> DataFrame:
+    """(ck, d) — custkey + days-since-epoch, the shared key derivation
+    for both layout queries (zorder_layout_audit and
+    layout_skipping_comparison). One cast form, so the two audits can
+    never drift on epoch/timezone handling (the session tz is pinned
+    UTC; datediff truncates to the date either way)."""
+    return orders.select(
+        F.col("o_custkey").cast("long").alias("ck"),
+        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date"))
+        .cast("long")
+        .alias("d"),
+    )
+
+
 def _zvalue_spark(x, y):
     """Interleave the low _ZBITS of x (even positions) and y (odd) —
     pure shift/mask arithmetic, stays in whole-stage codegen."""
@@ -187,12 +203,7 @@ def zorder_layout_audit(spark, sf_dir):
     Cross-engine: day counts from a fixed epoch (DATEDIFF day) and the
     bit math are integer-exact in both engines."""
     orders = load_table(spark, sf_dir, "orders")
-    keyed = orders.select(
-        F.col("o_custkey").cast("long").alias("ck"),
-        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("date"))
-        .cast("long")
-        .alias("d"),
-    )
+    keyed = _zorder_keyed(orders)
     z = keyed.select(
         "ck",
         "d",
@@ -210,8 +221,10 @@ def zorder_layout_audit(spark, sf_dir):
 
 
 #: planted corruption pattern for the row-level diff: every 97th order
-#: key's migrated copy drops a cent and upper-cases the priority —
-#: the silent-corruption classes (value drift, encoding change) a
+#: key's migrated copy drops a cent and LOWER-cases the priority
+#: (TPC-H priorities are stored uppercase, so lower() is a visible
+#: corruption where upper() would be a vacuous no-op) — the
+#: silent-corruption classes (value drift, encoding change) a
 #: COUNT(*) validation can never see
 _CORRUPT_MOD = 97
 
@@ -655,7 +668,10 @@ def merge_upsert_apply(spark, sf_dir):
     100 TB the rewrite targets only the partitions the changeset
     touches (partition pruning on the join keys)."""
     o = load_table(spark, sf_dir, "orders")
-    changes = (
+    # staged: the changeset feeds TWO branches (the broadcast join
+    # side and the n_ops aggregate) — unstaged, the orders scan +
+    # filter would execute once per branch
+    changes = stage(
         o.filter(F.col("o_orderkey") % 50 < 2)
         .select(
             "o_orderkey",
@@ -677,8 +693,6 @@ def merge_upsert_apply(spark, sf_dir):
             .alias("price_cents"),
         )
     )
-    from oracle_to_cassandra_spark.functions.hashing import md5_int64
-
     # conditional counts, not a pivot: count() is 0 (never NULL) over
     # an empty changeset, so the engines agree at zero rows — the
     # pivot emitted NULL op columns on empty input (empty-dataset
@@ -948,12 +962,7 @@ def layout_skipping_comparison(spark, sf_dir):
     exactly what a range-partitioned write approximates) + one
     map-side-combinable aggregate each."""
     o = load_table(spark, sf_dir, "orders")
-    keyed = o.select(
-        F.col("o_custkey").cast("long").alias("ck"),
-        F.datediff(F.col("o_orderdate"), F.lit(_EPOCH).cast("timestamp"))
-        .cast("long")
-        .alias("d"),
-    )
+    keyed = _zorder_keyed(o)
 
     def spans(binned, name):
         per_bin = binned.groupBy("bin").agg(

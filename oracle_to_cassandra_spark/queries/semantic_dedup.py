@@ -42,7 +42,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators.dedup import (
@@ -75,7 +75,7 @@ def _plane_signs() -> list[list[int]]:
     ]
 
 
-def semantic_vectors(documents) -> "F.DataFrame":
+def semantic_vectors(documents) -> DataFrame:
     """Sparse signed feature-hash embedding: (doc_id, dim, val) with
     dim = shingle_hash % SEM_DIM and val = Σ ±1 over the doc's
     distinct shingles (sign = hash's 6th bit). Integer-valued, so
@@ -100,8 +100,14 @@ _VE_SQL = f"""
 
 
 def _semantic_keepers_oracle() -> str:
-    from oracle_to_cassandra_spark.queries.text_analysis import QUALITY_SQL
+    from oracle_to_cassandra_spark.operators.text import quality_micro_sql
+    from oracle_to_cassandra_spark.queries.text_analysis import (
+        _SW,
+        _TOK,
+        QUALITY_SQL,
+    )
 
+    q_micro = quality_micro_sql(_TOK, _SW)
     band_width = SEM_PLANES // SEM_BANDS
     return f"""
     WITH RECURSIVE sh AS ({doc_shingle_hashes_sql()}),
@@ -142,7 +148,8 @@ def _semantic_keepers_oracle() -> str:
       FROM dots
       JOIN norms na ON na.doc_id = dots.doc_a
       JOIN norms nb ON nb.doc_id = dots.doc_b
-      WHERE round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {SEM_COS_THRESHOLD}
+      WHERE na.n2 > 0 AND nb.n2 > 0
+        AND round(dot / (sqrt(na.n2) * sqrt(nb.n2)), 6) >= {SEM_COS_THRESHOLD}
     ),
     edges AS (
       SELECT doc_a AS u, doc_b AS v FROM sim_edges
@@ -161,11 +168,12 @@ def _semantic_keepers_oracle() -> str:
     scored AS (
       SELECT d.doc_id,
              coalesce(l.cluster_id, d.doc_id) AS cluster_id,
-             {QUALITY_SQL} AS quality
+             {QUALITY_SQL} AS quality,
+             {q_micro}::BIGINT AS quality_micro
       FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
     ),
     ranked AS (
-      SELECT cluster_id, doc_id, quality,
+      SELECT cluster_id, doc_id, quality_micro,
              row_number() OVER (
                PARTITION BY cluster_id ORDER BY quality DESC, doc_id
              ) AS rn,
@@ -173,7 +181,7 @@ def _semantic_keepers_oracle() -> str:
       FROM scored
     )
     SELECT cluster_id, doc_id AS keeper_doc_id,
-           round(quality, 6) AS keeper_quality,
+           quality_micro AS keeper_quality_micro,
            cluster_size::BIGINT AS cluster_size
     FROM ranked WHERE rn = 1 AND cluster_size > 1
     """
@@ -287,22 +295,37 @@ def embedding_cluster_keepers(spark, sf_dir):
             "doc_b",
         )
         .filter(
-            F.round(dot / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6)
-            >= SEM_COS_THRESHOLD
+            # zero-norm guard: 0/0 is NaN in Spark and NaN compares
+            # GREATER than any value, so an all-zero vector would pass
+            # the threshold here while DuckDB's 0/0 → NULL is filtered
+            # — explicit positive-norm predicates keep the engines'
+            # edge sets identical (cosine is undefined at zero norm)
+            (F.col("na2") > 0)
+            & (F.col("nb2") > 0)
+            & (
+                F.round(dot / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6)
+                >= SEM_COS_THRESHOLD
+            )
         )
         .select("doc_a", "doc_b")
     )
     labels = connected_components(sim_edges)
+    # quality (float) is the RANK key — both engines evaluate the
+    # identical double chain; the EMITTED column is the exact int64
+    # micro form per the operators/text.py compare-column contract
+    # (round(quality, 6) ties on half-micro knife edges when the
+    # token count carries a factor of 2^7)
     scored = docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
         TX.quality_score(F.col("text")).alias("quality"),
+        TX.quality_micro(F.col("text")).alias("quality_micro"),
     )
     w = Window.partitionBy("cluster_id")
     ranked = scored.select(
         "cluster_id",
         "doc_id",
-        "quality",
+        "quality_micro",
         F.row_number()
         .over(w.orderBy(F.desc("quality"), F.asc("doc_id")))
         .alias("rn"),
@@ -311,6 +334,6 @@ def embedding_cluster_keepers(spark, sf_dir):
     return ranked.filter((F.col("rn") == 1) & (F.col("cluster_size") > 1)).select(
         "cluster_id",
         F.col("doc_id").alias("keeper_doc_id"),
-        F.round("quality", 6).alias("keeper_quality"),
+        F.col("quality_micro").cast("long").alias("keeper_quality_micro"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )

@@ -12,7 +12,9 @@ from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
 
 PROBE_IDS = [0, 100, 200, 300, 400]
-_PROBES_SQL = "(0, 100, 200, 300, 400)"
+#: derived, not restated: the Spark filters and the oracle texts must
+#: draw the probe set from the same list
+_PROBES_SQL = "(" + ", ".join(str(p) for p in PROBE_IDS) + ")"
 
 
 def bruteforce_topk_sql() -> str:

@@ -253,6 +253,9 @@ _WINDOW: tuple[str, ...] = (
 #: zorder_layout_audit — then the 46 r6-stale rows for r12).
 _QUEUE: tuple[str, ...] = (
     "stream_multimodal_wav_decode",
+    # output contract changed late in r10 (keeper_quality_micro, the
+    # exact int64 compare form) — r6 driver row predates the change
+    "embedding_cluster_keepers",
     "corpus_curation_pipeline",
     "catalog_list_tables",
     "catalog_describe_customer",
