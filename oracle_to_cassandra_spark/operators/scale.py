@@ -45,6 +45,7 @@ def salted_join(
     dim: DataFrame,
     key: str,
     salt_buckets: int = 8,
+    unique_col: str | None = None,
 ) -> DataFrame:
     """Skew-join by salting: fact rows get a deterministic salt in
     [0, n); the (small) dim side is exploded ×n so every
@@ -53,20 +54,32 @@ def salted_join(
 
     AQE's skew-join split handles most cases automatically; explicit
     salting remains for when the skewed side must ALSO aggregate on
-    the key (AQE can't split a skewed aggregation). The salt mixes
-    the row's attributes with ``monotonically_increasing_id`` so even
-    BYTE-IDENTICAL duplicate rows of the hot key spread across
-    buckets — an attribute-only hash would send them all to one task,
-    the exact straggler this operator exists to break up. The salt
-    never reaches the output (dropped after the join), so result
-    determinism is unaffected by the id's partition-layout
-    dependence."""
+    the key (AQE can't split a skewed aggregation).
+
+    The salt MUST be a deterministic function of the row, never of
+    physical layout: a layout-dependent term (e.g.
+    ``monotonically_increasing_id``) re-salts rows into different
+    reduce partitions when a shuffle map task is recomputed after a
+    fetch failure, which Spark's indeterminate-stage handling answers
+    by aborting the job (or, on result-stage paths, by silently
+    dropping/duplicating rows). So:
+
+    * with ``unique_col`` (a stable per-row id such as ``l_orderkey``
+      ⊕ ``l_linenumber`` pre-combined, or any surrogate key):
+      ``salt = xxhash64(unique_col) mod n`` — deterministic AND
+      spreads byte-identical payloads of the hot key across buckets.
+    * without it: ``salt = xxhash64(all columns) mod n`` —
+      deterministic, but byte-identical duplicate rows share a bucket.
+      If the hot key's rows are mostly identical, supply
+      ``unique_col``; attribute hashing cannot split them safely.
+
+    The salt never reaches the output (dropped after the join)."""
+    salt_src = [F.col(unique_col)] if unique_col is not None else [
+        F.col(c) for c in fact.columns
+    ]
     salted_fact = fact.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(*fact.columns, F.monotonically_increasing_id()),
-            F.lit(salt_buckets),
-        ),
+        F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)),
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

@@ -84,7 +84,9 @@ def test_rotation_matches_the_evidence_ledger():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     fresh: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", f).group(1))
+        # basename first: an r-digit run in the checkout PATH (e.g.
+        # /home/user/r2/repo) must not shadow the filename round
+        rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for q, row in json.load(open(f)).items():
             if (
                 row.get("rows_match")

@@ -62,3 +62,37 @@ def test_salted_join_matches_plain_join(spark):
     a = plain.groupBy("l_suppkey").count().collect()
     b = salted.groupBy("l_suppkey").count().collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_unique_col_matches_and_spreads(spark):
+    """With ``unique_col``, the salt is a deterministic function of a
+    stable row id — retry-safe (no layout-dependent term anywhere in
+    the plan) AND byte-identical duplicate payloads of a hot key still
+    spread across buckets."""
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_quantity",
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+        )
+    )
+    supp = load_table(spark, SF_DIR, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = li.join(supp, "l_suppkey")
+    salted = salted_join(li, supp, "l_suppkey", salt_buckets=4,
+                         unique_col="uid")
+    assert salted.count() == plain.count()
+    # the salt expression must not contain a layout-dependent term
+    plan = salted._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan
+    # identical payloads, distinct uids → >1 salt bucket gets rows
+    dup = li.limit(0).sparkSession.createDataFrame(
+        [(1, 1.0, i) for i in range(64)], "l_suppkey int, l_quantity double, uid int"
+    )
+    n_buckets = (
+        dup.withColumn("_s", F.pmod(F.xxhash64("uid"), F.lit(4)))
+        .select("_s").distinct().count()
+    )
+    assert n_buckets > 1

@@ -68,7 +68,10 @@ def main() -> int:
     if window_only:
         from oracle_to_cassandra_spark.registry import DRIVER_WINDOW
 
-        names = list(qs)[:DRIVER_WINDOW]
+        # intersect with any positional substring filters instead of
+        # silently discarding them (r10 ADVICE)
+        window = list(qs)[:DRIVER_WINDOW]
+        names = [m for m in window if m in set(names)]
 
     failures = []
     t0 = time.time()

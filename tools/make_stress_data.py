@@ -484,6 +484,11 @@ def build_bigvec(con, out: str) -> None:
         f"SELECT max(vec_id) + 1 FROM "
         f"read_parquet('{SRC}/embeddings.parquet')"
     ).fetchone()
+    if shift is None:
+        # empty source: max() is NULL; any positive stride is
+        # collision-free over zero rows (r10 ADVICE guard, mirrors
+        # _check_shift_headroom's None branch)
+        shift = 1
     copies = " UNION ALL ".join(
         f"SELECT (vec_id + {k * int(shift)})::BIGINT AS vec_id, "
         "embedding, label FROM src"
