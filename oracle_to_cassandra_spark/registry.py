@@ -167,95 +167,24 @@ _QUERY_MODULES = (
 #: retired multimodal formula stubs keep older ledger rows but are
 #: no longer registered).
 _WINDOW: tuple[str, ...] = (
-    # --- zero driver history (landed/changed this round) ---
-    "multimodal_bmp_header_decode",
-    "multimodal_bmp_resize_boxfilter",
-    "stream_dedup_within_watermark",
-    # --- r2-stale dedup cores whose implementation changed in r9 ---
-    "dedup_minhash_signatures",
-    "dedup_lsh_candidates",
-    "dedup_neardup_pairs_verified",
-    # --- remaining 41 rows with r2-only driver evidence ---
-    "approx_count_distinct_custkeys",
-    "approx_quantiles_acctbal",
-    "argmax_latest_order",
-    "array_functions_embeddings",
-    "bitwise_aggregates",
-    "case_when_coalesce_nullif",
-    "correlation_price_quantity",
-    "date_functions_orders",
-    "dedup_cluster_assignment",
-    "dedup_cluster_size_histogram",
-    "dedup_embedding_top_neighbor",
-    "dedup_exact_keepers",
-    "dedup_minhash_winnowed",
-    "dedup_simhash_fingerprints",
-    "embedding_dimension_stats",
-    "fingerprint_documents",
-    "jdbc_partitioned_roundtrip",
-    "lang_id_heuristic",
-    "like_in_between_predicates",
-    "linear_regression_price_size",
-    "math_functions_lineitem",
-    "merge_scd_status_update",
-    "multimodal_binary_metadata",
-    "multimodal_frame_sample",
-    "pack_documents_token_budget",
-    "pipeline_lineitems_by_part",
-    "pipeline_lineitems_by_supplier",
-    "quality_scores_documents",
-    "range_join_shipments_after_order",
-    "regexp_extraction_documents",
-    "rollup_cascade_hourly_daily",
-    "similarity_bruteforce_topk",
-    "similarity_ivf_recall_at_10",
-    "similarity_ivf_topk",
-    "similarity_lsh_bucket_sizes",
-    "sink_ddl_roundtrip",
-    "sink_roundtrip_partition_lookup",
-    "string_functions_part",
-    "tfidf_top_terms",
-    "token_counts_documents",
-    "train_val_test_split",
-    # --- the r9 off-by-one victim: tpch_q8_market_share's ratio form
-    #     changed in round 9 but the 51st-position overflow left its
-    #     freshest driver row PRE-change (r5) — changed code with
-    #     stale evidence outranks any unchanged filler ---
-    "tpch_q8_market_share",
-    # --- 2 queries whose planting formula changed THIS round (the WAV
-    #     mono/stereo + frame-alignment fix): changed code with r6
-    #     evidence outranks the unchanged r4 fillers these slots held.
-    #     The third changed WAV query (stream_multimodal_wav_decode,
-    #     same _wav_stats_oracle, trigger path pinned by the
-    #     stream⇔batch equality test) heads the r11 queue. ---
-    "multimodal_wav_pcm_stats",
-    "multimodal_wav_energy_fingerprint",
-)
-
-#: r11 queue: the changed-in-r10 stream WAV twin, then the 32 rows
-#: whose freshest driver evidence is CORRECTNESS_r04, then 17 slots
-#: for r11 net-new/changed or the head of the r5-stale backlog
-#: (46 rows after tpch_q8 moved up:
-#: asof_join_last_purchase, bm25_retrieval_topk, cms_heavy_hitters,
-#: compaction_bin_packing, corpus_global_shuffle,
-#: corpus_mixture_weights, decontamination_overlap,
-#: dedup_keep_best_quality, dedup_simhash_near_stats,
-#: dense_global_ids, doc_repetition_stats, duplicate_span_stats,
-#: hll_sketch_union_rollup, incremental_lsh_dedup,
-#: incremental_rollup_merge, inverted_index_postings,
-#: ivf_centroid_refinement, map_in_arrow_token_stats,
-#: migration_bucket_reconciliation, mixture_weighted_sample,
-#: oov_rate_top_vocab, pii_redaction_stats,
-#: quantile_cutpoint_bucketing, quota_cap_per_source,
-#: runtime_bloom_filtered_join, similarity_hyperplane_ann_topk,
-#: skew_diagnostics_orders_custkey, split_leakage_audit,
-#: stream_ingest_sink_roundtrip, tpch q2/q4/q5/q7/q9/q11-q13/q15-q22,
-#: zorder_layout_audit — then the 46 r6-stale rows for r12).
-_QUEUE: tuple[str, ...] = (
+    # ROUND-11 rotation (executes item 1 of the round-10 verdict):
+    # the one net-new query of the round (zero driver history
+    # outranks everything), then the staged r11 queue verbatim — the
+    # two queries whose code/output contract changed in r10 but whose
+    # freshest driver row predates the change, then the 32 rows whose
+    # freshest driver evidence is CORRECTNESS_r04 — plus the 15
+    # alphabetical heads of the r5-stale backlog to fill the 50
+    # (inverted_index_postings, displaced by the net-new row, heads
+    # the r12 queue). After r11 the oldest driver evidence on any
+    # live query is r5 (the 31 remaining r5 rows of the r12 queue
+    # below).
+    # --- zero driver history (net-new this round): the full
+    #     fk-chain → sink → pruned read-back loop as one row ---
+    "fk_chain_sink_roundtrip",
+    # --- changed in r10, evidence pre-change (r6) ---
     "stream_multimodal_wav_decode",
-    # output contract changed late in r10 (keeper_quality_micro, the
-    # exact int64 compare form) — r6 driver row predates the change
     "embedding_cluster_keepers",
+    # --- the 32 rows with r4-only driver evidence ---
     "corpus_curation_pipeline",
     "catalog_list_tables",
     "catalog_describe_customer",
@@ -288,6 +217,90 @@ _QUEUE: tuple[str, ...] = (
     "tpch_q6_revenue_change",
     "udtf_chunk_documents",
     "unpivot_stack_measures",
+    # --- 15 heads of the r5-stale backlog (alphabetical) ---
+    "asof_join_last_purchase",
+    "bm25_retrieval_topk",
+    "cms_heavy_hitters",
+    "compaction_bin_packing",
+    "corpus_global_shuffle",
+    "corpus_mixture_weights",
+    "decontamination_overlap",
+    "dedup_keep_best_quality",
+    "dedup_simhash_near_stats",
+    "dense_global_ids",
+    "doc_repetition_stats",
+    "duplicate_span_stats",
+    "hll_sketch_union_rollup",
+    "incremental_lsh_dedup",
+    "incremental_rollup_merge",
+)
+
+#: r12 queue (stages item 4 of the round-10 verdict): the 31 rows
+#: whose freshest driver evidence remains CORRECTNESS_r05 after the
+#: r11 rotation (head = inverted_index_postings, displaced from the
+#: r11 window by the net-new fk_chain_sink_roundtrip), then 19
+#: alphabetical heads of the 43 r6-stale rows (44 minus
+#: embedding_cluster_keepers/stream_multimodal_wav_decode, which the
+#: r11 window re-certifies; fk_chain_walk, which every round's
+#: entry() smoke re-proves, keeps its queue slot for a hash-compare
+#: row). The 24 remaining r6 rows (json_to_map_explode onward) queue
+#: for r13, giving the full 323-query surface r5+ external
+#: certification by r12 and
+#: r7+ by r13 — the cadence the r10 verdict ordered.
+_QUEUE: tuple[str, ...] = (
+    # --- the 31 remaining r5-stale rows (head = the one displaced
+    #     from the r11 window by the net-new query) ---
+    "inverted_index_postings",
+    "ivf_centroid_refinement",
+    "map_in_arrow_token_stats",
+    "migration_bucket_reconciliation",
+    "mixture_weighted_sample",
+    "oov_rate_top_vocab",
+    "pii_redaction_stats",
+    "quantile_cutpoint_bucketing",
+    "quota_cap_per_source",
+    "runtime_bloom_filtered_join",
+    "similarity_hyperplane_ann_topk",
+    "skew_diagnostics_orders_custkey",
+    "split_leakage_audit",
+    "stream_ingest_sink_roundtrip",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipping_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_part_counts",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_disjunctive_predicates",
+    "tpch_q20_excess_shipping",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_global_sales_opportunity",
+    "zorder_layout_audit",
+    # --- 20 heads of the r6-stale backlog (alphabetical) ---
+    "bpe_train_merges",
+    "cdc_latest_version_dedup",
+    "cohort_weekly_retention",
+    "dataset_card_per_source",
+    "denorm_orders_by_customer",
+    "embedding_winsorization_stats",
+    "explode_collect_roundtrip",
+    "filter_eq_string",
+    "fk_chain_walk",
+    "format_roundtrip_digest",
+    "forward_fill_last_purchase_value",
+    "from_json_struct_events",
+    "funnel_signup_to_purchase",
+    "gopher_quality_rules",
+    "group_customer_stats",
+    "hybrid_rrf_retrieval",
+    "inter_event_gap_stats",
+    "jl_projection_recall_distortion",
+    "json_extract_events",
 )
 
 #: the driver verifies the FIRST 50 registered queries each round
