@@ -77,6 +77,54 @@ def sink_roundtrip_partition_lookup(spark, sf_dir):
 
 
 @query(
+    "fk_chain_sink_roundtrip",
+    oracle="""
+    SELECT r.r_name, n.n_name, c.c_custkey, o.o_orderkey,
+           l.l_linenumber, l.l_extendedprice
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey  = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    """,
+)
+def fk_chain_sink_roundtrip(spark, sf_dir):
+    """The reference's FULL tutorial loop as ONE row (r10 verdict item
+    7): the J3 FK-chain denormalization (README.md:317-394, the
+    ``fk_chain_walk`` / ``entry()`` flagship) written through the
+    query-first sink (S8, README.md:839,967) partitioned by the
+    top-of-chain key and clustered by (c_custkey, o_orderkey), then
+    read back with a partition-key point lookup (S9/P7,
+    README.md:892-1022) — the oracle recomputes the pruned slice
+    independently, so a row lost, duplicated, misrouted to the wrong
+    region directory, or reordered out of its clustering contract
+    anywhere in the build→write→prune→scan loop flips the compare.
+
+    Scale: one fact⋈fact shuffle (lineitem⋈orders on l_orderkey),
+    three broadcast dim hops, ONE shuffle on the partition key before
+    the write (bounds file count to shuffle-partitions × regions),
+    and a planning-time directory prune on read-back — the parquet
+    analog of Cassandra token routing for the denormalized table."""
+    from oracle_to_cassandra_spark.queries.relational import fk_chain_walk
+
+    path = scratch.session_path("fk_chain_by_region")
+    walked = fk_chain_walk(spark, sf_dir)
+    write_query_table(
+        walked,
+        path,
+        partition_by=["r_name"],
+        cluster_by=["c_custkey", "o_orderkey"],
+    )
+    return read_partition(
+        spark, path, "r_name", "ASIA", schema=walked.schema
+    ).select(
+        "r_name", "n_name", "c_custkey", "o_orderkey",
+        "l_linenumber", "l_extendedprice",
+    )
+
+
+@query(
     "sink_ddl_roundtrip",
     oracle="""
     SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
