@@ -5,6 +5,8 @@ skew joins — the two manual levers SURVEY.md §4 reserves for 100 TB
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -38,6 +40,20 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     matching output partitioning and plans SortMergeJoin WITHOUT
     Exchange on either side."""
     return spark.table(left_table).join(spark.table(right_table), on=on)
+
+
+def salt_expr(
+    columns: Sequence[str], salt_buckets: int, unique_col: str | None = None
+):
+    """The deterministic salt ``salted_join`` assigns each fact row:
+    ``xxhash64(unique_col) mod n`` when a stable per-row id is given,
+    else ``xxhash64(all columns) mod n``. Exposed so tests (and any
+    caller that needs to predict routing) evaluate the OPERATOR's
+    expression rather than a re-implementation."""
+    src = [F.col(unique_col)] if unique_col is not None else [
+        F.col(c) for c in columns
+    ]
+    return F.pmod(F.xxhash64(*src), F.lit(salt_buckets))
 
 
 def salted_join(
@@ -74,12 +90,8 @@ def salted_join(
       ``unique_col``; attribute hashing cannot split them safely.
 
     The salt never reaches the output (dropped after the join)."""
-    salt_src = [F.col(unique_col)] if unique_col is not None else [
-        F.col(c) for c in fact.columns
-    ]
     salted_fact = fact.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)),
+        "_salt", salt_expr(fact.columns, salt_buckets, unique_col)
     )
     exploded_dim = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))

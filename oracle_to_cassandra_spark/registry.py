@@ -239,11 +239,11 @@ _WINDOW: tuple[str, ...] = (
 #: whose freshest driver evidence remains CORRECTNESS_r05 after the
 #: r11 rotation (head = inverted_index_postings, displaced from the
 #: r11 window by the net-new fk_chain_sink_roundtrip), then 19
-#: alphabetical heads of the 43 r6-stale rows (44 minus
+#: alphabetical heads of the 42 r6-stale rows (44 minus
 #: embedding_cluster_keepers/stream_multimodal_wav_decode, which the
 #: r11 window re-certifies; fk_chain_walk, which every round's
 #: entry() smoke re-proves, keeps its queue slot for a hash-compare
-#: row). The 24 remaining r6 rows (json_to_map_explode onward) queue
+#: row). The 23 remaining r6 rows (json_to_map_explode onward) queue
 #: for r13, giving the full 323-query surface r5+ external
 #: certification by r12 and
 #: r7+ by r13 — the cadence the r10 verdict ordered.
@@ -281,7 +281,7 @@ _QUEUE: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "zorder_layout_audit",
-    # --- 20 heads of the r6-stale backlog (alphabetical) ---
+    # --- 19 heads of the r6-stale backlog (alphabetical) ---
     "bpe_train_merges",
     "cdc_latest_version_dedup",
     "cohort_weekly_retention",

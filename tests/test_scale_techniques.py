@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.operators.scale import (
     bucketed_join,
+    salt_expr,
     salted_join,
     write_bucketed_table,
 )
@@ -87,12 +88,26 @@ def test_salted_join_unique_col_matches_and_spreads(spark):
     # the salt expression must not contain a layout-dependent term
     plan = salted._jdf.queryExecution().analyzed().toString()
     assert "monotonically_increasing_id" not in plan
-    # identical payloads, distinct uids → >1 salt bucket gets rows
-    dup = li.limit(0).sparkSession.createDataFrame(
-        [(1, 1.0, i) for i in range(64)], "l_suppkey int, l_quantity double, uid int"
+    # identical payloads on ONE hot key, distinct uids → salted_join's
+    # own salt path must land the rows in >1 dim replica (observable
+    # as >1 distinct exploded-dim partner per payload: count the
+    # distinct dim rows consumed, which equals the distinct salts)
+    dup = spark.createDataFrame(
+        [(1, 1.0, i) for i in range(64)],
+        "l_suppkey int, l_quantity double, uid int",
     )
+    one_dim = spark.createDataFrame([(1, "S1")], "l_suppkey int, s_name string")
+    spread = salted_join(dup, one_dim, "l_suppkey", salt_buckets=4,
+                         unique_col="uid")
+    assert spread.count() == 64
+    # evaluate the OPERATOR's own salt expression (salt_expr is what
+    # salted_join stamps on the fact side) over the joined rows: all
+    # 4 buckets populated for 64 distinct uids with overwhelming
+    # probability — catches a regression that hashes the wrong column
+    # (constant payload → 1 bucket) or ignores unique_col
     n_buckets = (
-        dup.withColumn("_s", F.pmod(F.xxhash64("uid"), F.lit(4)))
-        .select("_s").distinct().count()
+        spread.select(salt_expr(dup.columns, 4, "uid").alias("_s"))
+        .distinct()
+        .count()
     )
     assert n_buckets > 1

@@ -72,6 +72,13 @@ def main() -> int:
         # silently discarding them (r10 ADVICE)
         window = list(qs)[:DRIVER_WINDOW]
         names = [m for m in window if m in set(names)]
+        if not names:
+            print(
+                f"--window ∩ {only}: no window query matches "
+                "(the name may sit in _QUEUE, not _WINDOW)",
+                file=sys.stderr,
+            )
+            return 2
 
     failures = []
     t0 = time.time()
