@@ -287,6 +287,39 @@ def gopher_pass_expr(text_col):
     return flags["r_len"] & flags["r_mwl"] & flags["r_div"] & flags["r_stop"]
 
 
+def gopher_rule_sql(ts: str = "ts") -> dict:
+    """DuckDB twins of :func:`gopher_rule_flags`, over a token-list
+    column expression — the ONE SQL-side rule battery. Every oracle
+    that checks the Gopher gate (the batch report below, the
+    streaming gate in ``queries/streaming.py``) composes from these
+    strings, so a tokenizer or threshold edit propagates to all of
+    them instead of leaving a hand-copied twin stale."""
+    return {
+        "r_len": f"(len({ts}) >= {MIN_WORDS})",
+        "r_mwl": (
+            f"(list_avg(list_transform({ts}, t -> len(t)))"
+            f" BETWEEN {MWL_LO} AND {MWL_HI})"
+        ),
+        "r_div": (
+            f"(len(list_distinct({ts})) * 1.0 / len({ts})"
+            f" >= {MIN_DIVERSITY})"
+        ),
+        "r_stop": (
+            f"(len(list_distinct(list_filter({ts}, t -> t IN {_SW_SQL})))"
+            f" >= {MIN_STOPWORDS})"
+        ),
+    }
+
+
+def gopher_pass_sql(ts: str = "ts") -> str:
+    """AND of all four SQL rules — the oracle's keep/drop gate."""
+    r = gopher_rule_sql(ts)
+    return f"({r['r_len']} AND {r['r_mwl']} AND {r['r_div']} AND {r['r_stop']})"
+
+
+_G = gopher_rule_sql("ts")
+
+
 @query(
     "gopher_quality_rules",
     oracle=f"""
@@ -295,13 +328,10 @@ def gopher_pass_expr(text_col):
     ),
     rules AS (
       SELECT doc_id, source,
-             (len(ts) >= {MIN_WORDS}) AS r_len,
-             (list_avg(list_transform(ts, t -> len(t)))
-                BETWEEN {MWL_LO} AND {MWL_HI}) AS r_mwl,
-             (len(list_distinct(ts)) * 1.0 / len(ts)
-                >= {MIN_DIVERSITY}) AS r_div,
-             (len(list_distinct(list_filter(ts, t -> t IN {_SW_SQL})))
-                >= {MIN_STOPWORDS}) AS r_stop
+             {_G['r_len']} AS r_len,
+             {_G['r_mwl']} AS r_mwl,
+             {_G['r_div']} AS r_div,
+             {_G['r_stop']} AS r_stop
       FROM tok
     )
     SELECT source,

@@ -436,29 +436,21 @@ def stream_tws_user_activity(spark, sf_dir):
 
 
 def _gopher_gate_oracle() -> str:
-    """Composes the rule battery from the SAME constants the batch
-    query uses, so a threshold edit cannot silently de-sync the
-    stream's oracle from the Spark rules."""
+    """Composes the rule battery AND the tokenizer from the batch
+    side's shared SQL builders (``gopher_pass_sql`` / ``_TOK_SQL``),
+    so neither a threshold, rule-expression, nor tokenizer-fold edit
+    can silently de-sync the stream's oracle from the batch twin —
+    the same single-source contract ``gopher_rule_flags`` gives the
+    two Spark sides."""
     from oracle_to_cassandra_spark.queries.corpus_quality import (
-        _SW_SQL,
-        MIN_DIVERSITY,
-        MIN_STOPWORDS,
-        MIN_WORDS,
-        MWL_HI,
-        MWL_LO,
+        _TOK_SQL,
+        gopher_pass_sql,
     )
 
-    rule = (
-        f"(len(ts) >= {MIN_WORDS}"
-        f" AND list_avg(list_transform(ts, t -> len(t)))"
-        f" BETWEEN {MWL_LO} AND {MWL_HI}"
-        f" AND len(list_distinct(ts)) * 1.0 / len(ts) >= {MIN_DIVERSITY}"
-        f" AND len(list_distinct(list_filter(ts, t -> t IN {_SW_SQL})))"
-        f" >= {MIN_STOPWORDS})"
-    )
+    rule = gopher_pass_sql("ts")
     return f"""
     WITH tok AS (
-      SELECT doc_id, source, string_split(lower(text), ' ') AS ts
+      SELECT doc_id, source, {_TOK_SQL} AS ts
       FROM documents
     )
     SELECT source,
@@ -574,7 +566,7 @@ def stream_trending_event_types(spark, sf_dir):
 def stream_crash_resume_reconciliation(spark, sf_dir):
     """Checkpoint-recovery evidence AS AN ORACLED QUERY: the events
     table is laid down as four files, a foreachBatch ingest is KILLED
-    by a planted fault after the second micro-batch's sink write (the
+    by a planted fault after the second DATA micro-batch's sink write (the
     at-least-once redelivery window — written but not committed), then
     RESUMED from the same checkpoint; the reconciliation aggregate
     over the recovered sink must equal the closed-form oracle over
@@ -615,16 +607,26 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
     class _PlantedCrash(RuntimeError):
         pass
 
-    fired = {"crash": False}
+    fired = {"crash": False, "data_batches": 0}
 
     def crash_after_two(batch_df, batch_id):
-        if batch_id == 1:
+        # DATA-batch aware: Spark writes empty part files, so batch
+        # ids are not a proxy for data delivery — a crash keyed on
+        # batch_id==1 can land after zero data rows (n_partial == 0)
+        # or after the LAST data file (n_partial == n_src), both of
+        # which void the mid-stream property. Crash after the SECOND
+        # non-empty batch's sink write instead: with >= 3 data files
+        # (guarded below) that is always strictly mid-stream.
+        if batch_df.isEmpty():
+            return
+        fired["data_batches"] += 1
+        if fired["data_batches"] == 2:
             # flag FIRST: identifying the planted fault by this flag
             # (not by substring-matching the wrapped exception text)
             # survives PySpark changing how StreamingQueryException
             # renders a foreachBatch cause chain
             fired["crash"] = True
-            raise _PlantedCrash("planted crash after batch 1")
+            raise _PlantedCrash("planted crash after the 2nd data batch")
 
     n_src = src.count()
     agg_cols = [
@@ -633,19 +635,26 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
             "value_micro"
         ),
     ]
-    import os as _os
-
-    n_files = len(
-        [f for f in _os.listdir(in_dir) if f.endswith(".parquet")]
+    # count NON-EMPTY files (groupBy input_file_name only sees files
+    # with rows): repartition(4) on a tiny source can emit empty part
+    # files, and an empty "file count" would pass the guard while the
+    # stream delivers fewer real data batches than the property needs
+    n_data_files = (
+        spark.read.parquet(in_dir)
+        .select(F.input_file_name().alias("f"))
+        .agg(F.count_distinct("f").alias("n"))
+        .first()["n"]
+        if n_src
+        else 0
     )
-    if n_src == 0 or n_files < 3:
-        # the resume-after-partial-write property needs >= 3
-        # micro-batches: the fault fires AFTER batch 1's sink write,
-        # so with 1 file batch 1 never exists ("fault did not fire")
-        # and with 2 files the crash lands after the LAST write
-        # (n_partial == n_src — a cold restart, not a resume). A
-        # tiny/empty source must degrade to the plain aggregate, not
-        # to a harness assertion (empty/tiny stress sweeps).
+    if n_data_files < 3:
+        # the resume-after-partial-write property needs >= 3 DATA
+        # micro-batches: the fault fires after the 2nd data batch's
+        # sink write, so with 1 data file it never fires ("fault did
+        # not fire") and with 2 the crash lands after the LAST data
+        # write (n_partial == n_src — a cold restart, not a resume).
+        # A tiny/empty source must degrade to the plain aggregate,
+        # not to a harness assertion (empty/tiny stress sweeps).
         return src.groupBy("event_type").agg(*agg_cols)
     try:
         run_resumable_ingest(

@@ -19,6 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: memory-sink temp views created by run_stream_to_memory, oldest
+#: first — retired lazily on the next call (see there for the bound)
+_SINK_VIEWS: list[str] = []
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet — the file-source analog
     of a Kafka topic; schema must be declared (no streaming inference).
@@ -32,7 +36,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the microsecond int64 and land every event in 1970 — deriving the
     schema from the files makes that class of drift impossible.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # guarded set, same convention as sources.parquet.load_table:
+    # no reader mutates session state it doesn't need to change
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source lists a DIRECTORY (a Kafka-topic analog);
     # pathGlobFilter narrows it to the events table
@@ -88,6 +95,15 @@ def run_stream_to_memory(
     this assertion makes it fail loudly at the true cause instead."""
     spark = result.sparkSession
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    # the memory sink pins each query's fully materialized result in
+    # driver heap for the session lifetime; every caller consumes the
+    # returned table synchronously (hash-compare / noop write) before
+    # the NEXT streaming query runs, so retiring all views but the
+    # most recent previous one bounds the sink footprint at 2 results
+    # instead of growing per streaming query across a 300+-query sweep
+    while len(_SINK_VIEWS) > 1:
+        spark.catalog.dropTempView(_SINK_VIEWS.pop(0))
+    _SINK_VIEWS.append(name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

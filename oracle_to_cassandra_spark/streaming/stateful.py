@@ -36,6 +36,33 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "n LONG, total_u LONG, last_ts TIMESTAMP"
 
 
+def _int_sum(col: "pd.Series") -> int:
+    """Exact int64 sum of a JVM-quantized micro-unit column. A NULL
+    anywhere in the Arrow batch lands the column in pandas as float64
+    + NaN, and ``int(float_series.sum())`` silently rounds once the
+    running total passes 2^53 — so drop the NaNs and restore int64
+    BEFORE summing (empty-after-drop sums to exact 0, matching the
+    oracles' ``coalesce(sum(...), 0)``)."""
+    return int(col.dropna().astype("int64").sum())
+
+
+def _as_ts(x) -> "pd.Timestamp":
+    """Normalize a state-store timestamp to ``pd.Timestamp``.
+
+    The two stateful APIs hand back different physical types for a
+    TIMESTAMP state column: ``applyInPandasWithState`` pickles the
+    value through ``to_pydatetime`` (returns ``datetime.datetime`` —
+    which has no ``.value``), and ``transformWithState``'s ValueState
+    serializes via ``schema.toInternal`` (returns bare int64 MICROS
+    with no ``fromInternal`` on read). Folding everything to
+    pd.Timestamp at the state boundary keeps the session algebra
+    (interval sweep, ``.value`` timer arithmetic, TIMESTAMP output
+    columns) correct on every path."""
+    if isinstance(x, (int, float)):
+        return pd.Timestamp(int(x), unit="us")
+    return pd.Timestamp(x)
+
+
 def _micro_to_cents(total_u: int) -> int:
     """micro-units → cents with truncation toward zero — the exact
     semantics of Spark ``div`` and DuckDB ``//`` (verified: both give
@@ -62,9 +89,11 @@ def _update_user_profile(
         n += len(pdf)
         # exact int64 sum of JVM-quantized micro-units: independent of
         # batch slicing, accumulation order, and pandas rounding modes
-        total_u += int(pdf["value_u"].sum())
+        total_u += _int_sum(pdf["value_u"])
         batch_max = pdf["ts"].max()
-        last_ts = batch_max if last_ts is None else max(last_ts, batch_max)
+        last_ts = (
+            batch_max if last_ts is None else max(_as_ts(last_ts), batch_max)
+        )
     state.update((n, total_u, last_ts))
     yield pd.DataFrame(
         {
@@ -127,7 +156,7 @@ class UserActivityProcessor(StatefulProcessor):
         n, total_u = self._agg.get() if self._agg.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            total_u += int(pdf["value_u"].sum())
+            total_u += _int_sum(pdf["value_u"])
             for t, c in pdf["event_type"].value_counts().items():
                 prev = (
                     self._by_type.getValue((t,))[0]
@@ -154,11 +183,16 @@ def _tws_available() -> bool:
     """transformWithStateInPandas runs a protobuf-based state server
     between the JVM and the Python worker; without the ``protobuf``
     package the worker crashes at init. Capability-probe it."""
-    import importlib.util
-
     try:
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # parent "google" namespace absent
+        # import the concrete module, not find_spec: a namespace-only
+        # or partial google.protobuf install returns a spec but still
+        # crashes the TWS state server at init
+        # (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE) — the probe
+        # must fail exactly when the runner would
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
         return False
 
 
@@ -173,7 +207,7 @@ def _update_user_activity_fallback(
     seen = set(types)
     for pdf in pdfs:
         n += len(pdf)
-        total_u += int(pdf["value_u"].sum())
+        total_u += _int_sum(pdf["value_u"])
         seen.update(pdf["event_type"].dropna().unique().tolist())
     state.update((n, total_u, sorted(seen)))
     yield pd.DataFrame(
@@ -228,7 +262,10 @@ def _fold_sessions(
     )
     if state is not None:
         s_start, last_ts, n = state
-        intervals.append((s_start, last_ts, n))
+        # normalize at the state boundary: AIPWS returns datetime,
+        # TWS ValueState returns int64 micros — both lack the
+        # pd.Timestamp algebra the sweep and timer math rely on
+        intervals.append((_as_ts(s_start), _as_ts(last_ts), int(n)))
         intervals.sort(key=lambda iv: (iv[0], iv[1]))
     merged = [intervals[0]]
     for s, e, c in intervals[1:]:
@@ -296,9 +333,12 @@ class SessionExpiryProcessor(StatefulProcessor):
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [s_start],
-                    "session_end": [last_ts],
-                    "n_events": [n],
+                    # _as_ts: ValueState hands TIMESTAMP columns back
+                    # as raw int64 micros (toInternal with no
+                    # fromInternal on read) — emit real timestamps
+                    "session_start": [_as_ts(s_start)],
+                    "session_end": [_as_ts(last_ts)],
+                    "n_events": [int(n)],
                     "closed_by": ["timer"],
                 }
             )

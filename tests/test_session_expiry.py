@@ -15,6 +15,8 @@ import pytest
 from oracle_to_cassandra_spark.streaming.stateful import (
     SESSION_GAP_MIN,
     _fold_sessions,
+    _int_sum,
+    _update_user_profile,
 )
 
 
@@ -22,6 +24,50 @@ def _ts(*vals):
     return pd.Series(
         pd.to_datetime(list(vals), format="mixed")
     ).reset_index(drop=True)
+
+
+class TestStateHelpers:
+    def test_int_sum_is_exact_with_nulls(self):
+        """A NULL in the Arrow batch lands value_u in pandas as
+        float64 + NaN; a float sum silently rounds above 2^53 —
+        _int_sum must drop NaNs and sum in int64."""
+        # each addend is individually exact in float64 (< 2^53) —
+        # the realistic Arrow shape — but their float SUM lands on
+        # 2^53 + 1, which float64 rounds to 2^53; int64 summation
+        # keeps it exact
+        a, b = (1 << 53) - 2, 3
+        col = pd.Series([float(a), float(b), None], dtype="float64")
+        assert int(col.sum()) != a + b  # the bug being guarded against
+        assert _int_sum(col) == a + b
+        assert _int_sum(pd.Series([None], dtype="float64")) == 0
+        assert _int_sum(pd.Series([], dtype="float64")) == 0
+        assert _int_sum(pd.Series([2, 3], dtype="int64")) == 5
+
+    def test_profile_fold_second_batch_with_datetime_state(self):
+        """Multi-batch regression: applyInPandasWithState returns the
+        stored last_ts as datetime.datetime; the max() against the new
+        batch must not compare datetime vs Timestamp incorrectly and
+        the emitted row must carry the later instant."""
+        import datetime as dt
+
+        class _FakeState:
+            exists = True
+            get = (2, 5_000_000, dt.datetime(2024, 1, 1, 10, 20))
+
+            def update(self, v):
+                self.updated = v
+
+        st = _FakeState()
+        pdf = pd.DataFrame(
+            {
+                "ts": pd.to_datetime(["2024-01-01 10:05"]),
+                "value_u": pd.Series([1_500_000], dtype="int64"),
+            }
+        )
+        (out,) = list(_update_user_profile((7,), [pdf], st))
+        assert out["n_events"].iloc[0] == 3
+        assert out["total_value_c"].iloc[0] == 650  # 6.5e6 micro → cents
+        assert out["last_ts"].iloc[0] == pd.Timestamp("2024-01-01 10:20")
 
 
 class TestFoldSessions:
@@ -73,6 +119,48 @@ class TestFoldSessions:
              pd.Timestamp("2024-01-01 08:05"), 2, "gap")
         ]
         assert open_sess[2] == 1
+
+    def test_state_as_datetime_objects_still_folds_and_times(self):
+        """applyInPandasWithState hands state TIMESTAMPs back as
+        ``datetime.datetime`` (pickled via to_pydatetime) — the fold
+        must normalize them so the merged open session supports the
+        ``.value`` timer arithmetic (regression: AttributeError on
+        the SECOND micro-batch of any key whose batch events all land
+        at/inside the open session's span)."""
+        import datetime as dt
+
+        state = (dt.datetime(2024, 1, 1, 10, 0),
+                 dt.datetime(2024, 1, 1, 10, 20), 3)
+        # duplicate-ts straggler AT the open session's last_ts: the
+        # merged end is the STATE's value, the exact crash shape
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:20"), state, 7
+        )
+        assert closed == []
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 10:00"),
+            pd.Timestamp("2024-01-01 10:20"), 4,
+        )
+        assert isinstance(open_sess[1], pd.Timestamp)
+        # the timer expression the processors run on open_sess[1]
+        assert int(open_sess[1].value // 1_000_000) > 0
+
+    def test_state_as_int_micros_still_folds(self):
+        """transformWithState's ValueState serializes TIMESTAMP state
+        via schema.toInternal (int64 micros) and returns the bare ints
+        on get() — the fold must accept them (regression: TypeError
+        comparing int vs Timestamp on the first multi-batch key)."""
+        base = pd.Timestamp("2024-01-01 10:00")
+        state = (base.value // 1000, (base + pd.Timedelta(minutes=20)).value // 1000, 3)
+        closed, open_sess = _fold_sessions(
+            _ts("2024-01-01 10:25"), state, 7
+        )
+        assert closed == []
+        assert open_sess == (
+            pd.Timestamp("2024-01-01 10:00"),
+            pd.Timestamp("2024-01-01 10:25"), 4,
+        )
+        assert isinstance(open_sess[0], pd.Timestamp)
 
     def test_out_of_order_merge_keeps_extremes(self):
         # a late-but-in-gap event older than the open session's last_ts
