@@ -167,89 +167,17 @@ _QUERY_MODULES = (
 #: retired multimodal formula stubs keep older ledger rows but are
 #: no longer registered).
 _WINDOW: tuple[str, ...] = (
-    # ROUND-11 rotation (executes item 1 of the round-10 verdict):
-    # the one net-new query of the round (zero driver history
-    # outranks everything), then the staged r11 queue verbatim — the
-    # two queries whose code/output contract changed in r10 but whose
-    # freshest driver row predates the change, then the 32 rows whose
-    # freshest driver evidence is CORRECTNESS_r04 — plus the 15
-    # alphabetical heads of the r5-stale backlog to fill the 50
-    # (inverted_index_postings, displaced by the net-new row, heads
-    # the r12 queue). After r11 the oldest driver evidence on any
-    # live query is r5 (the 31 remaining r5 rows of the r12 queue
-    # below).
-    # --- zero driver history (net-new this round): the full
-    #     fk-chain → sink → pruned read-back loop as one row ---
-    "fk_chain_sink_roundtrip",
-    # --- changed in r10, evidence pre-change (r6) ---
-    "stream_multimodal_wav_decode",
-    "embedding_cluster_keepers",
-    # --- the 32 rows with r4-only driver evidence ---
-    "corpus_curation_pipeline",
-    "catalog_list_tables",
-    "catalog_describe_customer",
-    "bucketed_join_orders_customers",
-    "calendar_spine_daily_orders",
-    "correlated_exists_orders",
-    "cte_sql_text_pipeline",
-    "custom_pysource_aggregate",
-    "derived_table_top_segment",
-    "embedding_int8_quantization",
-    "full_outer_key_reconciliation",
-    "grouped_map_zscore",
-    "hash_systematic_sample",
-    "histogram_binning_prices",
-    "in_subquery_customers",
-    "left_outer_customer_orders",
-    "levenshtein_candidate_pairs",
-    "na_fill_drop_imputation",
-    "not_exists_anti_join",
-    "null_handling_outer_join",
-    "ordered_string_agg_nations",
-    "pandas_udf_scalar_score",
-    "salted_skew_aggregate",
-    "scalar_subquery_above_avg",
-    "stratified_quota_sample",
-    "struct_pack_unpack",
-    "top_bigrams_corpus",
-    "tpch_q10_returned_items",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_revenue_change",
-    "udtf_chunk_documents",
-    "unpivot_stack_measures",
-    # --- 15 heads of the r5-stale backlog (alphabetical) ---
-    "asof_join_last_purchase",
-    "bm25_retrieval_topk",
-    "cms_heavy_hitters",
-    "compaction_bin_packing",
-    "corpus_global_shuffle",
-    "corpus_mixture_weights",
-    "decontamination_overlap",
-    "dedup_keep_best_quality",
-    "dedup_simhash_near_stats",
-    "dense_global_ids",
-    "doc_repetition_stats",
-    "duplicate_span_stats",
-    "hll_sketch_union_rollup",
-    "incremental_lsh_dedup",
-    "incremental_rollup_merge",
-)
-
-#: r12 queue (stages item 4 of the round-10 verdict): the 31 rows
-#: whose freshest driver evidence remains CORRECTNESS_r05 after the
-#: r11 rotation (head = inverted_index_postings, displaced from the
-#: r11 window by the net-new fk_chain_sink_roundtrip), then 19
-#: alphabetical heads of the 42 r6-stale rows (44 minus
-#: embedding_cluster_keepers/stream_multimodal_wav_decode, which the
-#: r11 window re-certifies; fk_chain_walk, which every round's
-#: entry() smoke re-proves, keeps its queue slot for a hash-compare
-#: row). The 23 remaining r6 rows (json_to_map_explode onward) queue
-#: for r13, giving the full 323-query surface r5+ external
-#: certification by r12 and
-#: r7+ by r13 — the cadence the r10 verdict ordered.
-_QUEUE: tuple[str, ...] = (
-    # --- the 31 remaining r5-stale rows (head = the one displaced
-    #     from the r11 window by the net-new query) ---
+    # ROUND-12 rotation (executes item 1 of the round-11 verdict):
+    # the staged r12 queue VERBATIM — the 31 rows whose freshest
+    # driver evidence was CORRECTNESS_r05 after the r11 rotation
+    # (head = inverted_index_postings, displaced from the r11 window
+    # by the net-new fk_chain_sink_roundtrip), then the 19
+    # alphabetical heads of the 42 r6-stale rows. No query changed
+    # semantics since r11 and the round's net-new rows (if any)
+    # prepend per the zero-history-first rule. After r12 the oldest
+    # driver evidence on any live query is r6 (exactly the 23 r6
+    # rows heading the r13 queue below).
+    # --- the 31 remaining r5-stale rows ---
     "inverted_index_postings",
     "ivf_centroid_refinement",
     "map_in_arrow_token_stats",
@@ -281,7 +209,7 @@ _QUEUE: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "zorder_layout_audit",
-    # --- 19 heads of the r6-stale backlog (alphabetical) ---
+    # --- 19 alphabetical heads of the r6-stale backlog ---
     "bpe_train_merges",
     "cdc_latest_version_dedup",
     "cohort_weekly_retention",
@@ -301,6 +229,68 @@ _QUEUE: tuple[str, ...] = (
     "inter_event_gap_stats",
     "jl_projection_recall_distortion",
     "json_extract_events",
+)
+
+#: r13 queue (stages item 5 of the round-11 verdict): the 23 rows
+#: whose freshest driver evidence remains CORRECTNESS_r06 after the
+#: r12 rotation, then 27 alphabetical heads of the 50 r7-stale rows.
+#: After r13 the tail is the 23 remaining r7 rows (pareto_revenue_
+#: concentration onward) — they queue for r14, giving the full
+#: 323-query surface r7+ external certification by r13 and r8+ by
+#: r14, the cadence the r10/r11 verdicts ordered.
+_QUEUE: tuple[str, ...] = (
+    # --- the 23 remaining r6-stale rows (alphabetical) ---
+    "json_to_map_explode",
+    "lag_lead_user_events",
+    "late_data_watermark_semantics",
+    "lsh_multiprobe_recall",
+    "map_construction_lookup",
+    "migration_row_diff",
+    "multimodal_bmp_pixel_stats",
+    "multimodal_phash_dedup_groups",
+    "multimodal_png_header_decode",
+    "multimodal_y4m_frame_sample_stats",
+    "multimodal_y4m_temporal_fingerprint",
+    "packed_sequence_offsets",
+    "pivot_user_event_counts",
+    "point_lookup_customer",
+    "session_windows_per_user",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall_at_10",
+    "sliding_2d_1d_windows",
+    "stream_tws_user_activity",
+    "tpch_q1_pricing_summary",
+    "tumbling_6h_windows",
+    "tumbling_daily_event_counts",
+    "variant_json_extraction",
+    # --- 27 alphabetical heads of the r7-stale backlog ---
+    "ab_assignment_srm_check",
+    "asof_join_with_tolerance",
+    "benford_first_digit_audit",
+    "bpe_apply_tokenize",
+    "bpe_merge_candidates",
+    "corpus_snapshot_delta",
+    "curation_pipeline_v2",
+    "event_path_trigrams",
+    "event_transition_matrix",
+    "event_type_association_rules",
+    "functional_dependency_audit",
+    "funnel_time_to_convert",
+    "fuzzy_eval_decontamination",
+    "hard_negative_mining",
+    "incremental_pq_encode",
+    "json_corrupt_records_handling",
+    "kanonymity_quasi_identifier_audit",
+    "keyset_pagination_page3",
+    "label_centroid_separation",
+    "lateral_top2_orders_per_customer",
+    "markov_surprise_anomaly_users",
+    "matryoshka_prefix_recall",
+    "merge_upsert_apply",
+    "migration_column_profile",
+    "migration_column_profile_approx",
+    "monthly_revenue_yoy_growth",
+    "oracle_to_cassandra_e2e",
 )
 
 #: the driver verifies the FIRST 50 registered queries each round
