@@ -33,6 +33,39 @@ Scale choice: 100 (cents) for 2-dp money columns keeps the sum within
 int64 through ~9×10^16 cents; 10^6 (micro-units) for 6-dp scores.
 The helpers below emit the SAME op sequence in the Spark expression
 and the DuckDB oracle text so the driver hash compare stays exact.
+
+Python-side integer-fold audit (r11 verdict item 4 — the float64/2^53
+hazard: any pandas/numpy path where an int64 quantity transits a
+float64 dtype rounds silently past 2^53). Every Python-side integer
+fold in the package, and why each is exact:
+
+* ``streaming/stateful.py:_int_sum`` — the r11 fix itself:
+  ``col.dropna().astype("int64").sum()`` sums in int64; a NULL-laden
+  micro column arrives float64 but is re-typed BEFORE the fold.
+  Regression test: ``tests/test_session_expiry.py::
+  test_int_sum_is_exact_with_nulls``.
+* ``queries/udfs.py:cogrouped_order_reconciliation`` — per-order
+  cents sum in int64 pandas groupby (no NULLs: cents is freshly
+  computed), then cast to nullable ``Int64`` BEFORE the left-merge so
+  unmatched orders surface as ``pd.NA`` instead of upcasting the
+  column to float64 (fixed in r12; test
+  ``tests/test_udf_queries.py::test_reconcile_merge_exact_past_2_53``).
+* ``operators/multimodal.py`` (BMP pixel sums :498, resize block
+  sums :634, Y4M plane sums :778, aHash luma :845, WAV amplitude
+  :359) — all ``np.frombuffer`` dense buffers ``astype(np.int64)``
+  before summing: int64 arithmetic end-to-end, no NULLs possible
+  (buffers), values additionally bounded (uint8/int16 × ≤ blob
+  bytes ≪ 2^53).
+* ``queries/udfs.py:_l1_micro`` (arrow UDF) — ``np.floor(|x|·10^6 +
+  0.5).astype(np.int64)`` then ``np.add.reduceat`` on int64: exact.
+* Float-semantics-by-design paths (NOT integer folds, exempt):
+  ``functions/vector.py`` cosine (double output), ``operators/
+  udfs.py:zscore_per_group`` (double z-score), all streaming
+  mean/stddev emissions (oracled in integer micro-units upstream).
+
+New Python-side folds MUST either stay int64/Int64 end-to-end or
+re-type with ``dropna().astype("int64")`` before summing; add the
+fold to this list.
 """
 
 from __future__ import annotations

@@ -236,6 +236,15 @@ def cogrouped_order_reconciliation(spark, sf_dir):
             .agg(lines_total_cents=("cents", "sum"), n_lines=("cents", "size"))
             .reset_index()
         )
+        # the left-merge below would upcast these int64 columns to
+        # float64 (NaN for orders with no lines), silently rounding
+        # any total past 2^53 BEFORE the fillna — the same hazard
+        # class as the r11 stateful-sum fix (streaming/stateful.py
+        # _int_sum). Nullable Int64 survives the merge exactly.
+        per_order["lines_total_cents"] = per_order["lines_total_cents"].astype(
+            "Int64"
+        )
+        per_order["n_lines"] = per_order["n_lines"].astype("Int64")
         out = pd.DataFrame(
             {
                 "o_orderkey": left["o_orderkey"].astype("int64"),
