@@ -5,6 +5,7 @@ skew joins — the two manual levers SURVEY.md §4 reserves for 100 TB
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -90,6 +91,23 @@ def salted_join(
       ``unique_col``; attribute hashing cannot split them safely.
 
     The salt never reaches the output (dropped after the join)."""
+    if unique_col is None:
+        # r11 ADVICE item 3: the r11 determinism fix changed the
+        # DEFAULT's behavior — byte-identical duplicate rows of a hot
+        # key now hash to ONE salt bucket, so the no-unique_col form
+        # no longer breaks up a duplicate-heavy straggler (the exact
+        # case the old layout-dependent salt targeted, unsafely).
+        # Surface that loss at the call site instead of silently
+        # degrading: callers with duplicate-heavy facts must pass a
+        # stable per-row id.
+        warnings.warn(
+            "salted_join without unique_col salts on all columns: "
+            "byte-identical duplicate rows of a hot key share ONE "
+            "bucket and will NOT be spread. Pass unique_col (a stable "
+            "per-row id) if the fact side is duplicate-heavy.",
+            UserWarning,
+            stacklevel=2,
+        )
     salted_fact = fact.withColumn(
         "_salt", salt_expr(fact.columns, salt_buckets, unique_col)
     )

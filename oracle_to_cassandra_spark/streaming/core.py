@@ -14,6 +14,7 @@ code. The memory sink is only for local verification.
 from __future__ import annotations
 
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,7 +22,13 @@ from pyspark.sql import types as T
 
 #: memory-sink temp views created by run_stream_to_memory, oldest
 #: first — retired lazily on the next call (see there for the bound)
-_SINK_VIEWS: list[str] = []
+#: retired-view ledger: (weakref-to-session, view_name). Scoped per
+#: SparkSession because temp views ARE per-session — dropping a name
+#: against a different live session is a silent no-op and the real
+#: view (plus its pinned memory-sink result) would leak for the
+#: session lifetime (r11 ADVICE item 2). Dead-session entries are
+#: pruned lazily: their views died with the session.
+_SINK_VIEWS: list[tuple["weakref.ref", str]] = []
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet — the file-source analog
@@ -56,6 +63,19 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not isinstance(ts_type, T.TimestampType):
         raw = raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return raw
+
+
+def _retire_sink_views(spark: SparkSession, name: str) -> None:
+    """Register ``name`` in the sink-view ledger, dropping this
+    session's older views (keep the most recent previous one) and
+    pruning entries whose session has been garbage-collected."""
+    _SINK_VIEWS[:] = [(ref, n) for ref, n in _SINK_VIEWS if ref() is not None]
+    mine = [(ref, n) for ref, n in _SINK_VIEWS if ref() is spark]
+    while len(mine) > 1:
+        victim = mine.pop(0)
+        _SINK_VIEWS.remove(victim)
+        spark.catalog.dropTempView(victim[1])
+    _SINK_VIEWS.append((weakref.ref(spark), name))
 
 
 def run_stream_to_memory(
@@ -98,12 +118,18 @@ def run_stream_to_memory(
     # the memory sink pins each query's fully materialized result in
     # driver heap for the session lifetime; every caller consumes the
     # returned table synchronously (hash-compare / noop write) before
-    # the NEXT streaming query runs, so retiring all views but the
-    # most recent previous one bounds the sink footprint at 2 results
-    # instead of growing per streaming query across a 300+-query sweep
-    while len(_SINK_VIEWS) > 1:
-        spark.catalog.dropTempView(_SINK_VIEWS.pop(0))
-    _SINK_VIEWS.append(name)
+    # the NEXT streaming query runs — the returned DataFrame is LAZY
+    # over the view, so holding two results while starting a third
+    # reads the oldest as TABLE_OR_VIEW_NOT_FOUND at collect time (a
+    # documented invariant of this harness, not a supported pattern).
+    # Retiring all but the most recent previous view bounds the sink
+    # footprint at 2 results instead of growing across a 300+-query
+    # sweep. Retirement is SESSION-SCOPED: only views created on THIS
+    # session are dropped (a name-only drop against a different
+    # session is a silent no-op that leaks the real view), and entries
+    # whose session has been collected are pruned — their views died
+    # with the session.
+    _retire_sink_views(spark, name)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -57,8 +58,16 @@ def _as_ts(x) -> "pd.Timestamp":
     with no ``fromInternal`` on read). Folding everything to
     pd.Timestamp at the state boundary keeps the session algebra
     (interval sweep, ``.value`` timer arithmetic, TIMESTAMP output
-    columns) correct on every path."""
-    if isinstance(x, (int, float)):
+    columns) correct on every path.
+
+    The integer guard must be TOTAL over integer-like types: a bare
+    ``pd.Timestamp(np.int64(...))`` interprets the value as
+    NANOseconds, landing timestamps ~1000× too early. The current
+    TWS path hands back Python ints (``schema.toInternal``), so the
+    numpy branch is latent — but a future serializer returning
+    ``np.int64`` micros must not silently change units (r11 ADVICE
+    item 1)."""
+    if isinstance(x, (int, float, np.integer, np.floating)):
         return pd.Timestamp(int(x), unit="us")
     return pd.Timestamp(x)
 

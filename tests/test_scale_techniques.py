@@ -58,7 +58,10 @@ def test_salted_join_matches_plain_join(spark):
         F.col("s_suppkey").alias("l_suppkey"), "s_name"
     )
     plain = li.join(supp, "l_suppkey")
-    salted = salted_join(li, supp, "l_suppkey", salt_buckets=4)
+    # the no-unique_col default must WARN that duplicate rows share a
+    # bucket (r11 ADVICE item 3) — correctness is unchanged
+    with pytest.warns(UserWarning, match="duplicate rows"):
+        salted = salted_join(li, supp, "l_suppkey", salt_buckets=4)
     assert salted.count() == plain.count()
     a = plain.groupBy("l_suppkey").count().collect()
     b = salted.groupBy("l_suppkey").count().collect()

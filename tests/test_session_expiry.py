@@ -14,6 +14,7 @@ import pytest
 
 from oracle_to_cassandra_spark.streaming.stateful import (
     SESSION_GAP_MIN,
+    _as_ts,
     _fold_sessions,
     _int_sum,
     _update_user_profile,
@@ -27,6 +28,27 @@ def _ts(*vals):
 
 
 class TestStateHelpers:
+    def test_as_ts_is_total_over_integer_like_micros(self):
+        """Every integer-like physical type a state serializer could
+        hand back must be read as MICROS: a bare pd.Timestamp(np.int64)
+        interprets nanoseconds — timestamps ~1000x too early (r11
+        ADVICE item 1)."""
+        import numpy as np
+
+        micros = 1_700_000_000_000_000  # 2023-11-14T22:13:20 UTC
+        want = pd.Timestamp(micros, unit="us")
+        for raw in (
+            micros,
+            float(micros),
+            np.int64(micros),
+            np.uint64(micros),
+            np.float64(micros),
+        ):
+            assert _as_ts(raw) == want, type(raw)
+        # non-integer paths unchanged
+        assert _as_ts(want) == want
+        assert _as_ts(want.to_pydatetime()) == want
+
     def test_int_sum_is_exact_with_nulls(self):
         """A NULL in the Arrow batch lands value_u in pandas as
         float64 + NaN; a float sum silently rounds above 2^53 —

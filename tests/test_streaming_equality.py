@@ -330,3 +330,47 @@ def test_single_batch_assert_fires_on_multibatch_source(spark):
         stream_ok, output_mode="complete", expect_single_batch=True
     )
     assert out.count() > 0
+
+
+def test_sink_view_retirement_is_session_scoped(spark):
+    """r11 ADVICE item 2: retiring memory-sink views must only drop
+    views belonging to the CURRENT session — a name-only drop against
+    a foreign session's ledger entry is a silent no-op that leaks the
+    real view — and the most recent previous view must survive so the
+    one-outstanding-result consumption pattern stays valid."""
+    from oracle_to_cassandra_spark.streaming import core as C
+
+    saved = list(C._SINK_VIEWS)
+    C._SINK_VIEWS.clear()
+    try:
+        for n in ("sv_test_a", "sv_test_b"):
+            spark.range(1).createOrReplaceTempView(n)
+            C._retire_sink_views(spark, n)
+        # both registered, none dropped yet (keep-most-recent-previous)
+        assert spark.catalog.tableExists("sv_test_a")
+        assert spark.catalog.tableExists("sv_test_b")
+
+        # a view recorded against ANOTHER session must NOT be dropped
+        # by this session's retirement (simulated with a dead ref by
+        # registering under a throwaway object)
+        class _Fake:
+            pass
+
+        fake = _Fake()
+        import weakref
+
+        C._SINK_VIEWS.insert(0, (weakref.ref(fake), "sv_test_a"))
+        spark.range(1).createOrReplaceTempView("sv_test_c")
+        C._retire_sink_views(spark, "sv_test_c")
+        # sv_test_a (oldest OWN view) dropped; foreign entry untouched
+        assert not spark.catalog.tableExists("sv_test_a")
+        assert spark.catalog.tableExists("sv_test_b")
+        assert spark.catalog.tableExists("sv_test_c")
+        del fake  # dead-session entries prune on the next call
+        spark.range(1).createOrReplaceTempView("sv_test_d")
+        C._retire_sink_views(spark, "sv_test_d")
+        assert all(ref() is spark for ref, _ in C._SINK_VIEWS)
+    finally:
+        for n in ("sv_test_a", "sv_test_b", "sv_test_c", "sv_test_d"):
+            spark.catalog.dropTempView(n) if spark.catalog.tableExists(n) else None
+        C._SINK_VIEWS[:] = saved
