@@ -818,3 +818,155 @@ def stream_session_expiry_timers(spark, sf_dir):
         state_partitions=8,
         expect_single_batch=True,
     )
+
+
+@query(
+    "stream_tws_checkpoint_resume",
+    # oracle BY REFERENCE to the primary typed-state stream: this
+    # query certifies the same final profile THROUGH a mid-stream
+    # restart, so an edit to the primary's oracle can never de-sync
+    # this one (the _twin_oracle pattern; registered above in this
+    # module, so the lookup is safe at decoration time)
+    oracle=_twin_oracle("stream_tws_user_activity"),
+)
+def stream_tws_checkpoint_resume(spark, sf_dir):
+    """Typed-state checkpoint DURABILITY as an oracled query (r11
+    verdict item 7): the per-user activity profile stream
+    (``user_activity_tws_stream`` — transformWithStateInPandas when
+    protobuf is present, the applyInPandasWithState twin otherwise;
+    identical emission contract) is KILLED by a planted fault after
+    its second data micro-batch's sink write, then RESUMED from the
+    same checkpoint. The cumulative emissions land in the idempotent
+    batch_id-keyed parquet sink (`streaming/recovery.py`); keeping
+    each key's highest-n_events emission afterwards yields the exact
+    full-data profile — but ONLY if the keyed state store restored
+    across the restart: a user touched both before and after the
+    crash would otherwise restart from zero mid-run and the final
+    max-n_events row would under-count, failing the hash compare.
+
+    This is the stateful complement of
+    ``stream_crash_resume_reconciliation``, which proves offset
+    replay + idempotent writes for a STATELESS ingest; here the
+    contract extends to ValueState/MapState contents surviving the
+    restart — the property a 100 TB streaming job's restartability
+    actually rests on (state is checkpointed per micro-batch commit
+    and reloaded by the restarted executors).
+
+    Scale: identical movement to the primary stream (state keyed by
+    user_id); the fault harness adds one extra stream start, nothing
+    else."""
+    import uuid as _uuid
+
+    from oracle_to_cassandra_spark import scratch
+    from oracle_to_cassandra_spark.sources import load_table
+    from oracle_to_cassandra_spark.streaming.recovery import (
+        idempotent_batch_writer,
+    )
+    from oracle_to_cassandra_spark.streaming.stateful import (
+        user_activity_tws_stream,
+    )
+
+    run_id = _uuid.uuid4().hex[:8]
+    in_dir = scratch.session_path("twsres", run_id, "input")
+    out_dir = scratch.session_path("twsres", run_id, "out")
+    ckpt = scratch.session_path("twsres", run_id, "ckpt")
+
+    src = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+    schema = spark.read.parquet(in_dir).schema
+
+    def _stream():
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        return user_activity_tws_stream(ev)
+
+    n_src = src.count()
+    # >= 3 NON-EMPTY files so the fault (after the 2nd data batch's
+    # write) is strictly mid-stream — same guard structure as
+    # stream_crash_resume_reconciliation; a tiny/empty source degrades
+    # to a single uncrashed run of the same harness, not an assertion
+    n_data_files = (
+        spark.read.parquet(in_dir)
+        .select(F.input_file_name().alias("f"))
+        .agg(F.count_distinct("f").alias("n"))
+        .first()["n"]
+        if n_src
+        else 0
+    )
+
+    class _PlantedCrash(RuntimeError):
+        pass
+
+    writer = idempotent_batch_writer(out_dir)
+    state = {"crash": False, "data_batches": 0, "armed": n_data_files >= 3}
+
+    def on_batch(batch_df, batch_id):
+        writer(batch_df, batch_id)
+        if batch_df.isEmpty():
+            return
+        state["data_batches"] += 1
+        if state["armed"] and state["data_batches"] == 2:
+            state["crash"] = True
+            state["armed"] = False  # run 2 must drain unimpeded
+            raise _PlantedCrash("planted crash after the 2nd data batch")
+
+    def _run():
+        # narrow the state-partition count for the stream's FIRST
+        # start (pinned in the checkpoint thereafter), same rationale
+        # as run_stream_to_memory's state_partitions knob
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (
+                _stream()
+                .writeStream.outputMode("update")
+                .foreachBatch(on_batch)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    if state["armed"]:
+        try:
+            _run()
+        except Exception:  # noqa: BLE001 - filtered just below
+            # only the PLANTED fault may pass (flag set before raise);
+            # an unrelated run-1 failure would let run 2 ingest
+            # everything cold and still hash-match, voiding the
+            # state-restore property this query exists to certify
+            if not state["crash"]:
+                raise
+        if not state["crash"]:
+            raise AssertionError("fault injection did not fire in run 1")
+        pre_resume = state["data_batches"]
+        _run()  # resume from the same checkpoint, fault disarmed
+        if state["data_batches"] <= pre_resume:
+            raise AssertionError(
+                "resume processed no data batch — the crash was not "
+                "mid-stream and the state-restore property is void"
+            )
+    else:
+        _run()  # tiny source: plain single-run drain, same sink
+
+    out = (
+        spark.read.option("basePath", out_dir)
+        .parquet(out_dir)
+        .drop("batch_id")
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value_c", "n_events").alias("total_value_c"),
+        F.max_by("n_event_types", "n_events").alias("n_event_types"),
+    )

@@ -168,15 +168,20 @@ _QUERY_MODULES = (
 #: no longer registered).
 _WINDOW: tuple[str, ...] = (
     # ROUND-12 rotation (executes item 1 of the round-11 verdict):
-    # the staged r12 queue VERBATIM — the 31 rows whose freshest
-    # driver evidence was CORRECTNESS_r05 after the r11 rotation
-    # (head = inverted_index_postings, displaced from the r11 window
-    # by the net-new fk_chain_sink_roundtrip), then the 19
-    # alphabetical heads of the 42 r6-stale rows. No query changed
-    # semantics since r11 and the round's net-new rows (if any)
-    # prepend per the zero-history-first rule. After r12 the oldest
-    # driver evidence on any live query is r6 (exactly the 23 r6
-    # rows heading the r13 queue below).
+    # the one net-new query of the round (zero driver history
+    # outranks everything — r11 verdict item 7's typed-state
+    # checkpoint-resume row), then the staged r12 queue — the 31 rows
+    # whose freshest driver evidence was CORRECTNESS_r05 after the
+    # r11 rotation (head = inverted_index_postings, displaced from
+    # the r11 window by the net-new fk_chain_sink_roundtrip), then 18
+    # of the 19 staged alphabetical heads of the 42 r6-stale rows
+    # (json_extract_events, displaced by the net-new row, heads the
+    # r13 queue). After r12 the oldest driver evidence on any live
+    # query is r6 (json_extract_events + the 23 r6 rows of the r13
+    # queue below).
+    # --- zero driver history (net-new this round): typed-state
+    #     restart-from-checkpoint of the TWS profile stream ---
+    "stream_tws_checkpoint_resume",
     # --- the 31 remaining r5-stale rows ---
     "inverted_index_postings",
     "ivf_centroid_refinement",
@@ -228,7 +233,6 @@ _WINDOW: tuple[str, ...] = (
     "hybrid_rrf_retrieval",
     "inter_event_gap_stats",
     "jl_projection_recall_distortion",
-    "json_extract_events",
 )
 
 #: r13 queue (stages item 5 of the round-11 verdict): the 23 rows
@@ -239,6 +243,9 @@ _WINDOW: tuple[str, ...] = (
 #: 323-query surface r7+ external certification by r13 and r8+ by
 #: r14, the cadence the r10/r11 verdicts ordered.
 _QUEUE: tuple[str, ...] = (
+    # --- displaced from the r12 window by the net-new
+    #     stream_tws_checkpoint_resume row (r6-stale) ---
+    "json_extract_events",
     # --- the 23 remaining r6-stale rows (alphabetical) ---
     "json_to_map_explode",
     "lag_lead_user_events",
