@@ -874,7 +874,11 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
     src = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "value"
     )
-    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+    # exactly 3 files = the MINIMUM the mid-stream property needs
+    # (crash lands after data batch 2 of 3, resume drains 1): each
+    # extra file adds a fixed micro-batch + checkpoint-commit cost
+    # twice (both runs) with no additional coverage
+    src.repartition(3).write.mode("overwrite").parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema
 
     def _stream():
