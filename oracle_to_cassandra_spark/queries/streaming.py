@@ -860,7 +860,7 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
     from oracle_to_cassandra_spark import scratch
     from oracle_to_cassandra_spark.sources import load_table
     from oracle_to_cassandra_spark.streaming.recovery import (
-        idempotent_batch_writer,
+        run_resumable_ingest,
     )
     from oracle_to_cassandra_spark.streaming.stateful import (
         user_activity_tws_stream,
@@ -906,11 +906,12 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
     class _PlantedCrash(RuntimeError):
         pass
 
-    writer = idempotent_batch_writer(out_dir)
     state = {"crash": False, "data_batches": 0, "armed": n_data_files >= 3}
 
     def on_batch(batch_df, batch_id):
-        writer(batch_df, batch_id)
+        # the sink write already happened (run_resumable_ingest wraps
+        # the idempotent batch_id-keyed writer); this hook only counts
+        # data batches and plants the mid-stream fault
         if batch_df.isEmpty():
             return
         state["data_batches"] += 1
@@ -920,27 +921,15 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
             raise _PlantedCrash("planted crash after the 2nd data batch")
 
     def _run():
-        # narrow the state-partition count for the stream's FIRST
-        # start (pinned in the checkpoint thereafter), same rationale
-        # as run_stream_to_memory's state_partitions knob
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
-        try:
-            q = (
-                _stream()
-                .writeStream.outputMode("update")
-                .foreachBatch(on_batch)
-                .trigger(availableNow=True)
-                .option("checkpointLocation", ckpt)
-                .start()
-            )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-            q.awaitTermination()
+        run_resumable_ingest(
+            spark,
+            _stream(),
+            out_dir,
+            ckpt,
+            on_batch=on_batch,
+            output_mode="update",
+            state_partitions=8,
+        )
 
     if state["armed"]:
         try:

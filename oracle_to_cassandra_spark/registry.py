@@ -214,7 +214,8 @@ _WINDOW: tuple[str, ...] = (
     "tpch_q21_waiting_suppliers",
     "tpch_q22_global_sales_opportunity",
     "zorder_layout_audit",
-    # --- 19 alphabetical heads of the r6-stale backlog ---
+    # --- 18 of the 19 staged alphabetical heads of the r6-stale
+    #     backlog (json_extract_events displaced to the r13 queue) ---
     "bpe_train_merges",
     "cdc_latest_version_dedup",
     "cohort_weekly_retention",
@@ -240,7 +241,7 @@ _WINDOW: tuple[str, ...] = (
 #: r12 rotation, then 27 alphabetical heads of the 50 r7-stale rows.
 #: After r13 the tail is the 23 remaining r7 rows (pareto_revenue_
 #: concentration onward) — they queue for r14, giving the full
-#: 323-query surface r7+ external certification by r13 and r8+ by
+#: 324-query surface r7+ external certification by r13 and r8+ by
 #: r14, the cadence the r10/r11 verdicts ordered.
 _QUEUE: tuple[str, ...] = (
     # --- displaced from the r12 window by the net-new

@@ -46,6 +46,8 @@ def run_resumable_ingest(
     out_dir: str,
     checkpoint_dir: str,
     on_batch: Callable[[DataFrame, int], None] | None = None,
+    output_mode: str = "append",
+    state_partitions: int | None = None,
 ) -> None:
     """Run a streaming ingest to exhaustion (availableNow) through the
     idempotent batch writer. Batch granularity is the SOURCE's concern
@@ -53,21 +55,43 @@ def run_resumable_ingest(
     get one file per micro-batch. ``on_batch`` is a fault-injection
     hook (tests raise from it to simulate a crash after N batches);
     re-calling with the SAME checkpoint_dir resumes from the last
-    committed batch."""
+    committed batch.
+
+    ``output_mode="update"`` serves stateful sources whose foreachBatch
+    frame carries per-key updated rows (the typed-state resume query);
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for the
+    stream's FIRST start only — a streaming query fixes its
+    state-partition count in the checkpoint, so the width must be set
+    by state size, not the session's batch-shuffle default."""
     writer = idempotent_batch_writer(out_dir)
 
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        writer(batch_df, batch_id)
-        if on_batch is not None:
-            on_batch(batch_df, batch_id)
+        # every fault hook in the repo inspects batch_df (isEmpty at
+        # minimum) AFTER the sink write — without a persist that
+        # re-executes the whole micro-batch plan (for stateful sources:
+        # state-store load + Python worker round-trip) a second time
+        batch_df.persist()
+        try:
+            writer(batch_df, batch_id)
+            if on_batch is not None:
+                on_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
 
-    q = (
-        source.writeStream.outputMode("append")
-        .foreachBatch(_write)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
-    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            source.writeStream.outputMode(output_mode)
+            .foreachBatch(_write)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", checkpoint_dir)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
     try:
         q.processAllAvailable()
     finally:
