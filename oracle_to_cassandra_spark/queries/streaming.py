@@ -945,10 +945,18 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
             raise AssertionError("fault injection did not fire in run 1")
         pre_resume = state["data_batches"]
         _run()  # resume from the same checkpoint, fault disarmed
-        if state["data_batches"] <= pre_resume:
+        # strict progress guard (r12 ADVICE item 2): the crash fired
+        # AFTER batch 2's sink write but BEFORE its offset commit, so
+        # a correct resume must both REPLAY the uncommitted batch AND
+        # drain the remaining file — exactly 2 data batches under
+        # maxFilesPerTrigger=1 with the >=3-file arming condition. A
+        # resume that merely re-delivers the uncommitted batch without
+        # draining the tail (pre_resume + 1) is also a void run.
+        if state["data_batches"] < pre_resume + 2:
             raise AssertionError(
-                "resume processed no data batch — the crash was not "
-                "mid-stream and the state-restore property is void"
+                "resume did not replay the uncommitted batch AND drain "
+                "the remaining file — the crash was not mid-stream and "
+                "the state-restore property is void"
             )
     else:
         _run()  # tiny source: plain single-run drain, same sink

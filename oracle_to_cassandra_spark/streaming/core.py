@@ -22,13 +22,30 @@ from pyspark.sql import types as T
 
 #: memory-sink temp views created by run_stream_to_memory, oldest
 #: first — retired lazily on the next call (see there for the bound)
-#: retired-view ledger: (weakref-to-session, view_name). Scoped per
-#: SparkSession because temp views ARE per-session — dropping a name
-#: against a different live session is a silent no-op and the real
-#: view (plus its pinned memory-sink result) would leak for the
-#: session lifetime (r11 ADVICE item 2). Dead-session entries are
-#: pruned lazily: their views died with the session.
-_SINK_VIEWS: list[tuple["weakref.ref", str]] = []
+#: retired-view ledger: (session_token, weakref-to-wrapper, view_name).
+#: Scoped per underlying session because temp views ARE per-session —
+#: dropping a name against a different live session is a silent no-op
+#: and the real view (plus its pinned memory-sink result) would leak
+#: for the session lifetime (r11 ADVICE item 2). Ownership compares
+#: the JVM ``sessionUUID`` token, not Python wrapper identity: two
+#: distinct Python SparkSession wrappers over the same underlying
+#: session (e.g. a re-constructed ``SparkSession(sc)``) must see each
+#: other's views as their own (r12 ADVICE item 1). Entries whose
+#: wrapper is garbage-collected AND whose token differs from the
+#: caller's are pruned lazily — we can no longer reach that session
+#: to drop anything, and if it died its views died with it.
+_SINK_VIEWS: list[tuple[str, "weakref.ref", str]] = []
+
+
+def _session_token(spark: SparkSession) -> str:
+    """Stable identity of the UNDERLYING session — the scope temp
+    views actually live in. Falls back to the Python wrapper id when
+    the JVM handle is absent (Spark Connect), where one wrapper per
+    connection is the invariant anyway."""
+    try:
+        return str(spark._jsparkSession.sessionUUID())
+    except Exception:
+        return f"py-id-{id(spark)}"
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet — the file-source analog
@@ -67,15 +84,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _retire_sink_views(spark: SparkSession, name: str) -> None:
     """Register ``name`` in the sink-view ledger, dropping this
-    session's older views (keep the most recent previous one) and
-    pruning entries whose session has been garbage-collected."""
-    _SINK_VIEWS[:] = [(ref, n) for ref, n in _SINK_VIEWS if ref() is not None]
-    mine = [(ref, n) for ref, n in _SINK_VIEWS if ref() is spark]
+    underlying session's older views (keep the most recent previous
+    one). Entries are claimed by session TOKEN, so a view created via
+    a different Python wrapper of the same session is still retired
+    here; foreign-session entries whose wrapper died are pruned (their
+    session is unreachable from this call)."""
+    token = _session_token(spark)
+    _SINK_VIEWS[:] = [
+        e for e in _SINK_VIEWS if e[0] == token or e[1]() is not None
+    ]
+    mine = [e for e in _SINK_VIEWS if e[0] == token]
     while len(mine) > 1:
         victim = mine.pop(0)
         _SINK_VIEWS.remove(victim)
-        spark.catalog.dropTempView(victim[1])
-    _SINK_VIEWS.append((weakref.ref(spark), name))
+        spark.catalog.dropTempView(victim[2])
+    _SINK_VIEWS.append((token, weakref.ref(spark), name))
 
 
 def run_stream_to_memory(

@@ -333,10 +333,14 @@ def test_single_batch_assert_fires_on_multibatch_source(spark):
 
 
 def test_sink_view_retirement_is_session_scoped(spark):
-    """r11 ADVICE item 2: retiring memory-sink views must only drop
-    views belonging to the CURRENT session — a name-only drop against
-    a foreign session's ledger entry is a silent no-op that leaks the
-    real view — and the most recent previous view must survive so the
+    """r11 ADVICE item 2 + r12 ADVICE item 1: retiring memory-sink
+    views must only drop views belonging to the CURRENT underlying
+    session — a name-only drop against a foreign session's ledger
+    entry is a silent no-op that leaks the real view — and ownership
+    is decided by the underlying session TOKEN, not Python wrapper
+    identity, so a view registered through a re-constructed
+    ``SparkSession(sc)`` wrapper over the same session is still ours.
+    The most recent previous view must survive so the
     one-outstanding-result consumption pattern stays valid."""
     from oracle_to_cassandra_spark.streaming import core as C
 
@@ -351,26 +355,54 @@ def test_sink_view_retirement_is_session_scoped(spark):
         assert spark.catalog.tableExists("sv_test_b")
 
         # a view recorded against ANOTHER session must NOT be dropped
-        # by this session's retirement (simulated with a dead ref by
-        # registering under a throwaway object)
+        # by this session's retirement (simulated with a foreign token
+        # + dead wrapper ref registered under a throwaway object)
         class _Fake:
             pass
 
         fake = _Fake()
         import weakref
 
-        C._SINK_VIEWS.insert(0, (weakref.ref(fake), "sv_test_a"))
+        C._SINK_VIEWS.insert(
+            0, ("foreign-token", weakref.ref(fake), "sv_test_a")
+        )
         spark.range(1).createOrReplaceTempView("sv_test_c")
         C._retire_sink_views(spark, "sv_test_c")
         # sv_test_a (oldest OWN view) dropped; foreign entry untouched
         assert not spark.catalog.tableExists("sv_test_a")
         assert spark.catalog.tableExists("sv_test_b")
         assert spark.catalog.tableExists("sv_test_c")
-        del fake  # dead-session entries prune on the next call
+        del fake  # dead foreign-session entries prune on the next call
         spark.range(1).createOrReplaceTempView("sv_test_d")
         C._retire_sink_views(spark, "sv_test_d")
-        assert all(ref() is spark for ref, _ in C._SINK_VIEWS)
+        tok = C._session_token(spark)
+        assert all(t == tok for t, _, _ in C._SINK_VIEWS)
+
+        # r12 ADVICE item 1: a DISTINCT Python wrapper over the SAME
+        # underlying session shares the token, so its views are ours —
+        # retiring through the original wrapper drops the older view
+        # the second wrapper registered
+        from pyspark.sql import SparkSession as _SS
+
+        twin = _SS(spark.sparkContext, jsparkSession=spark._jsparkSession)
+        assert twin is not spark
+        assert C._session_token(twin) == tok
+        spark.range(1).createOrReplaceTempView("sv_test_e")
+        C._retire_sink_views(twin, "sv_test_e")  # drops sv_test_c
+        assert not spark.catalog.tableExists("sv_test_c")
+        spark.range(1).createOrReplaceTempView("sv_test_f")
+        C._retire_sink_views(spark, "sv_test_f")  # drops sv_test_d
+        assert not spark.catalog.tableExists("sv_test_d")
+        assert spark.catalog.tableExists("sv_test_e")
+        assert spark.catalog.tableExists("sv_test_f")
     finally:
-        for n in ("sv_test_a", "sv_test_b", "sv_test_c", "sv_test_d"):
+        for n in (
+            "sv_test_a",
+            "sv_test_b",
+            "sv_test_c",
+            "sv_test_d",
+            "sv_test_e",
+            "sv_test_f",
+        ):
             spark.catalog.dropTempView(n) if spark.catalog.tableExists(n) else None
         C._SINK_VIEWS[:] = saved
