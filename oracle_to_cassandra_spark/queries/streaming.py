@@ -280,6 +280,137 @@ def stream_stream_interval_join(spark, sf_dir):
 
 
 @query(
+    "stream_stream_left_outer_interval_join",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, ts AS view_ts, event_id AS view_id
+      FROM {_ON_TIME} WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id AS p_user_id, ts AS purchase_ts,
+             value AS purchase_value
+      FROM {_ON_TIME} WHERE event_type = 'purchase'
+    ), wm AS (
+      -- Spark's global watermark: per-side watermark = max observed
+      -- event time FLOORED TO MILLISECONDS minus the declared delay
+      -- (EventTimeStats collects micros DIV 1000); global = min of
+      -- the sides (default multipleWatermarkPolicy). A side that saw
+      -- no data never advances its watermark, so the global stays at
+      -- the initial zero and NO null-padded row is ever emitted —
+      -- hence the explicit CASE (DuckDB least() IGNORES a NULL
+      -- argument, which would silently pick the other side).
+      SELECT CASE WHEN v_max IS NULL OR p_max IS NULL THEN NULL
+             ELSE least(
+               (epoch_us(v_max) // 1000) * 1000 - 3600000000,
+               (epoch_us(p_max) // 1000) * 1000 - 7200000000)
+             END AS wm_us
+      FROM (SELECT (SELECT max(view_ts) FROM v) AS v_max,
+                   (SELECT max(purchase_ts) FROM p) AS p_max)
+    )
+    SELECT v.user_id AS user_id,
+           v.view_id AS view_id,
+           strftime(v.view_ts, '{_TS_FMT_DUCK}') AS view_time,
+           strftime(p.purchase_ts, '{_TS_FMT_DUCK}') AS purchase_time,
+           CAST(round(p.purchase_value * 100) AS BIGINT)
+             AS purchase_value_c
+    FROM v JOIN p
+      ON p.p_user_id = v.user_id
+     AND p.purchase_ts >= v.view_ts
+     AND p.purchase_ts <= v.view_ts + INTERVAL '30 minutes'
+    UNION ALL
+    -- null-padded rows: emitted ONLY once the final watermark proves
+    -- no matching purchase can still arrive. Spark's left-state
+    -- eviction cutoff is wm - 30min - 1ms (the conservative extra
+    -- millisecond of getStateValueWatermark), compared µs-exact:
+    -- view_ts <= cutoff. Probed empirically at the boundary
+    -- (tests/test_streaming_equality.py::test_left_outer_interval_
+    -- join_watermark_boundary): wm-30min-1ms emits, +1µs is held.
+    SELECT v.user_id, v.view_id,
+           strftime(v.view_ts, '{_TS_FMT_DUCK}') AS view_time,
+           NULL AS purchase_time,
+           CAST(NULL AS BIGINT) AS purchase_value_c
+    FROM v, wm
+    WHERE epoch_us(v.view_ts) <= wm.wm_us - 1800001000
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.p_user_id = v.user_id
+          AND p.purchase_ts >= v.view_ts
+          AND p.purchase_ts <= v.view_ts + INTERVAL '30 minutes')
+    """,
+)
+def stream_stream_left_outer_interval_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join with watermark-gated
+    null emission: every view matched to same-user purchases within
+    30 minutes, plus a null-padded row per view for which the global
+    watermark has PROVEN no match can still arrive — the
+    unconverted-traffic shape of attribution pipelines (the inner
+    twin `stream_stream_interval_join` keeps only conversions).
+
+    The semantics under test is emission-on-expiry: an unmatched view
+    row may NOT be emitted when first seen (a qualifying purchase
+    could still arrive within watermark allowance); it is emitted
+    null-padded exactly when the left join-state buffer evicts it —
+    global watermark (min over both sides of ms-floored max event
+    time minus delay) past ``view_ts + 30min + 1ms``. Views younger
+    than that cutoff stay buffered at end-of-stream and are absent
+    from the result; the oracle reproduces the cutoff to the
+    microsecond (boundary behavior pinned by probe, see the oracle
+    comment). A side with no data holds the global watermark at its
+    initial zero, so no null row is emitted at all — also mirrored.
+
+    Scale: identical state-bound story to the inner twin — each
+    side's buffer holds O(rate × (delay + range)) rows, not history;
+    the null-emission adds no state, it rides the eviction scan that
+    happens anyway. The single-batch precondition is asserted: across
+    multiple micro-batches the MATCHED pairs are emitted identically,
+    but which unmatched views cross the cutoff depends on the final
+    watermark only, which the single-batch run pins to the global
+    max."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            """user_id = p_user_id
+               AND purchase_ts >= view_ts
+               AND purchase_ts <= view_ts + INTERVAL 30 MINUTES"""
+        ),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "view_id",
+        F.date_format("view_ts", _TS_FMT).alias("view_time"),
+        F.date_format("purchase_ts", _TS_FMT).alias("purchase_time"),
+        F.round(F.col("purchase_value") * 100).cast("long").alias(
+            "purchase_value_c"
+        ),
+    )
+    return run_stream_to_memory(
+        joined,
+        output_mode="append",
+        state_partitions=8,
+        expect_single_batch=True,
+    )
+
+
+@query(
     "stream_stateful_user_profile",
     oracle="""
     SELECT user_id,

@@ -167,87 +167,23 @@ _QUERY_MODULES = (
 #: retired multimodal formula stubs keep older ledger rows but are
 #: no longer registered).
 _WINDOW: tuple[str, ...] = (
-    # ROUND-12 rotation (executes item 1 of the round-11 verdict):
+    # ROUND-13 rotation (executes item 1 of the round-12 verdict):
     # the one net-new query of the round (zero driver history
-    # outranks everything — r11 verdict item 7's typed-state
-    # checkpoint-resume row), then the staged r12 queue — the 31 rows
-    # whose freshest driver evidence was CORRECTNESS_r05 after the
-    # r11 rotation (head = inverted_index_postings, displaced from
-    # the r11 window by the net-new fk_chain_sink_roundtrip), then 18
-    # of the 19 staged alphabetical heads of the 42 r6-stale rows
-    # (json_extract_events, displaced by the net-new row, heads the
-    # r13 queue). After r12 the oldest driver evidence on any live
-    # query is r6 (json_extract_events + the 23 r6 rows of the r13
-    # queue below).
-    # --- zero driver history (net-new this round): typed-state
-    #     restart-from-checkpoint of the TWS profile stream ---
-    "stream_tws_checkpoint_resume",
-    # --- the 31 remaining r5-stale rows ---
-    "inverted_index_postings",
-    "ivf_centroid_refinement",
-    "map_in_arrow_token_stats",
-    "migration_bucket_reconciliation",
-    "mixture_weighted_sample",
-    "oov_rate_top_vocab",
-    "pii_redaction_stats",
-    "quantile_cutpoint_bucketing",
-    "quota_cap_per_source",
-    "runtime_bloom_filtered_join",
-    "similarity_hyperplane_ann_topk",
-    "skew_diagnostics_orders_custkey",
-    "split_leakage_audit",
-    "stream_ingest_sink_roundtrip",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_volume_shipping",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipping_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_part_counts",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_disjunctive_predicates",
-    "tpch_q20_excess_shipping",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_global_sales_opportunity",
-    "zorder_layout_audit",
-    # --- 18 of the 19 staged alphabetical heads of the r6-stale
-    #     backlog (json_extract_events displaced to the r13 queue) ---
-    "bpe_train_merges",
-    "cdc_latest_version_dedup",
-    "cohort_weekly_retention",
-    "dataset_card_per_source",
-    "denorm_orders_by_customer",
-    "embedding_winsorization_stats",
-    "explode_collect_roundtrip",
-    "filter_eq_string",
-    "fk_chain_walk",
-    "format_roundtrip_digest",
-    "forward_fill_last_purchase_value",
-    "from_json_struct_events",
-    "funnel_signup_to_purchase",
-    "gopher_quality_rules",
-    "group_customer_stats",
-    "hybrid_rrf_retrieval",
-    "inter_event_gap_stats",
-    "jl_projection_recall_distortion",
-)
-
-#: r13 queue (stages item 5 of the round-11 verdict): the 23 rows
-#: whose freshest driver evidence remains CORRECTNESS_r06 after the
-#: r12 rotation, then 27 alphabetical heads of the 50 r7-stale rows.
-#: After r13 the tail is the 23 remaining r7 rows (pareto_revenue_
-#: concentration onward) — they queue for r14, giving the full
-#: 324-query surface r7+ external certification by r13 and r8+ by
-#: r14, the cadence the r10/r11 verdicts ordered.
-_QUEUE: tuple[str, ...] = (
-    # --- displaced from the r12 window by the net-new
-    #     stream_tws_checkpoint_resume row (r6-stale) ---
+    # outranks everything — r12 verdict item 6's watermark-emitted
+    # stream-stream LEFT OUTER interval join), then the staged r13
+    # queue — json_extract_events (r6-stale, displaced from the r12
+    # window by that round's net-new row), the 23 remaining r6-stale
+    # rows, and the first 25 of the 27 staged alphabetical heads of
+    # the 50 r7-stale rows (monthly_revenue_yoy_growth and
+    # oracle_to_cassandra_e2e, displaced by the net-new row, head the
+    # r14 queue). After r13 the oldest driver evidence on any live
+    # query is r7 (the 25 rows of the r14 queue below).
+    # --- zero driver history (net-new this round): left-outer
+    #     interval join with watermark-gated null emission ---
+    "stream_stream_left_outer_interval_join",
+    # --- the 24 r6-stale rows (json_extract_events first — displaced
+    #     from the r12 window — then alphabetical) ---
     "json_extract_events",
-    # --- the 23 remaining r6-stale rows (alphabetical) ---
     "json_to_map_explode",
     "lag_lead_user_events",
     "late_data_watermark_semantics",
@@ -271,7 +207,8 @@ _QUEUE: tuple[str, ...] = (
     "tumbling_6h_windows",
     "tumbling_daily_event_counts",
     "variant_json_extraction",
-    # --- 27 alphabetical heads of the r7-stale backlog ---
+    # --- first 25 of the 27 staged alphabetical heads of the
+    #     r7-stale backlog ---
     "ab_assignment_srm_check",
     "asof_join_with_tolerance",
     "benford_first_digit_audit",
@@ -297,8 +234,44 @@ _QUEUE: tuple[str, ...] = (
     "merge_upsert_apply",
     "migration_column_profile",
     "migration_column_profile_approx",
+)
+
+#: r14 queue (stages the final leg of the r10/r11 cadence): the two
+#: r7-stale rows displaced from the r13 window by the net-new
+#: left-outer interval join, then the 23 remaining r7-stale rows
+#: (pareto_revenue_concentration onward, alphabetical). 25 items —
+#: the r14 window tops up with 25 fillers from the oldest r8 rows,
+#: giving the full 325-query surface r8+ external certification by
+#: r14, the cadence the r10/r11 verdicts ordered.
+_QUEUE: tuple[str, ...] = (
+    # --- displaced from the r13 window by the net-new
+    #     stream_stream_left_outer_interval_join row (r7-stale) ---
     "monthly_revenue_yoy_growth",
     "oracle_to_cassandra_e2e",
+    # --- the 23 remaining r7-stale rows (alphabetical) ---
+    "pareto_revenue_concentration",
+    "pmi_collocations_topk",
+    "purchase_regularity_churn_signal",
+    "quality_length_regression_per_source",
+    "quality_quantile_normalization",
+    "rag_chunking_overlap",
+    "referential_integrity_audit",
+    "rfm_customer_segments",
+    "robust_quality_outliers",
+    "scd2_interval_build",
+    "schema_evolution_merge_read",
+    "stratified_split_audit",
+    "stream_gopher_quality_gate",
+    "stream_trending_event_types",
+    "supplier_concentration_hhi",
+    "temporal_embargo_split",
+    "text_normalization_stats",
+    "token_length_psi_drift",
+    "unpivot_order_measures",
+    "user_behavior_entropy",
+    "weekly_event_spike_alerts",
+    "weighted_sample_without_replacement",
+    "zipf_fit_per_corpus",
 )
 
 #: the driver verifies the FIRST 50 registered queries each round

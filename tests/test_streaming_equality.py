@@ -406,3 +406,80 @@ def test_sink_view_retirement_is_session_scoped(spark):
         ):
             spark.catalog.dropTempView(n) if spark.catalog.tableExists(n) else None
         C._SINK_VIEWS[:] = saved
+
+
+def test_left_outer_interval_join_watermark_boundary(spark, tmp_path):
+    """Pins the emission-on-expiry boundary of the stream-stream LEFT
+    OUTER interval join AND proves the registered DuckDB oracle
+    reproduces it row-for-row on a planted boundary dataset:
+
+    * global watermark = min over sides of (max event time FLOORED TO
+      MILLISECONDS - delay) — the max-setter view carries +999 µs that
+      must NOT advance the watermark;
+    * an unmatched view emits null-padded iff
+      ``view_ts <= wm - 30min - 1ms`` (µs-exact): the row AT the
+      cutoff emits, the row 1 µs past it stays buffered;
+    * matched pairs emit regardless of the watermark; unmatched
+      purchases never emit; pre-epoch views are dropped as late by
+      the initial zero watermark.
+    """
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+
+    T0 = dt.datetime(2024, 1, 1)
+
+    def ts(h=0, m=0, s=0, us=0):
+        return T0 + dt.timedelta(hours=h, minutes=m, seconds=s, microseconds=us)
+
+    # wm_view = floor_ms(10:00:00.000999) - 1h = 9:00:00.000
+    # wm_purch = 12:00 - 2h = 10:00  →  global wm = 9:00:00.000
+    # left-state cutoff = wm - 30min - 1ms = 8:29:59.999000
+    rows = [
+        (1, ts(10, 0, 0, 999), 100, "view", None),  # young: held
+        (2, ts(12), 101, "purchase", 5.0),  # unmatched right: never emits
+        (3, ts(2), 1, "view", None),  # matched pair with #4
+        (4, ts(2, 10), 1, "purchase", 7.5),
+        (5, ts(1), 2, "view", None),  # old unmatched: null row
+        (30, ts(8, 29, 59, 999000), 10, "view", None),  # == cutoff: null row
+        (31, ts(8, 29, 59, 999999), 11, "view", None),  # cutoff+1µs: held
+        (32, ts(8, 30), 12, "view", None),  # past cutoff: held
+        (33, T0.replace(year=1969, month=12, day=31), 13, "view", None),  # late
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    # a single parquet FILE named events.parquet (the testdata layout
+    # read_events_stream's pathGlobFilter expects), not a directory
+    pdf.to_parquet(str(tmp_path / "events.parquet"), index=False)
+
+    out = E.queries()["stream_stream_left_outer_interval_join"](
+        spark, str(tmp_path)
+    )
+    got = {
+        (r.view_id, r.purchase_time is None)
+        for r in out.collect()
+    }
+    assert got == {
+        (3, False),  # matched pair
+        (5, True),  # old unmatched
+        (30, True),  # exactly at the eviction cutoff
+    }
+
+    # the registered oracle reproduces the same rows on this dataset
+    from tests.compare import compare_query
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    compare_query(
+        E.queries()["stream_stream_left_outer_interval_join"](
+            spark, str(tmp_path)
+        ),
+        con,
+        E.oracle_sql()["stream_stream_left_outer_interval_join"],
+        name="stream_stream_left_outer_interval_join[boundary]",
+    )
