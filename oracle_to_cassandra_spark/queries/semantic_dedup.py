@@ -206,9 +206,18 @@ def embedding_cluster_keepers(spark, sf_dir):
     # sparse entries). Measured at sf0.1 this replaced a 2.7M-row
     # broadcast-join shuffle + pivot (1.8 s) with one doc-sized
     # aggregate (~0.3 s).
+    # each ±1 plane array is ONE F.expr string parse, not 64 F.lit
+    # py4j round-trips: the earlier F.array(*[F.lit(...)×64])×16 form
+    # built 1024 driver-side Column objects per call — ~2.5 s of pure
+    # plan-construction latency at every invocation (measured r13;
+    # the r10 bench drift of this query, 4.8 → 6.0 s, was exactly
+    # this, not the JVM execution, which the single-aggregate rewrite
+    # did make faster). Identical resolved plan either way.
     signs = _plane_signs()
     sign_arrays = [
-        F.array(*[F.lit(signs[p][d]) for d in range(SEM_DIM)])
+        F.expr(
+            "array(" + ",".join(str(s) for s in signs[p]) + ")"
+        )
         for p in range(SEM_PLANES)
     ]
     per_doc = stage(
