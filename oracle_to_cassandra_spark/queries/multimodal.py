@@ -264,7 +264,9 @@ def stream_multimodal_wav_decode(spark, sf_dir):
     (decode once, on arrival, not per downstream consumer)."""
     from oracle_to_cassandra_spark.streaming.core import run_stream_to_memory
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from oracle_to_cassandra_spark.sources.parquet import read_parquet
+
+    raw_schema = read_parquet(spark, f"{sf_dir}/documents.parquet").schema
     docs_stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")

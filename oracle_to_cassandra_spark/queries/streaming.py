@@ -612,7 +612,9 @@ def stream_gopher_quality_gate(spark, sf_dir):
         gopher_pass_expr,
     )
 
-    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    from oracle_to_cassandra_spark.sources.parquet import read_parquet
+
+    raw_schema = read_parquet(spark, f"{sf_dir}/documents.parquet").schema
     docs = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "documents.parquet")

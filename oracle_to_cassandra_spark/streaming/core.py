@@ -64,7 +64,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no reader mutates session state it doesn't need to change
     if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from oracle_to_cassandra_spark.sources.parquet import read_parquet
+
+    raw_schema = read_parquet(spark, f"{sf_dir}/events.parquet").schema
     # the file stream source lists a DIRECTORY (a Kafka-topic analog);
     # pathGlobFilter narrows it to the events table
     raw = (
