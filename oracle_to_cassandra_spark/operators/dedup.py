@@ -58,14 +58,22 @@ def exact_dedup_keepers(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def doc_shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
+def doc_shingle_hashes(
+    documents: DataFrame, k: int = 3, toked: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, h31) exploded — shingles hashed to int64 INSIDE the
     per-row array (one md5 per shingle, before the explode), distinct
     per doc. Every downstream stage (signature mins, Jaccard
     intersection joins) operates on 8-byte hashes, never on shingle
     strings — at 100 TB the explode/shuffle carries longs, not
     n-gram text. Set semantics are preserved modulo md5 collisions
-    (~2⁻⁶⁰ per pair), identically on both engines."""
+    (~2⁻⁶⁰ per pair), identically on both engines.
+
+    Pass ``toked`` — a (doc_id, __tok) frame, staged by the caller —
+    to share ONE tokenization across several shingle widths (the
+    width-sensitivity audit runs k=3 and k=5 over the same corpus;
+    the translate+lower+split chain is ~25% of pipeline wall time
+    and must not run per width)."""
     # tokenize ONCE per row behind a named projection: shingles()
     # references its token input k times (zip_with slices are
     # CodegenFallback, no CSE), so inlining tokens() here re-runs the
@@ -73,9 +81,10 @@ def doc_shingle_hashes(documents: DataFrame, k: int = 3) -> DataFrame:
     # pipeline's wall time at k=5. CollapseProject keeps a non-cheap
     # multi-referenced alias materialized, so the select is a real
     # evaluation barrier.
-    toked = documents.select(
-        "doc_id", tokens(F.col("text")).alias("__tok")
-    )
+    if toked is None:
+        toked = documents.select(
+            "doc_id", tokens(F.col("text")).alias("__tok")
+        )
     hashed = F.array_distinct(
         F.transform(shingles(F.col("__tok"), k), lambda sh: base31(sh))
     )
@@ -191,7 +200,11 @@ def lsh_candidate_pairs_sql(bands: int = 2, rows: int = 4, k: int = 3) -> str:
 
 
 def jaccard_verified_pairs(
-    documents: DataFrame, threshold: float = 0.6, k: int = 3
+    documents: DataFrame,
+    threshold: float = 0.6,
+    k: int = 3,
+    shingle_hashes: DataFrame | None = None,
+    candidate_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The full MinHash→LSH→exact-Jaccard pipeline: candidates from
     LSH, verified with exact shingle-set Jaccard, filtered at
@@ -205,9 +218,24 @@ def jaccard_verified_pairs(
     scale) executes once per consumer. The lazy checkpoint
     materializes it once inside the consuming job; on a cluster this
     is the 'stage the shingle table' step of every production dedup
-    pipeline."""
-    sh = stage(doc_shingle_hashes(documents, k))
-    cands = lsh_candidate_pairs(minhash_signatures(documents, shingle_hashes=sh))
+    pipeline.
+
+    Callers that ALSO consume the shingle table or the candidate
+    pairs pass them in (both already staged) so the expensive
+    derivations run once per query, not once per consumer — the
+    recall/precision audits would otherwise execute the whole
+    MinHash pipeline twice (r13 measurement: ~1.3 s per extra
+    execution at sf0.1)."""
+    sh = (
+        shingle_hashes
+        if shingle_hashes is not None
+        else stage(doc_shingle_hashes(documents, k))
+    )
+    cands = (
+        candidate_pairs
+        if candidate_pairs is not None
+        else lsh_candidate_pairs(minhash_signatures(documents, shingle_hashes=sh))
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
     sa = sh.alias("sa")

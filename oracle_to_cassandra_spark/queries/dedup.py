@@ -427,9 +427,12 @@ def lsh_dedup_recall_vs_exact(spark, sf_dir):
         )
         .select("doc_a", "doc_b")
     )
-    found = D.jaccard_verified_pairs(docs, threshold=0.6).select(
-        "doc_a", "doc_b"
-    )
+    # the production-pipeline side shares the staged shingle table
+    # with the ground-truth side (r13, guide §2.4): one
+    # tokenize→shingle→md5 pass for the whole audit instead of two
+    found = D.jaccard_verified_pairs(
+        docs, threshold=0.6, shingle_hashes=sh
+    ).select("doc_a", "doc_b")
     n_truth = truth.agg(F.count("*").alias("n_truth"))
     n_found = found.agg(F.count("*").alias("n_found"))
     n_capped = hot.agg(F.count("*").alias("n_capped_shingles"))
@@ -473,10 +476,20 @@ def lsh_candidate_precision_audit(spark, sf_dir):
     JUSTIFIED rather than assumed.
 
     Scale: candidate and verified counts are aggregates of pipelines
-    the dedup queries already run; the audit adds two scalars."""
+    the dedup queries already run; the audit adds two scalars. The
+    shingle table and the candidate pairs each feed TWO consumers
+    (candidate count + verify side; shingle mins + intersection), so
+    both are staged and passed through — the r13 measurement had the
+    whole MinHash→LSH pipeline executing twice here (once for the
+    count, once inside the verify), guide §2.4."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = D.lsh_candidate_pairs(D.minhash_signatures(docs))
-    found = D.jaccard_verified_pairs(docs, threshold=0.6)
+    sh = stage(D.doc_shingle_hashes(docs))
+    cands = stage(
+        D.lsh_candidate_pairs(D.minhash_signatures(docs, shingle_hashes=sh))
+    )
+    found = D.jaccard_verified_pairs(
+        docs, threshold=0.6, shingle_hashes=sh, candidate_pairs=cands
+    )
     n_c = cands.agg(F.count("*").alias("n_candidates"))
     n_f = found.agg(F.count("*").alias("n_verified"))
     return n_c.crossJoin(F.broadcast(n_f)).select(
@@ -525,17 +538,32 @@ def shingle_width_sensitivity(spark, sf_dir):
     scalar aggregates. Nothing scales with n² of the corpus. Each
     pair set feeds TWO consumers (its own count + the containment
     join), so both are staged — without it the full MinHash→LSH→
-    verify pipeline would execute twice per width."""
+    verify pipeline would execute twice per width. The TOKENIZATION
+    is width-independent and feeds both widths' shingle tables, so it
+    is staged once and passed into each ``doc_shingle_hashes`` (r13,
+    guide §2.4 — the translate+lower+split chain is ~25% of pipeline
+    wall time and ran once per width before)."""
+    from oracle_to_cassandra_spark.operators.text import tokens
+
     docs = load_table(spark, sf_dir, "documents")
+    toked = stage(
+        docs.select("doc_id", tokens(F.col("text")).alias("__tok"))
+    )
     p3 = stage(
-        D.jaccard_verified_pairs(docs, threshold=0.6, k=3).select(
-            "doc_a", "doc_b"
-        )
+        D.jaccard_verified_pairs(
+            docs,
+            threshold=0.6,
+            k=3,
+            shingle_hashes=stage(D.doc_shingle_hashes(docs, k=3, toked=toked)),
+        ).select("doc_a", "doc_b")
     )
     p5 = stage(
-        D.jaccard_verified_pairs(docs, threshold=0.6, k=5).select(
-            "doc_a", "doc_b"
-        )
+        D.jaccard_verified_pairs(
+            docs,
+            threshold=0.6,
+            k=5,
+            shingle_hashes=stage(D.doc_shingle_hashes(docs, k=5, toked=toked)),
+        ).select("doc_a", "doc_b")
     )
     n3 = p3.agg(F.count("*").alias("n_pairs_w3"))
     n5 = p5.agg(F.count("*").alias("n_pairs_w5"))

@@ -353,38 +353,71 @@ def migration_column_profile(spark, sf_dir):
     counts → NOT NULL constraints, min/max → type ranges) before any
     data moves.
 
-    Scale: one pass over the table; the multi-column exact DISTINCT
-    expands rows ×6 into partial aggregates (Spark's Expand), which
-    is the exact-answer cost — the 100 TB variant swaps in
-    approx_count_distinct per column and the Expand disappears; plan
-    shape is otherwise identical. Long-format output (a row per
-    column) so downstream checks join against target-side profiles."""
+    Scale (r13 rewrite, guide §2.3): the old single-aggregate form
+    put all six ``count_distinct`` columns through Spark's
+    multi-distinct rewrite — an Expand ×7 whose 13-column rows were
+    then SORT-aggregated on a 7-key Sort (the string min/max buffers
+    bar HashAggregate), ~3.3 s at sf0.1 and a wide sort-shuffle at
+    any scale. Split shape: (a) min/max/null-counts in ONE
+    grouping-free aggregate — no Expand, no Sort (empty grouping key
+    never sorts); (b) exact distincts over a MELTED
+    (column_name, string-value) table — rows ×6 but 2 narrow columns
+    instead of 13, hash-based partial dedup before the exchange.
+    String-cast distinctness is injective for every profiled type
+    (the ``migration_column_profile_approx`` contract, same columns).
+    The 1-row and 6-row frames broadcast-assemble into the identical
+    long-format output."""
     o = load_table(spark, sf_dir, "orders").select(*_PROFILE_COLS)
     aggs = []
     for c in _PROFILE_COLS:
         aggs += [
             F.count(F.col(c)).alias(f"{c}__nn"),
-            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     one = o.agg(F.count(F.lit(1)).alias("__total"), *aggs)
+    melted = (
+        o.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("column_name"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in _PROFILE_COLS
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.column_name", "e.v")
+        .filter(F.col("v").isNotNull())
+    )
+    nd = (
+        melted.distinct()
+        .groupBy("column_name")
+        .agg(F.count("*").alias("__nd"))
+    )
     rows = F.array(
         *[
             F.struct(
                 F.lit(c).alias("column_name"),
                 F.col("__total").alias("n_rows"),
                 (F.col("__total") - F.col(f"{c}__nn")).alias("n_null"),
-                F.col(f"{c}__nd").alias("n_distinct"),
                 F.col(f"{c}__min").alias("min_repr"),
                 F.col(f"{c}__max").alias("max_repr"),
             )
             for c in _PROFILE_COLS
         ]
     )
-    return one.select(F.explode(rows).alias("p")).select(
-        "p.column_name", "p.n_rows", "p.n_null", "p.n_distinct",
-        "p.min_repr", "p.max_repr",
+    base = one.select(F.explode(rows).alias("p")).select("p.*")
+    return base.join(F.broadcast(nd), "column_name", "left").select(
+        "column_name",
+        "n_rows",
+        "n_null",
+        F.coalesce(F.col("__nd"), F.lit(0).cast("long")).alias("n_distinct"),
+        "min_repr",
+        "max_repr",
     )
 
 
