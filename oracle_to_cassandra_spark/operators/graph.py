@@ -71,16 +71,24 @@ def connected_components(
 
     converged = False
     for rnd in range(max_iter):
-        # (1) propagation: each node adopts min(own, neighbors' labels)
+        # (1) propagation: each node adopts min(own, neighbors' labels).
+        # The node's OLD label rides through the aggregate on a
+        # tagged union branch (labels holds exactly one row per u, so
+        # min-over-the-self-branch IS that label) — the round-level
+        # change flag then needs no labels⋈propagated re-join, one
+        # join + one exchange fewer per round (r13, guide §2.4).
         neighbor_labels = (
             bi.join(labels.withColumnRenamed("u", "v2"), bi.v == F.col("v2"))
             .select("u", "label")
         )
         propagated = (
-            labels.select("u", "label")
-            .union(neighbor_labels)
+            labels.select("u", "label", F.lit(True).alias("_self"))
+            .union(neighbor_labels.select("u", "label", F.lit(False)))
             .groupBy("u")
-            .agg(F.min("label").alias("new_label"))
+            .agg(
+                F.min("label").alias("new_label"),
+                F.min(F.when(F.col("_self"), F.col("label"))).alias("_old"),
+            )
         )
         # (2) pointer jump: l(u) ← l(l(u)); l(x) ≤ x, so the composed
         # label can only be smaller — no least() needed. ADAPTIVE: the
@@ -102,20 +110,17 @@ def connected_components(
             )
             propagated = (
                 propagated.join(jump_src, propagated.new_label == F.col("ju"))
-                .select("u", F.col("jlabel").alias("new_label"))
+                .select("u", F.col("jlabel").alias("new_label"), "_old")
             )
         # bounded lineage + the ONLY execution of this round's DAG.
         # _chg compares across the WHOLE round: jump(prop(l)) ≤
         # prop(l) ≤ l, so round-level no-change sandwiches prop(l)=l —
         # the propagation fixed point that proves uniform labels (see
         # module docstring)
-        labels = (
-            labels.join(propagated, "u")
-            .select(
-                "u",
-                F.col("new_label").alias("label"),
-                (F.col("label") != F.col("new_label")).alias("_chg"),
-            )
+        labels = propagated.select(
+            "u",
+            F.col("new_label").alias("label"),
+            (F.col("_old") != F.col("new_label")).alias("_chg"),
         )
         labels = stage(labels, eager=True)
         # cheap scan of the already-materialized partitions

@@ -214,7 +214,15 @@ def format_roundtrip_digest(spark, sf_dir):
     tier — the query documents that trade-off by pinning the float
     to a canonical 2-dp string (a raw double through CSV is not
     guaranteed bit-lossless); parquet remains the storage format
-    everywhere else in this repo."""
+    everywhere else in this repo. The three format writes are
+    independent jobs over the same scan, so they run CONCURRENTLY
+    from a small thread pool (guide §2.6 — actions are only
+    sequential because driver code calls them sequentially); wall
+    time is the slowest write, not the sum, here and on a cluster,
+    where the later jobs back-fill executors the first job's tail
+    leaves idle."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from oracle_to_cassandra_spark import scratch
     from oracle_to_cassandra_spark.functions.hashing import md5_int64, md5_int64_sql
 
@@ -224,12 +232,26 @@ def format_roundtrip_digest(spark, sf_dir):
         "o_orderpriority",
         F.format_number(F.col("o_totalprice"), 2).alias("price_s"),
     ).withColumn("price_s", F.regexp_replace("price_s", ",", ""))
-    out = []
-    for fmt in ("csv", "json", "orc"):
+
+    def _write(fmt: str) -> str:
         path = scratch.session_path(f"roundtrip_{fmt}")
         writer = o.write.mode("overwrite")
         if fmt == "csv":
             writer.option("header", True).csv(path)
+        elif fmt == "json":
+            writer.json(path)
+        else:
+            writer.orc(path)
+        return path
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        paths = dict(zip(("csv", "json", "orc"),
+                         pool.map(_write, ("csv", "json", "orc"))))
+
+    out = []
+    for fmt in ("csv", "json", "orc"):
+        path = paths[fmt]
+        if fmt == "csv":
             back = (
                 spark.read.option("header", True)
                 .schema("o_orderkey LONG, o_orderstatus STRING, "
@@ -237,13 +259,11 @@ def format_roundtrip_digest(spark, sf_dir):
                 .csv(path)
             )
         elif fmt == "json":
-            writer.json(path)
             back = spark.read.schema(
                 "o_orderkey LONG, o_orderstatus STRING, "
                 "o_orderpriority STRING, price_s STRING"
             ).json(path)
         else:  # columnar-binary member of the interchange set
-            writer.orc(path)
             back = spark.read.orc(path)
         row = F.concat_ws(
             "|", F.col("o_orderkey").cast("string"), "o_orderstatus",

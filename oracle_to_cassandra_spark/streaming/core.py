@@ -13,6 +13,7 @@ code. The memory sink is only for local verification.
 
 from __future__ import annotations
 
+import os
 import uuid
 import weakref
 
@@ -35,6 +36,21 @@ from pyspark.sql import types as T
 #: caller's are pruned lazily — we can no longer reach that session
 #: to drop anything, and if it died its views died with it.
 _SINK_VIEWS: list[tuple[str, "weakref.ref", str]] = []
+
+#: default state-partition width for streams that do not size their
+#: own. A streaming query PINS its state-partition count at first
+#: start — it is a property of the checkpoint, not of the session —
+#: so the right width is set by expected state SIZE, never by the
+#: batch-shuffle default (guide §2: partitioning derived from the
+#: data, not a constant tuned for one deployment). Every stateful
+#: operator here opens one state store per partition and commits one
+#: delta file per partition per micro-batch; running test-SF state
+#: (thousands of keys) at the 32-wide batch default quadruples that
+#: fixed cost for nothing. Production overrides at submit time via
+#: ``SPARK_GRAFT_STATE_PARTITIONS`` sized to peak keyed state.
+DEFAULT_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+)
 
 
 def _session_token(spark: SparkSession) -> str:
@@ -155,6 +171,8 @@ def run_stream_to_memory(
     # whose session has been collected are pruned — their views died
     # with the session.
     _retire_sink_views(spark, name)
+    if state_partitions is None:
+        state_partitions = DEFAULT_STATE_PARTITIONS
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
