@@ -380,20 +380,28 @@ def recursive_cte_trade_reachability(spark, sf_dir):
 
     Scale: each recursion level is one self-join against the
     edge list — the same per-round movement as the PageRank loop,
-    planned by the engine instead of a Python driver loop."""
+    planned by the engine instead of a Python driver loop. The edge
+    DERIVATION (the 4-table lineitem join) is staged once behind a
+    temp view before the recursion (r13, guide §2.4): referenced
+    inline, the recursive evaluator re-executes the non-recursive
+    CTE's subplan at every level, re-running the corpus-sized join
+    per hop; staged, each level joins against the tiny materialized
+    nation-to-nation edge list."""
     from oracle_to_cassandra_spark.sources import register_views
+    from oracle_to_cassandra_spark.staging import stage
 
     register_views(
         spark, sf_dir, ("lineitem", "orders", "customer", "supplier")
     )
+    edges = stage(spark.sql(_REACH_EDGES))
+    edges.createOrReplaceTempView("reach_edges_staged")
     return spark.sql(
-        f"""
-        WITH RECURSIVE edges AS ({_REACH_EDGES}),
-        reach(node, hops) AS (
+        """
+        WITH RECURSIVE reach(node, hops) AS (
           SELECT 0, 0
           UNION ALL
           SELECT e.dst, r.hops + 1
-          FROM reach r JOIN edges e ON e.src = r.node
+          FROM reach r JOIN reach_edges_staged e ON e.src = r.node
           WHERE r.hops < 3
         )
         SELECT node AS nationkey, CAST(min(hops) AS BIGINT) AS min_hops,

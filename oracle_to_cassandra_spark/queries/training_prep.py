@@ -271,27 +271,27 @@ def split_leakage_audit(spark, sf_dir):
     non-zero train/val or train/test row blocks the split.
 
     Scale: the pair set is LSH-bounded (never all-pairs); the split
-    relation is corpus-sized but the two attachment joins shuffle
-    only (pair-key, split) columns, and the final aggregate has at
-    most 6 groups. No collect, no global sort."""
+    assignment is a PURE FUNCTION of doc_id (hash-split), so it is
+    evaluated as an expression directly on the pair rows — no
+    corpus-sized split relation, no attachment joins, no shuffle
+    beyond the pipeline's own (r13; the earlier form joined the
+    corpus-sized split table once per pair side). The final
+    aggregate has at most 6 groups. No collect, no global sort."""
     from oracle_to_cassandra_spark.operators.dedup import jaccard_verified_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_verified_pairs(docs, 0.6)
-    h = base31(F.col("doc_id").cast("string")) % 10
-    sp = docs.select(
-        "doc_id",
-        F.when(h < 8, "train").when(h == 8, "val").otherwise("test").alias("split"),
-    )
-    attached = (
-        pairs.join(sp.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .withColumnRenamed("split", "split_a")
-        .join(
-            sp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "split", "split_b"
-            ),
-            "doc_b",
-        )
+
+    def _split(col):
+        h = base31(col.cast("string")) % 10
+        return F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+
+    attached = pairs.select(
+        "doc_a",
+        "doc_b",
+        "jaccard_ppm",
+        _split(F.col("doc_a")).alias("split_a"),
+        _split(F.col("doc_b")).alias("split_b"),
     )
     lo = F.least("split_a", "split_b")
     hi = F.greatest("split_a", "split_b")

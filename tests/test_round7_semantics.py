@@ -5,6 +5,8 @@ multimodal decoders."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -130,18 +132,29 @@ def test_e2e_flagship_plan_and_values(spark):
 
 
 def test_column_profile_approx_expand_free(spark):
-    """The approx profile's whole plan must contain NO Expand node —
-    the point of the HLL variant — while the exact profile (the
-    N-distinct-in-one-agg form) does have one; and the sketch must
-    land within tolerance on every column."""
+    """Both profile variants must plan WITHOUT an Expand node and
+    WITHOUT SortAggregate: the approx form by construction (HLL
+    sketches), the exact form since the r13 rewrite that split
+    min/max/null counts into one no-grouping pass and computes exact
+    distincts over a melted (column_name, value) relation with
+    hash-based partial dedup — the old single 6-distinct aggregate
+    planned as SortAggregate over a ×7 Expand (see
+    plans/r13/migration_column_profile_before.txt). The sketch must
+    still land within tolerance on every column."""
     from oracle_to_cassandra_spark.plans import formatted_plan
 
     approx_df = E.queries()["migration_column_profile_approx"](spark, SF_DIR)
     assert "Expand" not in formatted_plan(approx_df)
     exact_df = E.queries()["migration_column_profile"](spark, SF_DIR)
-    assert "Expand" in formatted_plan(exact_df), (
-        "exact profile no longer multi-distincts in one agg — "
-        "update this contrast test"
+    exact_plan = formatted_plan(exact_df)
+    assert "Expand" not in exact_plan, (
+        "exact profile regressed to the multi-distinct-in-one-agg form"
+    )
+    # the one-pass min/max/null agg may still PLAN as SortAggregate
+    # (string min/max buffers are not hash-supported) but with empty
+    # grouping keys it must not require an actual row Sort
+    assert not re.search(r"^\(\d+\) Sort\s*$", exact_plan, re.M), (
+        "exact profile regressed to a sorted wide-row aggregation"
     )
     rows = approx_df.collect()
     assert len(rows) == 6
