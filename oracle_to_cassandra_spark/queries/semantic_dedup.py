@@ -30,12 +30,16 @@ Scale posture (100 TB):
     takes both as parameters.
   * ONE doc-sized aggregate derives all 16 plane projections
     (element_at on literal ±1 arrays — no plane join, no ×16 row
-    multiplication), the squared norm, and the dense vector; it is
-    staged once (``staging.stage``) and feeds the band table and both
-    dot-product sides — no cross-branch recomputation.
-  * Cosine verification touches candidates only; CC runs on verified
-    edges (node-sized state, O(log diameter) rounds); the keeper rank
-    window partitions by cluster — cluster-sized, never a global sort.
+    multiplication) and the squared norm; the sparse (doc_id, dim,
+    val) relation and the projection table are each staged once
+    (``staging.stage``) — no cross-branch recomputation.
+  * Cosine verification touches candidates only, via sparse dots over
+    shared dims (the tiny candidate set joins INTO the staged sparse
+    relation — the corpus is never shuffled, and no dense per-doc
+    vector is ever materialized); CC runs on verified edges
+    (node-sized state, O(log diameter) rounds); quality scoring and
+    the keeper rank window run over cluster MEMBERS only, never the
+    corpus.
 """
 
 from __future__ import annotations
@@ -197,58 +201,37 @@ def embedding_cluster_keepers(spark, sf_dir):
 
     band_width = SEM_PLANES // SEM_BANDS
     docs = load_table(spark, sf_dir, "documents")
-    ve = semantic_vectors(docs)
+    # (doc_id, dim, val) staged ONCE: it feeds the per-doc projection
+    # aggregate AND both sides of the candidate dot join below —
+    # without staging the shingle pipeline would execute three times
+    # (no CSE across plan branches, staging module docstring)
+    ve = stage(semantic_vectors(docs))
 
-    # ONE aggregation per doc computes everything downstream needs:
-    # the 16 plane projections (element_at on literal ±1 arrays — no
-    # plane join, no ×16 row multiplication, map-side combinable), the
-    # squared norm, and the dense 64-vector (map lookup over the
-    # sparse entries). Measured at sf0.1 this replaced a 2.7M-row
-    # broadcast-join shuffle + pivot (1.8 s) with one doc-sized
-    # aggregate (~0.3 s).
-    # each ±1 plane array is ONE F.expr string parse, not 64 F.lit
-    # py4j round-trips: the earlier F.array(*[F.lit(...)×64])×16 form
-    # built 1024 driver-side Column objects per call — ~2.5 s of pure
-    # plan-construction latency at every invocation (measured r13;
-    # the r10 bench drift of this query, 4.8 → 6.0 s, was exactly
-    # this, not the JVM execution, which the single-aggregate rewrite
-    # did make faster). Identical resolved plan either way.
+    # ONE aggregation per doc computes the 16 plane projections
+    # (element_at on literal ±1 arrays — no plane join, no ×16 row
+    # multiplication, map-side combinable) and the squared norm.
+    # Each projection is ONE F.expr string parse — the earlier
+    # F.sum(F.col*F.element_at(...)) composition per plane plus 64
+    # conditional-sum columns for a dense vector cost ~10,000 py4j
+    # round-trips (~2.2 s of pure plan-construction latency per
+    # invocation, cProfile r13) and a 81-function aggregate whose
+    # analysis alone took ~1.1 s at the checkpoint call. The dense
+    # vector is gone entirely: candidate cosine now dots the SPARSE
+    # (doc_id, dim, val) relation (see below), which is also the
+    # 100 TB shape — dense 64-vectors for every corpus doc were
+    # computed even though only LSH-candidate docs are ever dotted.
     signs = _plane_signs()
-    sign_arrays = [
-        F.expr(
-            "array(" + ",".join(str(s) for s in signs[p]) + ")"
-        )
-        for p in range(SEM_PLANES)
-    ]
-    # the dense 64-vector comes from 64 CONDITIONAL SUMS, not
-    # collect_list→map→transform: collect_list is a
-    # TypedImperativeAggregate, which forces the whole 17-function
-    # aggregate onto the object-based (non-codegen) path; with every
-    # function declarative the planner emits one codegen'd
-    # HashAggregate (r13, guide §4.1 — measured 1.65 → 1.25 s for the
-    # staged subtree at sf0.1, identical rows)
     per_doc = stage(
         ve.groupBy("doc_id").agg(
             *[
-                F.sum(
-                    F.col("val")
-                    * F.element_at(sign_arrays[p], F.col("dim") + 1)
-                ).alias(f"pr{p}")
+                F.expr(
+                    "sum(val * element_at(array("
+                    + ",".join(str(s) for s in signs[p])
+                    + f"), dim + 1)) AS pr{p}"
+                )
                 for p in range(SEM_PLANES)
             ],
-            F.sum(F.col("val") * F.col("val")).alias("n2"),
-            *[
-                F.coalesce(
-                    F.sum(F.when(F.col("dim") == d, F.col("val"))),
-                    F.lit(0).cast("long"),
-                ).alias(f"v{d}")
-                for d in range(SEM_DIM)
-            ],
-        ).select(
-            "doc_id",
-            *[f"pr{p}" for p in range(SEM_PLANES)],
-            "n2",
-            F.array(*[F.col(f"v{d}") for d in range(SEM_DIM)]).alias("vec"),
+            F.expr("sum(val * val) AS n2"),
         )
     )
     band_structs = [
@@ -283,30 +266,43 @@ def embedding_cluster_keepers(spark, sf_dir):
         )
         .distinct()
     )
-    # exact cosine on candidates only: join the doc-sized vector table
-    # to each side, dot via zip_with/aggregate (codegen'd; dots and
-    # norms are integer, the division is the only float)
-    vecs = per_doc.select("doc_id", "vec", "n2")
-    dot = F.aggregate(
-        F.zip_with(F.col("a_vec"), F.col("b_vec"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    sim_edges = (
+    # exact cosine on candidates only, via the SPARSE relation: attach
+    # each side's (dim, val) rows to the candidate pairs and sum the
+    # products over the SHARED dims (a pair with no shared dim never
+    # reaches the dot table — its dot is 0, below any positive
+    # threshold, identical outcome). Integer dots and norms, the
+    # division is the only float. At scale the tiny candidate set
+    # broadcast-joins into the staged sparse relation — the corpus is
+    # never shuffled; the per-pair cost is bounded by the docs'
+    # nonzero-dim counts (≤ SEM_DIM each).
+    dots = (
         cands.join(
-            vecs.select(
+            ve.select(
                 F.col("doc_id").alias("doc_a"),
-                F.col("vec").alias("a_vec"),
-                F.col("n2").alias("na2"),
+                "dim",
+                F.col("val").alias("a_val"),
             ),
             "doc_a",
         )
         .join(
-            vecs.select(
+            ve.select(
                 F.col("doc_id").alias("doc_b"),
-                F.col("vec").alias("b_vec"),
-                F.col("n2").alias("nb2"),
+                "dim",
+                F.col("val").alias("b_val"),
             ),
+            ["doc_b", "dim"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("a_val") * F.col("b_val")).alias("dot"))
+    )
+    norms = per_doc.select("doc_id", "n2")
+    sim_edges = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2")),
             "doc_b",
         )
         .filter(
@@ -318,7 +314,10 @@ def embedding_cluster_keepers(spark, sf_dir):
             (F.col("na2") > 0)
             & (F.col("nb2") > 0)
             & (
-                F.round(dot / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))), 6)
+                F.round(
+                    F.col("dot") / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2"))),
+                    6,
+                )
                 >= SEM_COS_THRESHOLD
             )
         )
@@ -329,10 +328,19 @@ def embedding_cluster_keepers(spark, sf_dir):
     # identical double chain; the EMITTED column is the exact int64
     # micro form per the operators/text.py compare-column contract
     # (round(quality, 6) ties on half-micro knife edges when the
-    # token count carries a factor of 2^7)
-    scored = docs.join(labels, "doc_id", "left").select(
+    # token count carries a factor of 2^7).
+    # INNER join: only multi-member clusters survive the final
+    # cluster_size > 1 filter, and every member of such a cluster has
+    # an edge, hence a CC label (the component minimum is itself a
+    # member, so an unlabeled doc can never share a cluster_id with
+    # labeled ones). Scoring quality and running the rank window over
+    # cluster MEMBERS only — not the whole corpus — drops a
+    # corpus-sized tokenization + a corpus-wide window shuffle/sort
+    # (r13, guide §2.3: the window previously partitioned 1 row per
+    # doc for ~all docs just to discard them as singletons).
+    scored = docs.join(labels, "doc_id").select(
         "doc_id",
-        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        "cluster_id",
         TX.quality_score(F.col("text")).alias("quality"),
         TX.quality_micro(F.col("text")).alias("quality_micro"),
     )
