@@ -38,6 +38,15 @@ def md5_int64_sql(expr: str) -> str:
     return f"('0x' || substr(md5({expr}), 1, 15))::INT64"
 
 
+def md5_int64_sx(expr: str) -> str:
+    """Spark-SQL string twin of :func:`md5_int64` — same operators,
+    parsed JVM-side in ONE py4j round trip instead of one per Column
+    op. The ``_sx`` family exists purely for plan-construction
+    latency (guide §7.3: very large expression trees built in Python
+    loops spend their time in py4j, not in Spark)."""
+    return f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def base31(col: Column) -> Column:
     """Base hash reduced into [0, p)."""
     return md5_int64(col) % MERSENNE_P
@@ -47,10 +56,21 @@ def base31_sql(expr: str) -> str:
     return f"({md5_int64_sql(expr)} % {MERSENNE_P})"
 
 
+def base31_sx(expr: str) -> str:
+    """Spark-SQL string twin of :func:`base31`."""
+    return f"({md5_int64_sx(expr)} % {MERSENNE_P})"
+
+
 def perm_hash(h31: Column, i: int) -> Column:
     """i-th universal-hash permutation of a base-31 hash."""
     return (h31 * MINHASH_A[i] + MINHASH_B[i]) % MERSENNE_P
 
 
 def perm_hash_sql(h31_expr: str, i: int) -> str:
+    return f"(({h31_expr} * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P})"
+
+
+def perm_hash_sx(h31_expr: str, i: int) -> str:
+    """Spark-SQL string twin of :func:`perm_hash` (same text as the
+    DuckDB form — integer arithmetic parses identically)."""
     return f"(({h31_expr} * {MINHASH_A[i]} + {MINHASH_B[i]}) % {MERSENNE_P})"

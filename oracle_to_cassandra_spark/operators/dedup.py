@@ -34,14 +34,14 @@ from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import (
     N_PERM,
-    base31,
     base31_sql,
-    md5_int64,
+    base31_sx,
     md5_int64_sql,
-    perm_hash,
+    md5_int64_sx,
     perm_hash_sql,
+    perm_hash_sx,
 )
-from oracle_to_cassandra_spark.operators.text import shingles, shingles_sql, tokens
+from oracle_to_cassandra_spark.operators.text import shingles_sql, shingles_sx, tokens_sx
 from oracle_to_cassandra_spark.staging import stage
 
 SIMHASH_BITS = 16
@@ -82,15 +82,16 @@ def doc_shingle_hashes(
     # multi-referenced alias materialized, so the select is a real
     # evaluation barrier.
     if toked is None:
-        toked = documents.select(
-            "doc_id", tokens(F.col("text")).alias("__tok")
+        toked = documents.selectExpr(
+            "doc_id", f"{tokens_sx('text')} AS __tok"
         )
-    hashed = F.array_distinct(
-        F.transform(shingles(F.col("__tok"), k), lambda sh: base31(sh))
-    )
+    # built as ONE parseable string (the _sx twins): the per-shingle
+    # hash lambda composed Column-by-Column cost ~3k py4j round trips
+    # per construction — pure driver latency (guide §7.3)
+    hashed = f"array_distinct(transform({shingles_sx('__tok', k)}, sh -> {base31_sx('sh')}))"
     return (
-        toked.filter(F.size("__tok") >= k)
-        .select("doc_id", F.explode(hashed).alias("h31"))
+        toked.where(f"size(__tok) >= {k}")
+        .selectExpr("doc_id", f"explode({hashed}) AS h31")
     )
 
 
@@ -125,7 +126,7 @@ def minhash_signatures(
     already-staged shingle table with other pipeline stages."""
     sh = shingle_hashes if shingle_hashes is not None else doc_shingle_hashes(documents)
     sig_cols = [
-        F.min(perm_hash(F.col("h31"), i)).alias(f"sig{i}")
+        F.expr(f"min({perm_hash_sx('h31', i)}) AS sig{i}")
         for i in range(n_perm)
     ]
     return sh.groupBy("doc_id").agg(*sig_cols)
@@ -147,18 +148,15 @@ def lsh_bands(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataFrame:
     """Signature → (doc_id, band_id, band_val): band value is the
     concatenated row signatures; docs colliding on any band are
     candidates."""
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.concat_ws(
-                "_", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
-            ).alias("band_val"),
-        )
+    band_structs = ", ".join(
+        f"named_struct('band_id', {b}, 'band_val', concat_ws('_', "
+        + ", ".join(f"sig{b * rows + r}" for r in range(rows))
+        + "))"
         for b in range(bands)
-    ]
-    return sigs.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc_id", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+    )
+    return sigs.selectExpr(
+        "doc_id", f"explode(array({band_structs})) AS band"
+    ).selectExpr("doc_id", "band.band_id AS band_id", "band.band_val AS band_val")
 
 
 def lsh_candidate_pairs(sigs: DataFrame, bands: int = 2, rows: int = 4) -> DataFrame:
@@ -294,23 +292,23 @@ def jaccard_verified_pairs_sql(threshold: float = 0.6, k: int = 3) -> str:
 def simhash_fingerprints(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """Per-doc SimHash: one md5 per distinct token; bit i of the
     fingerprint is the sign of Σ(±1) over bit i of the token hashes."""
-    tok = tokens(F.col("text"))
-    t = documents.select(
-        "doc_id", F.explode(F.array_distinct(tok)).alias("t")
-    ).withColumn("h", md5_int64(F.col("t")))
+    # whole construction in _sx strings: the per-bit sum/fold loops
+    # composed ~1k py4j round trips for the 48-bit form (guide §7.3)
+    t = documents.selectExpr(
+        "doc_id", f"explode(array_distinct({tokens_sx('text')})) AS t"
+    ).selectExpr("doc_id", "t", f"{md5_int64_sx('t')} AS h")
     sums = t.groupBy("doc_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(1) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
+            F.expr(
+                f"sum(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+            )
             for i in range(bits)
         ]
     )
-    fp = None
-    for i in range(bits):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
-        fp = term if fp is None else fp + term
-    return sums.select("doc_id", fp.cast("long").alias("simhash"))
+    fp = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return sums.selectExpr("doc_id", f"CAST({fp} AS BIGINT) AS simhash")
 
 
 def simhash_fingerprints_sql(bits: int = SIMHASH_BITS) -> str:
@@ -600,9 +598,9 @@ def substring_dup_spans(documents: DataFrame, w: int = 8) -> DataFrame:
 def _doc_tokens(documents: DataFrame, w: int) -> DataFrame:
     """(doc_id, __tok) for docs long enough to carry a w-token anchor
     — the shared tokenization of the substring-dedup family."""
-    return documents.select(
-        "doc_id", tokens(F.col("text")).alias("__tok")
-    ).filter(F.size("__tok") >= w)
+    return documents.selectExpr(
+        "doc_id", f"{tokens_sx('text')} AS __tok"
+    ).where(f"size(__tok) >= {w}")
 
 
 def dup_span_table(
@@ -620,13 +618,12 @@ def dup_span_table(
     if toked is None:
         toked = _doc_tokens(documents, w)
     anchors = stage(
-        toked.select(
+        toked.selectExpr(
             "doc_id",
-            F.size("__tok").cast("long").alias("n_tokens"),
-            F.posexplode(
-                F.transform(shingles(F.col("__tok"), w), lambda sh: base31(sh))
-            ).alias("pos0", "h"),
-        ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
+            "CAST(size(__tok) AS BIGINT) AS n_tokens",
+            f"posexplode(transform({shingles_sx('__tok', w)}, "
+            f"sh -> {base31_sx('sh')})) AS (pos0, h)",
+        ).selectExpr("doc_id", "n_tokens", "(pos0 + 1) AS pos", "h")
     )
     dup_h = (
         anchors.groupBy("h")

@@ -54,9 +54,23 @@ def fold_text_py(s: str) -> str:
     return s.replace("İ", "i").replace("Σ", "σ").lower()
 
 
+def fold_text_sx(expr: str) -> str:
+    """Spark-SQL string twin of :func:`fold_text` — same translate+
+    lower chain, parsed JVM-side in one py4j round trip. The ``_sx``
+    family exists for plan-construction latency only (guide §7.3);
+    every ``_sx`` string must parse to the exact expression its
+    Column twin builds."""
+    return f"lower(translate({expr}, 'İΣ', 'iσ'))"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization of case-folded text (``fold_text``)."""
     return F.split(fold_text(text), " ")
+
+
+def tokens_sx(expr: str) -> str:
+    """Spark-SQL string twin of :func:`tokens`."""
+    return f"split({fold_text_sx(expr)}, ' ')"
 
 
 def shingles(tok: Column, k: int = 3) -> Column:
@@ -82,6 +96,25 @@ def shingles(tok: Column, k: int = 3) -> Column:
         )
     return F.when(n >= k, F.slice(acc, 1, n - (k - 1))).otherwise(
         F.array().cast("array<string>")
+    )
+
+
+def shingles_sx(tok_expr: str, k: int = 3) -> str:
+    """Spark-SQL string twin of :func:`shingles` — the identical
+    zip_with fold rendered as one parseable string (``tok_expr``
+    should be a cheap reference, normally a column name: it is
+    spliced ``k+1`` times, exactly as the Column form references its
+    input)."""
+    n = f"size({tok_expr})"
+    acc = tok_expr
+    for j in range(1, k):
+        acc = (
+            f"zip_with({acc}, slice({tok_expr}, {j + 1}, "
+            f"greatest({n} - {j}, 1)), (x, y) -> concat(x, ' ', y))"
+        )
+    return (
+        f"CASE WHEN {n} >= {k} THEN slice({acc}, 1, {n} - {k - 1}) "
+        f"ELSE CAST(array() AS ARRAY<STRING>) END"
     )
 
 
@@ -152,6 +185,44 @@ def quality_micro(text: Column) -> Column:
     # exact (quotient < 2^53) — equivalent to integer div, works
     # on Column operands without an F.expr round-trip
     return ((num - num % n) / n).cast("long")
+
+_SW_IN_SX = "('" + "', '".join(EN_STOPWORDS) + "')"
+
+
+def stopword_ratio_sx(tok_expr: str) -> str:
+    """Spark-SQL string twin of :func:`stopword_ratio` (default
+    stopword set)."""
+    return (
+        f"(size(filter({tok_expr}, t -> t IN {_SW_IN_SX})) / "
+        f"greatest(size({tok_expr}), 1))"
+    )
+
+
+def quality_score_sx(text_expr: str) -> str:
+    """Spark-SQL string twin of :func:`quality_score` — identical
+    operator tree (double literals carry the ``D`` suffix so they
+    parse as DOUBLE, matching ``F.lit(float)``), one parse round trip
+    instead of ~60 Column compositions."""
+    tok = tokens_sx(text_expr)
+    n = f"greatest(size({tok}), 1)"
+    diversity = f"(size(array_distinct({tok})) / {n})"
+    hits = f"size(filter({tok}, t -> t IN {_SW_IN_SX}))"
+    non_stop = f"(1 - ({hits} / {n}))"
+    length_credit = f"least(size({tok}) / 100.0D, 1.0D)"
+    return f"(((0.4D * {diversity}) + (0.4D * {non_stop})) + (0.2D * {length_credit}))"
+
+
+def quality_micro_sx(text_expr: str) -> str:
+    """Spark-SQL string twin of :func:`quality_micro` (same exact
+    integer arithmetic; the double division is exact because the
+    numerator is first rounded down to a multiple of n)."""
+    tok = tokens_sx(text_expr)
+    n = f"CAST(greatest(size({tok}), 1) AS BIGINT)"
+    d = f"CAST(size(array_distinct({tok})) AS BIGINT)"
+    s = f"CAST(size(filter({tok}, t -> t IN {_SW_IN_SX})) AS BIGINT)"
+    num = f"(400000 * (({d} + {n}) - {s}) + (2000 * least({n}, CAST(100 AS BIGINT))) * {n})"
+    return f"CAST(({num} - {num} % {n}) / {n} AS BIGINT)"
+
 
 def quality_micro_sql(tok_sql: str, sw_sql: str) -> str:
     """DuckDB twin of :func:`quality_micro`."""

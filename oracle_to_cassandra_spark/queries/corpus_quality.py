@@ -27,9 +27,8 @@ from pyspark.sql import functions as F
 from oracle_to_cassandra_spark.operators.text import (
     EN_STOPWORDS,
     fold_text,
-    quality_micro,
     quality_micro_sql,
-    quality_score,
+    quality_micro_sx,
     tokens,
 )
 from oracle_to_cassandra_spark.registry import query
@@ -448,7 +447,7 @@ def quality_quantile_normalization(spark, sf_dir):
     scored = d.select(
         "doc_id",
         "source",
-        quality_micro(F.col("text")).alias("q_micro"),
+        F.expr(quality_micro_sx("text")).alias("q_micro"),
     )
     w_src = Window.partitionBy("source").orderBy("q_micro", "doc_id")
     ranked = scored.withColumn("pr", F.percent_rank().over(w_src))
@@ -546,7 +545,7 @@ def robust_quality_outliers(spark, sf_dir):
     boundary cannot flip cross-engine."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
-        "source", quality_micro(F.col("text")).alias("q_micro")
+        "source", F.expr(quality_micro_sx("text")).alias("q_micro")
     )
     # median of INTEGER micro scores is x.0/x.5 exactly; deviations
     # sit on the half grid and their median on the quarter grid — all

@@ -266,12 +266,11 @@ def corpus_curation_pipeline(spark, sf_dir):
     from oracle_to_cassandra_spark.operators.dedup import exact_dedup_keepers
 
     d = load_table(spark, sf_dir, "documents")
-    tok = TX.tokens(F.col("text"))
     scored = d.select(
         "doc_id",
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.quality_micro(F.col("text")).alias("quality_micro"),
-        TX.stopword_ratio(tok).alias("stop_ratio"),
+        F.expr(TX.quality_score_sx("text")).alias("quality"),
+        F.expr(TX.quality_micro_sx("text")).alias("quality_micro"),
+        F.expr(TX.stopword_ratio_sx(TX.tokens_sx("text"))).alias("stop_ratio"),
     )
     keepers = exact_dedup_keepers(d, "text", "doc_id").select(
         F.col("keeper_id").alias("doc_id")
@@ -426,7 +425,7 @@ def curation_pipeline_v2(spark, sf_dir):
     the information-theoretic minimum for exact dedup."""
     from oracle_to_cassandra_spark.functions.hashing import base31
     from oracle_to_cassandra_spark.operators.text import EN_STOPWORDS, tokens
-    from oracle_to_cassandra_spark.operators.text import quality_micro
+    from oracle_to_cassandra_spark.operators.text import quality_micro_sx
     from oracle_to_cassandra_spark.queries.corpus_quality import (
         MIN_DIVERSITY,
         MIN_STOPWORDS,
@@ -456,7 +455,7 @@ def curation_pipeline_v2(spark, sf_dir):
         F.size(ts).cast("long").alias("n_tokens"),
         # exact int64 micro-quality: a per-row 6-dp round ties at
         # uncancelled 2^7 token counts and flips across engines
-        quality_micro(F.col("text")).alias("q_micro"),
+        F.expr(quality_micro_sx("text")).alias("q_micro"),
     )
     w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     deduped = (

@@ -84,7 +84,7 @@ def dataset_card_per_source(spark, sf_dir):
         "source",
         "lang",
         F.size(tok).cast("long").alias("n_tokens"),
-        TX.quality_micro(F.col("text")).alias("q_micro"),
+        F.expr(TX.quality_micro_sx("text")).alias("q_micro"),
         F.md5("text").alias("h"),
     )
     dup = per_doc.groupBy("h").agg(F.count("*").alias("df"))
@@ -264,7 +264,7 @@ def quality_length_regression_per_source(spark, sf_dir):
     # y in exact integer micro-quality (as double): the per-row
     # round(q, 6) form ties at uncancelled 2^7 token counts; slope/
     # intercept simply scale by 1e6, R² is scale-invariant
-    y = TX.quality_micro(F.col("text")).cast("double")
+    y = F.expr(TX.quality_micro_sx("text")).cast("double")
     scored = d.select("source", x.alias("x"), y.alias("y"))
     return scored.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -150,7 +150,7 @@ def dedup_keep_best_quality(spark, sf_dir):
         .select(
             "doc_id",
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
-            TX.quality_score(F.col("text")).alias("quality"),
+            F.expr(TX.quality_score_sx("text")).alias("quality"),
         )
     )
     w = Window.partitionBy("cluster_id")

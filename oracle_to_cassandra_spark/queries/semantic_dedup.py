@@ -341,8 +341,8 @@ def embedding_cluster_keepers(spark, sf_dir):
     scored = docs.join(labels, "doc_id").select(
         "doc_id",
         "cluster_id",
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.quality_micro(F.col("text")).alias("quality_micro"),
+        F.expr(TX.quality_score_sx("text")).alias("quality"),
+        F.expr(TX.quality_micro_sx("text")).alias("quality_micro"),
     )
     w = Window.partitionBy("cluster_id")
     ranked = scored.select(

@@ -519,7 +519,7 @@ def bootstrap_replicate_means(spark, sf_dir):
     broadcast of 8 rows); this is how bootstrap CIs are computed on
     100 TB without materializing a single resample."""
     from oracle_to_cassandra_spark.functions.hashing import md5_int64
-    from oracle_to_cassandra_spark.operators.text import quality_micro
+    from oracle_to_cassandra_spark.operators.text import quality_micro_sx
 
     d = load_table(spark, sf_dir, "documents")
     reps = spark.range(_BOOT_B).select(
@@ -542,7 +542,7 @@ def bootstrap_replicate_means(spark, sf_dir):
             # exact integer micro-quality (operators/text.quality_micro)
             # — a per-row round of q*1e6 ties at the half whenever the
             # token count carries an uncancelled factor of 2
-            quality_micro(F.col("text")).alias("q_micro"),
+            F.expr(quality_micro_sx("text")).alias("q_micro"),
         )
         .crossJoin(F.broadcast(reps))
         .select("replicate_id", cnt.cast("long").alias("cnt"), "q_micro")

@@ -768,10 +768,10 @@ def dpo_preference_pairs(spark, sf_dir):
     score is the corpus-wide deterministic formula
     (`operators/text.quality_score`), micro-unit-integer so rank
     order is engine-exact."""
-    from oracle_to_cassandra_spark.operators.text import quality_score
+    from oracle_to_cassandra_spark.operators.text import quality_score_sx
 
     d = load_table(spark, sf_dir, "documents")
-    qm = F.round(quality_score(F.col("text")) * 1000000).cast("long")
+    qm = F.round(F.expr(quality_score_sx("text")) * 1000000).cast("long")
     w = Window.partitionBy("lang").orderBy(
         F.col("quality_micro").desc(), "doc_id"
     )
