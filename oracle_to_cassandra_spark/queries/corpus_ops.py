@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql
+from oracle_to_cassandra_spark.functions.hashing import base31, base31_sql, base31_sx
 from oracle_to_cassandra_spark.operators.dedup import (
     doc_shingle_hashes,
     doc_shingle_hashes_sql,
@@ -152,20 +152,21 @@ def decontamination_overlap(spark, sf_dir):
     100 TB scan streams map-side against it with NO shuffle; the only
     exchange is the final per-doc count."""
     d = load_table(spark, sf_dir, "documents")
-    split_h = base31(F.col("doc_id").cast("string")) % 10
-    membership = d.select("doc_id", split_h.alias("h"))
     # both the train side and the benchmark side consume the shingle
     # table; stage it so the tokenize->shingle->md5 derivation runs
-    # once (branch subtrees get no CSE)
-    sh = stage(doc_shingle_hashes(d, k=DECON_K))
-    train_sh = sh.join(membership.filter(F.col("h") < 8), "doc_id").select(
-        "doc_id", "h31"
+    # once (branch subtrees get no CSE). The split is a PURE HASH of
+    # doc_id, so it is evaluated directly on the shingle rows instead
+    # of materializing a (doc_id, h) membership relation and joining
+    # it twice — two corpus-sized join inputs removed (r13, guide
+    # §2.3; same cut as split_leakage_audit)
+    split_h = f"(({base31_sx('CAST(doc_id AS STRING)')}) % 10)"
+    sh = stage(
+        doc_shingle_hashes(d, k=DECON_K).selectExpr(
+            "doc_id", "h31", f"{split_h} AS h"
+        )
     )
-    bench_sh = (
-        sh.join(membership.filter(F.col("h") == 9), "doc_id")
-        .select("h31")
-        .distinct()
-    )
+    train_sh = sh.where("h < 8").select("doc_id", "h31")
+    bench_sh = sh.where("h = 9").select("h31").distinct()
     hits = train_sh.join(F.broadcast(bench_sh), "h31")
     return (
         hits.groupBy("doc_id")
