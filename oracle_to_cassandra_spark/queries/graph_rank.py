@@ -115,8 +115,7 @@ def trade_graph_pagerank(spark, sf_dir):
         .groupBy(
             F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
         )
-        .agg(F.count("*").alias("w")),
-        eager=True,
+        .agg(F.count("*").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     nodes = (
@@ -177,7 +176,14 @@ def trade_graph_pagerank(spark, sf_dir):
         # (the iterative-state handoff, as in operators/graph.py) so
         # every round starts from a materialized leaf: 6 exchanges
         # total and per-round cost independent of round number.
-        ranks = stage(ranks, eager=True)
+        # LAZY (r13): the iteration count is FIXED — no driver
+        # decision between rounds — so the stage can materialize
+        # inside the single consuming job instead of launching one
+        # job per round (each round's RDD is still computed exactly
+        # once: both consumers share the RDD identity). Measured
+        # 1.83 → 1.33 s at sf0.1; CC keeps its eager rounds because
+        # its convergence probe IS a per-round driver decision.
+        ranks = stage(ranks)
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("pr").alias("pagerank_nano")
     )

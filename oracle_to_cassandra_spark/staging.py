@@ -38,6 +38,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+#: SparkContext ids whose ``spark.checkpoint.dir`` conf probe came
+#: back empty. ``sc.getConf()`` clones the whole conf over py4j
+#: (~20 ms) and the conf is immutable after submit, so one probe per
+#: context suffices; the programmatic ``setCheckpointDir`` path stays
+#: un-cached (read fresh on every call) so callers can still opt in
+#: mid-session.
+_NO_CONF_DIR: set[int] = set()
+
 
 def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
     """The configured checkpoint directory, or None.
@@ -50,6 +58,8 @@ def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
     current = sc.getCheckpointDir()
     if current:
         return current
+    if id(sc) in _NO_CONF_DIR:
+        return None
     # ``spark.checkpoint.dir`` is a core (non-SQL) conf: settable only
     # at submit time, so read it from the SparkContext conf rather
     # than the session's RuntimeConfig.
@@ -57,6 +67,7 @@ def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
     if conf_dir:
         sc.setCheckpointDir(conf_dir)
         return conf_dir
+    _NO_CONF_DIR.add(id(sc))
     return None
 
 

@@ -60,6 +60,13 @@ def test_stage_honors_checkpoint_dir_conf(spark, tmp_path):
     ckpt = str(tmp_path / "conf_ckpt")
     jconf = spark.sparkContext._jsc.sc().conf()
     jconf.set("spark.checkpoint.dir", ckpt)
+    # stage() probes the (submit-time-immutable) core conf once per
+    # context and caches a negative result (r13 — the probe clones
+    # the whole SparkConf over py4j); mutating the live conf here
+    # simulates a fresh submit, so drop the cached negative too
+    import oracle_to_cassandra_spark.staging as _staging
+
+    _staging._NO_CONF_DIR.clear()
     try:
         out = stage(spark.range(10), eager=True)
         assert out.count() == 10
