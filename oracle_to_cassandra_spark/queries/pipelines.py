@@ -317,8 +317,17 @@ def schema_evolution_merge_read(spark, sf_dir):
         "o_totalprice",
         F.upper("o_orderpriority").alias("priority_norm"),
     )
-    v0.write.mode("overwrite").parquet(f"{path}/v=0")
-    v1.write.mode("overwrite").parquet(f"{path}/v=1")
+    # two independent single-job writes to disjoint paths — overlap
+    # them from a thread pool (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                lambda s: s[0].write.mode("overwrite").parquet(s[1]),
+                [(v0, f"{path}/v=0"), (v1, f"{path}/v=1")],
+            )
+        )
     merged = spark.read.option("mergeSchema", True).parquet(
         f"{path}/v=0", f"{path}/v=1"
     )
@@ -572,18 +581,36 @@ def secondary_index_dpp_lookup(spark, sf_dir):
         F.round(F.col("o_totalprice") * 100).cast("long").alias("price_cents"),
         (F.col("o_orderkey") % 16).alias("pbucket"),
     )
-    write_query_table(
-        orders.select("o_orderkey", "price_cents", "pbucket"),
-        base_path,
-        partition_by=["pbucket"],
-        cluster_by=["o_orderkey"],
-    )
-    write_query_table(
-        orders.select("o_orderpriority", "pbucket", "o_orderkey"),
-        idx_path,
-        partition_by=["o_orderpriority"],
-        cluster_by=["pbucket", "o_orderkey"],
-    )
+    # the base-table and index-table writes are independent jobs to
+    # different paths — submit both from a thread pool so the second
+    # write back-fills executors the first one's tail leaves idle
+    # (guide §2.6; same overlap as format_roundtrip_digest)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _write(spec):
+        df, path, part, clus = spec
+        write_query_table(df, path, partition_by=part, cluster_by=clus)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(
+            pool.map(
+                _write,
+                [
+                    (
+                        orders.select("o_orderkey", "price_cents", "pbucket"),
+                        base_path,
+                        ["pbucket"],
+                        ["o_orderkey"],
+                    ),
+                    (
+                        orders.select("o_orderpriority", "pbucket", "o_orderkey"),
+                        idx_path,
+                        ["o_orderpriority"],
+                        ["pbucket", "o_orderkey"],
+                    ),
+                ],
+            )
+        )
     spark.catalog.refreshByPath(base_path)
     spark.catalog.refreshByPath(idx_path)
     # probe: static pruning on the index's partition column

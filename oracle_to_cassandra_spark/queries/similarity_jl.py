@@ -89,37 +89,29 @@ _JL_SQL = f"""
     """
 
 
-def _project(emb) -> F.Column:
+def _project_sx(emb: str) -> str:
     """k_out sequential folds — identical operand order to the
-    oracle's list_sum, all inside whole-stage codegen."""
-    return F.array(
-        *[
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        emb,
-                        F.array(*[F.lit(v) for v in row]),
-                        lambda x, y: x.cast("double") * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                / _SCALE,
-                6,
-            )
-            for row in _MAT
-        ]
-    )
+    oracle's list_sum, all inside whole-stage codegen. Built as ONE
+    Spark-SQL string: the Column form composed 16 × 64 literal array
+    entries one py4j call at a time (~10k round trips of pure driver
+    latency per construction — guide §7.3); double literals carry the
+    ``D`` suffix so they parse as DOUBLE, matching ``F.lit(float)``."""
+    rows = []
+    for row in _MAT:
+        arr = "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")"
+        rows.append(
+            f"round(aggregate(zip_with({emb}, {arr}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "
+            f"(acc, v) -> acc + v) / {_SCALE}D, 6)"
+        )
+    return "array(" + ", ".join(rows) + ")"
 
 
-def _sq_l2(a, b):
-    return F.round(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+def _sq_l2_sx(a: str, b: str) -> str:
+    """Spark-SQL string twin of the squared-L2 fold."""
+    return (
+        f"round(aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"0.0D, (acc, x) -> acc + x), 6)"
     )
 
 
@@ -134,10 +126,10 @@ def jl_projection_recall_distortion(spark, sf_dir):
     once in its own task and scored against the ≤5 probes; both
     rankings are WindowGroupLimit top-k, never a global sort."""
     e = load_table(spark, sf_dir, "embeddings")
-    proj = e.select(
+    proj = e.selectExpr(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        _project(F.col("embedding")).alias("p"),
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        f"{_project_sx('embedding')} AS p",
     )
     probes = proj.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"),
@@ -147,11 +139,11 @@ def jl_projection_recall_distortion(spark, sf_dir):
     pairs = (
         F.broadcast(probes)
         .join(proj, F.col("probe_id") != F.col("vec_id"))
-        .select(
+        .selectExpr(
             "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _sq_l2(F.col("pe"), F.col("e")).alias("orig_d2"),
-            _sq_l2(F.col("pp"), F.col("p")).alias("proj_d2"),
+            "vec_id AS neighbor_id",
+            f"{_sq_l2_sx('pe', 'e')} AS orig_d2",
+            f"{_sq_l2_sx('pp', 'p')} AS proj_d2",
         )
     )
     # BOTH ranks are computed on the same row in one probe_id-partitioned
@@ -238,12 +230,10 @@ def matryoshka_prefix_recall(spark, sf_dir):
     Scale: identical plan to the JL audit — probe broadcast, map-side
     prefix slice, one probe-partitioned dual-rank pass, no self-join."""
     e = load_table(spark, sf_dir, "embeddings")
-    proj = e.select(
+    proj = e.selectExpr(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        F.transform(
-            F.slice("embedding", 1, K_PREFIX), lambda x: x.cast("double")
-        ).alias("p"),
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS e",
+        f"transform(slice(embedding, 1, {K_PREFIX}), x -> CAST(x AS DOUBLE)) AS p",
     )
     probes = proj.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"),
@@ -253,11 +243,11 @@ def matryoshka_prefix_recall(spark, sf_dir):
     pairs = (
         F.broadcast(probes)
         .join(proj, F.col("probe_id") != F.col("vec_id"))
-        .select(
+        .selectExpr(
             "probe_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _sq_l2(F.col("pe"), F.col("e")).alias("orig_d2"),
-            _sq_l2(F.col("pp"), F.col("p")).alias("pref_d2"),
+            "vec_id AS neighbor_id",
+            f"{_sq_l2_sx('pe', 'e')} AS orig_d2",
+            f"{_sq_l2_sx('pp', 'p')} AS pref_d2",
         )
     )
     w_exact = Window.partitionBy("probe_id").orderBy("orig_d2", "neighbor_id")
