@@ -36,6 +36,26 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_sx(a: str, b: str) -> str:
+    """Spark-SQL string twin of :func:`dot` — same sequential fold,
+    parsed in one py4j round trip (guide §7.3: the Column composition
+    costs ~15 round trips per use, ~50 per cosine, and the similarity
+    operators build dozens per query)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def norm_sx(a: str) -> str:
+    return f"sqrt({dot_sx(a, a)})"
+
+
+def cosine_sx(a: str, b: str) -> str:
+    return f"({dot_sx(a, b)} / ({norm_sx(a)} * {norm_sx(b)}))"
+
+
 def cosine_pandas_udf():
     """Arrow-vectorized cosine for the wide-vector path: build lazily
     so importing this module never requires pandas/numpy at runtime."""

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.functions.vector import cosine, dot
+from oracle_to_cassandra_spark.functions.vector import cosine_sx, dot_sx
 
 #: hard cap on the probe set. Both paths BROADCAST the probes (that is
 #: what keeps the corpus side distributed and shuffle-free), so the
@@ -51,7 +51,7 @@ def _scored_pairs(probes: DataFrame, cands: DataFrame) -> DataFrame:
     return (
         F.broadcast(probes)
         .join(cands, F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+        .withColumn("cos_sim", F.expr(f"round({cosine_sx('p_emb', 'c_emb')}, 6)"))
     )
 
 
@@ -114,7 +114,7 @@ def ivf_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 10) -> DataFr
     )
     assigned = (
         probes.crossJoin(F.broadcast(cents))
-        .withColumn("c_sim", cosine(F.col("p_emb"), F.col("centroid")))
+        .withColumn("c_sim", F.expr(cosine_sx("p_emb", "centroid")))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
     best_cell = (
@@ -134,7 +134,7 @@ def ivf_topk(embeddings: DataFrame, probe_ids: list[int], k: int = 10) -> DataFr
             (F.col("cell") == F.col("c_label"))
             & (F.col("probe_id") != F.col("neighbor_id")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+        .withColumn("cos_sim", F.expr(f"round({cosine_sx('p_emb', 'c_emb')}, 6)"))
     )
     wk = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -174,22 +174,24 @@ def hyperplane_signs(n_planes: int = N_HYPERPLANES, dim: int = EMBEDDING_DIM):
     ]
 
 
-def hyperplane_bucket(emb, signs) -> "F.Column":
+def hyperplane_bucket_sx(emb: str, signs) -> str:
     """LSH signature: bit j = sign of ⟨emb, hyperplane_j⟩. The dot is
     a sequential double fold (zip_with + aggregate, JVM codegen) —
     identical element order to the oracle's list_dot_product, and the
     corpus's worst |dot| margin (2·10⁻⁵) is 10 orders above any
     cross-engine float-accumulation drift, so the sign never flips
-    between engines."""
-    sig = F.lit(0)
+    between engines. Built as ONE Spark-SQL string (r13, guide §7.3):
+    the Column form composed n_planes × dim literals one py4j round
+    trip at a time — ~2.5k trips of pure driver latency per
+    construction; ``D``-suffixed literals parse as DOUBLE, exactly
+    ``F.lit(float)``."""
+    terms = ["0"]
     for j, row in enumerate(signs):
-        # the canonical sequential fold (functions/vector.dot) — the
-        # ±1 literals are exact in double, so casting both sides
-        # changes nothing while keeping ONE dot implementation whose
-        # element order the cross-engine argument is made about
-        dotj = dot(emb, F.array(*[F.lit(s) for s in row]))
-        sig = sig + F.when(dotj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sig.cast("long")
+        arr = "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")"
+        terms.append(
+            f"(CASE WHEN {dot_sx(emb, arr)} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def hyperplane_ann_topk(
@@ -209,7 +211,7 @@ def hyperplane_ann_topk(
     sigd = embeddings.select(
         "vec_id",
         "embedding",
-        hyperplane_bucket(F.col("embedding"), signs).alias("bucket"),
+        F.expr(hyperplane_bucket_sx("embedding", signs)).alias("bucket"),
     )
     probes = sigd.filter(F.col("vec_id").isin(probe_ids)).select(
         F.col("vec_id").alias("probe_id"),
@@ -225,7 +227,7 @@ def hyperplane_ann_topk(
         F.broadcast(probes)
         .join(cands, ["bucket"])
         .filter(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+        .withColumn("cos_sim", F.expr(f"round({cosine_sx('p_emb', 'c_emb')}, 6)"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

@@ -104,7 +104,7 @@ def dedup_embedding_top_neighbor(spark, sf_dir):
     (every 100th vector). Label blocking is the IVF-style partition
     pruning that keeps this linear-ish at scale: probes only score
     their own block, never the full corpus."""
-    from oracle_to_cassandra_spark.functions.vector import cosine
+    from oracle_to_cassandra_spark.functions.vector import cosine_sx
 
     e = load_table(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") % 100 == 0).select(
@@ -123,7 +123,7 @@ def dedup_embedding_top_neighbor(spark, sf_dir):
             (F.col("p_label") == F.col("c_label"))
             & (F.col("probe_id") != F.col("neighbor_id")),
         )
-        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+        .withColumn("cos_sim", F.expr(f"round({cosine_sx('p_emb', 'c_emb')}, 6)"))
         .select("probe_id", "neighbor_id", "cos_sim")
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))

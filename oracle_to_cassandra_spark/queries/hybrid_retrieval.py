@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from oracle_to_cassandra_spark.functions.vector import cosine
+from oracle_to_cassandra_spark.functions.vector import cosine_sx
 from oracle_to_cassandra_spark.queries.text_analysis import (
     bm25_retrieval_topk,
     bm25_topk_sql,
@@ -88,7 +88,7 @@ def hybrid_rrf_retrieval(spark, sf_dir):
         e.crossJoin(F.broadcast(probe))
         .select(
             F.col("vec_id").alias("doc_id"),
-            F.round(cosine(F.col("embedding"), F.col("p_emb")), 6).alias("c"),
+            F.expr(f"round({cosine_sx('embedding', 'p_emb')}, 6)").alias("c"),
         )
         .orderBy(F.desc("c"), "doc_id")
         .limit(SIDE_K)

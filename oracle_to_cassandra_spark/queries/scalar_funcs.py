@@ -222,14 +222,14 @@ def array_functions_embeddings(spark, sf_dir):
     the driver's pandas-based hasher cannot hash list cells, and a
     fixed-scale decimal renders identically in Spark and DuckDB
     (trailing zeros kept, no scientific notation)."""
-    from oracle_to_cassandra_spark.functions.vector import dot
+    from oracle_to_cassandra_spark.functions.vector import dot_sx
 
     e = load_table(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_component"),
-        F.round(dot(F.col("embedding"), F.col("embedding")), 6).alias("self_dot"),
+        F.expr(f"round({dot_sx('embedding', 'embedding')}, 6)").alias("self_dot"),
         F.concat_ws(
             ",",
             F.transform(

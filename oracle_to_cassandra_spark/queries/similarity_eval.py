@@ -10,7 +10,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.functions.hashing import MERSENNE_P, MINHASH_A, MINHASH_B
-from oracle_to_cassandra_spark.functions.vector import cosine
+from oracle_to_cassandra_spark.functions.vector import cosine_sx, norm_sx
 from oracle_to_cassandra_spark.operators.dedup import doc_shingle_hashes, doc_shingle_hashes_sql
 from oracle_to_cassandra_spark.operators.similarity import label_centroids
 from oracle_to_cassandra_spark.queries.similarity import (
@@ -59,7 +59,7 @@ def similarity_ivf_recall_at_10(spark, sf_dir):
     )
     cents = label_centroids(e)
     assigned = probes.crossJoin(F.broadcast(cents)).withColumn(
-        "c_sim", cosine(F.col("p_emb"), F.col("centroid"))
+        "c_sim", F.expr(cosine_sx("p_emb", "centroid"))
     )
     wc = Window.partitionBy("probe_id").orderBy(F.desc("c_sim"), F.asc("label"))
     best_cell = (
@@ -75,7 +75,7 @@ def similarity_ivf_recall_at_10(spark, sf_dir):
     scored = (
         F.broadcast(probes.join(best_cell, "probe_id"))
         .join(cands, F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6))
+        .withColumn("cos_sim", F.expr(f"round({cosine_sx('p_emb', 'c_emb')}, 6)"))
         .withColumn("in_cell", (F.col("c_label") == F.col("cell")).cast("int"))
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -294,7 +294,7 @@ def ivf_centroid_refinement(spark, sf_dir):
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cand_cell",
-        cosine(F.col("embedding"), F.col("centroid")).alias("c_sim"),
+        F.expr(cosine_sx("embedding", "centroid")).alias("c_sim"),
     )
     assigned = scored.groupBy("vec_id").agg(
         F.max_by(
@@ -323,7 +323,6 @@ def ivf_centroid_refinement(spark, sf_dir):
         )
     )
     counts = assigned.groupBy("cell").agg(F.count("*").alias("n_vectors"))
-    from oracle_to_cassandra_spark.functions.vector import norm
 
     return (
         newc.join(counts, "cell")
@@ -331,8 +330,8 @@ def ivf_centroid_refinement(spark, sf_dir):
         .select(
             "cell",
             "n_vectors",
-            F.round(norm(F.col("new_centroid")), 6).alias("centroid_l2"),
-            F.round(cosine(F.col("new_centroid"), F.col("centroid")), 6).alias(
+            F.expr(f"round({norm_sx('new_centroid')}, 6)").alias("centroid_l2"),
+            F.expr(f"round({cosine_sx('new_centroid', 'centroid')}, 6)").alias(
                 "shift_cos"
             ),
         )
@@ -434,7 +433,7 @@ def lsh_multiprobe_recall(spark, sf_dir):
     side is the bounded 5-probe brute-force audit."""
     from oracle_to_cassandra_spark.operators.similarity import (
         brute_force_topk,
-        hyperplane_bucket,
+        hyperplane_bucket_sx,
         hyperplane_signs,
     )
     from oracle_to_cassandra_spark.queries.similarity import PROBE_IDS
@@ -444,7 +443,7 @@ def lsh_multiprobe_recall(spark, sf_dir):
     sigd = e.select(
         "vec_id",
         "embedding",
-        hyperplane_bucket(F.col("embedding"), signs).alias("bucket"),
+        F.expr(hyperplane_bucket_sx("embedding", signs)).alias("bucket"),
     )
     probes = sigd.filter(F.col("vec_id").isin(PROBE_IDS)).select(
         F.col("vec_id").alias("probe_id"),
@@ -473,7 +472,7 @@ def lsh_multiprobe_recall(spark, sf_dir):
             "probe_id",
             F.col("vec_id").alias("neighbor_id"),
             (F.col("bucket") == F.col("home_bucket")).alias("in_single"),
-            F.round(cosine(F.col("p_emb"), F.col("embedding")), 6).alias("cos_sim"),
+            F.expr(f"round({cosine_sx('p_emb', 'embedding')}, 6)").alias("cos_sim"),
         )
     )
     cands = stage(cands)
@@ -574,7 +573,7 @@ def hard_negative_mining(spark, sf_dir):
             "probe_id",
             "neighbor_id",
             "neg_label",
-            F.round(cosine(F.col("p_emb"), F.col("c_emb")), 6).alias("cos_sim"),
+            F.expr(f"round({cosine_sx('p_emb', 'c_emb')}, 6)").alias("cos_sim"),
         )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), "neighbor_id")
@@ -618,7 +617,7 @@ def label_centroid_separation(spark, sf_dir):
     Scale: centroids are a K-row table (posexplode + per-dim avg,
     mergeable partials); the K×K/2 pair join is driver-trivial and
     BROADCAST; the corpus is scanned exactly once."""
-    from oracle_to_cassandra_spark.functions.vector import cosine
+    from oracle_to_cassandra_spark.functions.vector import cosine_sx, norm_sx
 
     e = load_table(spark, sf_dir, "embeddings")
     cents = stage(label_centroids(e), eager=True)
@@ -633,7 +632,7 @@ def label_centroid_separation(spark, sf_dir):
         .select(
             "label_a",
             "label_b",
-            F.round(cosine(F.col("ca"), F.col("cb")), 6).alias("centroid_cos"),
+            F.expr(f"round({cosine_sx('ca', 'cb')}, 6)").alias("centroid_cos"),
         )
     )
 
