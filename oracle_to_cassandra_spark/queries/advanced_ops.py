@@ -16,12 +16,10 @@ run (north-star "custom operator" surface, SURVEY.md §2.6):
 
 from __future__ import annotations
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.sources import load_table
-from oracle_to_cassandra_spark.staging import stage
 
 
 @query(
@@ -42,64 +40,52 @@ def range_join_shipments_after_order(spark, sf_dir):
     """Range join: per order, total corpus shipments in the 30 days
     from its order date — an interval join with NO equi key.
 
-    Scale rewrite (r13, guide §2.4 — remove the shuffle outright):
-    (1) pre-aggregate lineitem to one row per ship day (corpus-sized
-    stream → calendar-sized relation), (2) turn the sparse daily
-    counts into a DENSE calendar prefix-sum table (one calendar-sized
-    single-partition window — ~10k rows even at 100 TB), (3) answer
-    each order with cum(d+29) − cum(d−1) via TWO broadcast equi-joins
-    on the clamped boundary dates. The orders side is never exploded,
-    never shuffled, and needs no per-order aggregate: the earlier
-    month-bin form built a |orders|×~30 intermediate and ground it
-    back down through a corpus-sized groupBy (the dominant cost —
-    measured 2× this plan at sf0.1); a raw inequality join is worse
-    still (BroadcastNestedLoopJoin, |orders| × |days| comparisons)."""
+    Scale rewrite: (1) pre-aggregate lineitem to one row per ship
+    day (corpus-sized stream → calendar-sized relation), (2) equi-join
+    on the month bin — each 30-day interval covers ≤3 month bins, the
+    daily side is broadcast — (3) residual exact range filter inside
+    the join condition (kept there so the LEFT join stays outer).
+    A raw inequality join plans as BroadcastNestedLoopJoin: |orders| ×
+    |days| comparisons; the bin join compares each order only against
+    its ≤3 months of candidate days.
+
+    r13 note: a calendar prefix-sum rewrite (dense day spine + two
+    broadcast boundary equi-joins, no per-order aggregate) was 2×
+    faster at sf0.1 but is only correct when both date columns are
+    day-granular — the TEMPORAL stress axis (sub-day timestamps)
+    caught it dropping every order whose clamped boundary fell on a
+    non-midnight extremum, and the exact general form needs an as-of
+    join, which is this month-bin plan again. Reverted; this form
+    compares raw timestamp values inside the join condition and is
+    total over any temporal granularity."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy("l_shipdate").agg(F.count("*").alias("n_ship"))
-    # dense calendar spine from (min−1) — the zero anchor — to max;
-    # derived in-plan from the daily table (1-row aggregate crossJoin)
-    bounds = daily.agg(
-        F.min("l_shipdate").alias("d_min"), F.max("l_shipdate").alias("d_max")
+    daily = li.groupBy("l_shipdate").agg(F.count("*").alias("n_ship")).withColumn(
+        "mbin", F.date_trunc("month", "l_shipdate")
     )
-    spine = bounds.select(
-        F.explode(
-            F.sequence(F.date_sub("d_min", 1), F.col("d_max"))
-        ).alias("day")
-    )
-    cum = (
-        spine.join(daily, spine.day == daily.l_shipdate, "left")
-        .select("day", F.coalesce("n_ship", F.lit(0)).alias("n_ship"))
-        .select(
-            "day",
-            F.sum("n_ship")
-            .over(Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0))
-            .alias("cum"),
-        )
-    )
-    cum = stage(cum)  # two broadcast consumers below — one execution
-    # clamp both boundaries into the spine: before the spine ⇒ cum 0
-    # (anchor row), after it ⇒ cum = corpus total (last row)
-    clamped = orders.crossJoin(F.broadcast(bounds)).select(
+    win_end = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    binned = orders.select(
         "o_orderkey",
-        F.greatest(
-            F.least(F.date_sub("o_orderdate", 1), F.col("d_max")),
-            F.date_sub("d_min", 1),
-        ).alias("lo_day"),
-        F.greatest(
-            F.least(F.date_add("o_orderdate", 29), F.col("d_max")),
-            F.date_sub("d_min", 1),
-        ).alias("hi_day"),
+        "o_orderdate",
+        F.explode(
+            F.array_distinct(
+                F.sequence(
+                    F.date_trunc("month", "o_orderdate"),
+                    F.date_trunc("month", win_end),
+                    F.expr("INTERVAL 1 MONTH"),
+                )
+            )
+        ).alias("mbin"),
     )
-    lo = cum.select(F.col("day").alias("lo_day"), F.col("cum").alias("cum_lo"))
-    hi = cum.select(F.col("day").alias("hi_day"), F.col("cum").alias("cum_hi"))
-    return (
-        clamped.join(F.broadcast(hi), "hi_day")
-        .join(F.broadcast(lo), "lo_day")
-        .select(
-            "o_orderkey",
-            (F.col("cum_hi") - F.col("cum_lo")).cast("long").alias("n_shipped_30d"),
-        )
+    joined = binned.join(
+        F.broadcast(daily),
+        (binned.mbin == daily.mbin)
+        & (daily.l_shipdate >= binned.o_orderdate)
+        & (daily.l_shipdate < binned.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.coalesce(F.sum("n_ship"), F.lit(0)).cast("long").alias("n_shipped_30d")
     )
 
 

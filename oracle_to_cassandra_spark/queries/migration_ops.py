@@ -144,17 +144,16 @@ def _zorder_keyed(orders) -> DataFrame:
     )
 
 
-def _zvalue_spark(x, y):
+def _zvalue_sx(x: str, y: str) -> str:
     """Interleave the low _ZBITS of x (even positions) and y (odd) —
-    pure shift/mask arithmetic, stays in whole-stage codegen."""
-    z = F.lit(0).cast("long")
+    pure shift/mask arithmetic, stays in whole-stage codegen. One
+    Spark-SQL string (r13, guide §7.3): the Column fold cost ~400
+    py4j round trips per construction."""
+    terms = ["CAST(0 AS BIGINT)"]
     for i in range(_ZBITS):
-        z = (
-            z
-            + F.shiftleft(F.shiftright(x, i).bitwiseAND(1), 2 * i)
-            + F.shiftleft(F.shiftright(y, i).bitwiseAND(1), 2 * i + 1)
-        )
-    return z
+        terms.append(f"shiftleft((shiftright({x}, {i}) & 1), {2 * i})")
+        terms.append(f"shiftleft((shiftright({y}, {i}) & 1), {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
 
 
 def _zvalue_sql(x: str, y: str) -> str:
@@ -207,9 +206,7 @@ def zorder_layout_audit(spark, sf_dir):
     z = keyed.select(
         "ck",
         "d",
-        F.shiftright(_zvalue_spark(F.col("ck"), F.col("d")), _BIN_SHIFT).alias(
-            "file_bin"
-        ),
+        F.expr(f"shiftright({_zvalue_sx('ck', 'd')}, {_BIN_SHIFT}) AS file_bin"),
     )
     return z.groupBy("file_bin").agg(
         F.count("*").alias("n_rows"),
@@ -1016,9 +1013,9 @@ def layout_skipping_comparison(spark, sf_dir):
     linear = keyed.withColumn("bin", F.floor(F.col("ck") / 64).cast("long"))
     zord = keyed.withColumn(
         "bin",
-        F.shiftright(
-            _zvalue_spark(F.col("ck"), F.col("d")), _BIN_SHIFT
-        ).cast("long"),
+        F.expr(
+            f"CAST(shiftright({_zvalue_sx('ck', 'd')}, {_BIN_SHIFT}) AS BIGINT)"
+        ),
     )
     return spans(linear, "linear_by_custkey").unionByName(
         spans(zord, "zorder")

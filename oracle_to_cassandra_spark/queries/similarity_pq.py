@@ -163,15 +163,16 @@ def _codebook(sub: DataFrame) -> DataFrame:
     )
 
 
-def _sq_l2(a, b):
+def _sq_l2_sx(a: str, b: str) -> str:
     """EXACT squared L2 in micro²-units between two integer micro-unit
     arrays — a left fold of int64 squared differences. Associative and
     order-independent, so the argmin and every downstream rank are
-    bit-stable across engines and partition orders."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    bit-stable across engines and partition orders. One Spark-SQL
+    string (r13, guide §7.3) — the Column fold cost ~25 py4j round
+    trips per use across five call sites."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
@@ -183,7 +184,7 @@ def _pq_topk(spark, sf_dir) -> DataFrame:
     # once (same handoff as ivf_centroid_refinement)
     cb = stage(_codebook(sub), eager=True)
     scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "code_id", _sq_l2(F.col("sv"), F.col("cw")).alias("d")
+        "vec_id", "m", "code_id", F.expr(_sq_l2_sx("sv", "cw")).alias("d")
     )
     enc = scored.groupBy("vec_id", "m").agg(
         F.min_by("code_id", F.struct("d", "code_id")).alias("code")
@@ -197,7 +198,7 @@ def _pq_topk(spark, sf_dir) -> DataFrame:
             F.col("vec_id").alias("probe_id"),
             F.col("m").alias("dm"),
             F.col("code_id").alias("dcode"),
-            _sq_l2(F.col("sv"), F.col("cw")).alias("d"),
+            F.expr(_sq_l2_sx("sv", "cw")).alias("d"),
         )
     )
     adc = (
@@ -301,7 +302,7 @@ def similarity_pq_recall_at_10(spark, sf_dir):
     ).select(
         "probe_id",
         "neighbor_id",
-        _sq_l2(F.col("p_emb"), F.col("c_emb")).alias("d2"),
+        F.expr(_sq_l2_sx("p_emb", "c_emb")).alias("d2"),
     )
     w = Window.partitionBy("probe_id").orderBy("d2", F.col("neighbor_id"))
     exact = (
@@ -396,7 +397,7 @@ def incremental_pq_encode(spark, sf_dir):
         sub.filter(F.col("vec_id") % 10 == NEW_MOD)
         .join(F.broadcast(snapshot_cb), "m")
         .select(
-            "vec_id", "m", "code_id", _sq_l2(F.col("sv"), F.col("cw")).alias("d")
+            "vec_id", "m", "code_id", F.expr(_sq_l2_sx("sv", "cw")).alias("d")
         )
     )
     enc = new_scored.groupBy("vec_id", "m").agg(
