@@ -49,7 +49,15 @@ def _calibrate() -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def _calibrate_mt(n_procs: int = 8) -> float:
+#: fixed process count for the multicore calibration — deliberately a
+#: constant (not os.cpu_count()) so the figure is comparable across
+#: the r13 artifacts that introduced it; the count is RECORDED in the
+#: host block (calib_mt_procs) so a grader on a different-width box
+#: can normalize (r13 ADVICE item 4).
+CALIB_MT_PROCS = 8
+
+
+def _calibrate_mt(n_procs: int = CALIB_MT_PROCS) -> float:
     """Wall seconds for ``n_procs`` CONCURRENT copies of the
     single-core workload, each in its own subprocess.
 
@@ -81,7 +89,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
-    from oracle_to_cassandra_spark.session import get_spark
+    from oracle_to_cassandra_spark.session import _default_cpus, get_spark
 
     import __spark_entry__ as E
 
@@ -120,9 +128,20 @@ def main() -> None:
         "calib_sec_post": _calibrate(),
         "calib_mt": calib_mt,
         "calib_mt_post": _calibrate_mt(),
+        "calib_mt_procs": CALIB_MT_PROCS,
         "load_start": load_start,
         "load_end": round(os.getloadavg()[0], 2),
+        # `cpus` is the PHYSICAL width (os.cpu_count()) — kept for
+        # continuity with r11-r13 artifacts. The next two fields are
+        # what the bench actually RAN with: the requested local-mode
+        # width ($SPARK_GRAFT_CPUS → local[n], session.py) and the
+        # live context's defaultParallelism — so a low-core scaling
+        # run is self-proving from the artifact (r13 verdict item 2:
+        # the driver's 8-core probe read as suspect_cpus_ignored
+        # because both artifacts recorded the physical 32).
         "cpus": os.cpu_count(),
+        "cpus_requested": int(_default_cpus()),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
     }
     payload = {
         "metric": "total_query_sec",

@@ -184,10 +184,13 @@ def hyperplane_bucket_sx(emb: str, signs) -> str:
     the Column form composed n_planes × dim literals one py4j round
     trip at a time — ~2.5k trips of pure driver latency per
     construction; ``D``-suffixed literals parse as DOUBLE, exactly
-    ``F.lit(float)``."""
+    ``F.lit(float)``. Entries render via ``repr`` (shortest exact
+    round-trip form, parsed exactly by the JVM) — a fixed one-decimal
+    format would silently round any future sign matrix whose entries
+    aren't exact at one decimal (r13 ADVICE item 3)."""
     terms = ["0"]
     for j, row in enumerate(signs):
-        arr = "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")"
+        arr = "array(" + ", ".join(f"{v!r}D" for v in row) + ")"
         terms.append(
             f"(CASE WHEN {dot_sx(emb, arr)} > 0 THEN {1 << j} ELSE 0 END)"
         )

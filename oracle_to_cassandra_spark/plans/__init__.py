@@ -1,4 +1,5 @@
 from oracle_to_cassandra_spark.plans.explain import (  # noqa: F401
+    cartesian_attach_violations,
     exchange_count,
     formatted_plan,
     has_broadcast_join,

@@ -53,6 +53,48 @@ def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in formatted_plan(df)
 
 
+def cartesian_attach_violations(df: DataFrame, row_bound: int = 4096) -> list[str]:
+    """Condition-less joins whose sides are BOTH statically unbounded.
+
+    The repo-standard global-aggregate attach (``crossJoin(broadcast(
+    one_row_agg))``) plans as a BroadcastNestedLoopJoin — benign
+    exactly because one side is a 1-row aggregate (or a literal
+    replicate spine): Catalyst's ``maxRows`` proves the bound. A future
+    edit that turns one of these into a real cartesian (both sides
+    data-sized) is the 100 TB catastrophe class, and it would still
+    *pass the oracle* at test SF — so the bound is pinned structurally
+    here (r13 verdict item 8). Two ways a join passes: a side Catalyst
+    statically bounds (``maxRows`` ≤ ``row_bound``), or an explicit
+    broadcast strategy hint (the IVF probes×centroids enumeration: both
+    sides derived relations Catalyst can't bound, smallness declared by
+    the author via ``F.broadcast``) — an *accidental* cartesian carries
+    neither. Returns a description per violating join; empty list =
+    every condition-less join is deliberately bounded."""
+    bad: list[str] = []
+
+    def _max_rows(node) -> int | None:
+        mr = node.maxRows()
+        return int(mr.get()) if mr.isDefined() else None
+
+    def _walk(node) -> None:
+        if node.nodeName() == "Join" and node.condition().isEmpty():
+            bounds = [_max_rows(node.left()), _max_rows(node.right())]
+            hinted = "broadcast" in node.hint().toString().lower()
+            if not hinted and not any(
+                b is not None and b <= row_bound for b in bounds
+            ):
+                bad.append(
+                    f"condition-less Join with side bounds {bounds}, "
+                    f"no broadcast hint: " + node.simpleString(100)
+                )
+        kids = node.children()
+        for i in range(kids.size()):
+            _walk(kids.apply(i))
+
+    _walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
 def exchange_count(df: DataFrame) -> int:
     """Number of shuffle exchanges in the physical plan — the scale
     cost driver. Excluded: broadcast exchanges (move only the small

@@ -95,10 +95,14 @@ def _project_sx(emb: str) -> str:
     Spark-SQL string: the Column form composed 16 × 64 literal array
     entries one py4j call at a time (~10k round trips of pure driver
     latency per construction — guide §7.3); double literals carry the
-    ``D`` suffix so they parse as DOUBLE, matching ``F.lit(float)``."""
+    ``D`` suffix so they parse as DOUBLE, matching ``F.lit(float)``.
+    Entries render via ``repr`` (shortest exact round-trip form, parsed
+    exactly by the JVM) — a fixed one-decimal format would silently
+    round any future matrix whose entries aren't exact at one decimal
+    (scaled Achlioptas/Gaussian planes; r13 ADVICE item 3)."""
     rows = []
     for row in _MAT:
-        arr = "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")"
+        arr = "array(" + ", ".join(f"{v!r}D" for v in row) + ")"
         rows.append(
             f"round(aggregate(zip_with({emb}, {arr}, "
             f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, "

@@ -28,23 +28,33 @@ iteration state) therefore stages the shared subtree exactly once via
   should set a checkpoint directory and get the reliable path with no
   code change.
 
-Both paths support ``eager=False`` (lazy): the stage materializes
-inside the first consuming job instead of adding a job, keeping job
-counts — and plan-shape tests — unchanged. Downstream plans see the
-staged subtree as ``Scan ExistingRDD``/``LogicalRDD`` either way.
+The localCheckpoint path supports ``eager=False`` (lazy): the stage
+materializes inside the first consuming job instead of adding a job,
+keeping job counts — and plan-shape tests — unchanged
+(``localCheckpoint`` persists the RDD at MARK time regardless of
+eagerness, so every later consumer reads cached partitions). The
+reliable path is ALWAYS eager: ``DataFrame.checkpoint(eager=False)``
+does not persist, and ``checkpointAllMarkedAncestors`` defaults to
+false, so a lazily-marked ancestor of the actioned RDD is never
+checkpointed at all — every branch would re-execute its full upstream
+subtree, the exact double execution this module exists to prevent
+(r13 ADVICE item 1). Downstream plans see the staged subtree as
+``Scan ExistingRDD``/``LogicalRDD`` either way.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-#: SparkContext ids whose ``spark.checkpoint.dir`` conf probe came
+#: applicationIds whose ``spark.checkpoint.dir`` conf probe came
 #: back empty. ``sc.getConf()`` clones the whole conf over py4j
 #: (~20 ms) and the conf is immutable after submit, so one probe per
-#: context suffices; the programmatic ``setCheckpointDir`` path stays
-#: un-cached (read fresh on every call) so callers can still opt in
-#: mid-session.
-_NO_CONF_DIR: set[int] = set()
+#: application suffices; the programmatic ``setCheckpointDir`` path
+#: stays un-cached (read fresh on every call) so callers can still
+#: opt in mid-session. Keyed by ``applicationId`` — stable for the
+#: context's lifetime and never reused by a successor context the way
+#: a recycled ``id(sc)`` address can be (r13 ADVICE item 2).
+_NO_CONF_DIR: set[str] = set()
 
 
 def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
@@ -58,7 +68,7 @@ def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
     current = sc.getCheckpointDir()
     if current:
         return current
-    if id(sc) in _NO_CONF_DIR:
+    if sc.applicationId in _NO_CONF_DIR:
         return None
     # ``spark.checkpoint.dir`` is a core (non-SQL) conf: settable only
     # at submit time, so read it from the SparkContext conf rather
@@ -67,7 +77,7 @@ def _reliable_checkpoint_dir(df: DataFrame) -> str | None:
     if conf_dir:
         sc.setCheckpointDir(conf_dir)
         return conf_dir
-    _NO_CONF_DIR.add(id(sc))
+    _NO_CONF_DIR.add(sc.applicationId)
     return None
 
 
@@ -77,8 +87,11 @@ def stage(df: DataFrame, eager: bool = False) -> DataFrame:
     Uses a reliable ``checkpoint()`` when a checkpoint directory is
     configured, else ``localCheckpoint()`` (see module docstring for
     the durability trade-off). ``eager=False`` keeps the
-    materialization inside the first consuming job.
+    materialization inside the first consuming job — honored only on
+    the localCheckpoint path, which persists at mark time; a reliable
+    checkpoint must stay eager or marked ancestors are silently never
+    materialized at all (module docstring, r13 ADVICE item 1).
     """
     if _reliable_checkpoint_dir(df) is not None:
-        return df.checkpoint(eager=eager)
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=eager)

@@ -194,7 +194,36 @@ def test_tpch_scalar_subqueries_broadcast_single_row(spark):
         assert n <= 2, f"{name} plan has {n} exchanges"
 
 
-def test_hll_union_rollup_single_branch(spark):
+def test_global_aggregate_attach_is_bounded(spark):
+    """Every query PLANS.md reports with a BroadcastNestedLoopJoin uses
+    the global-aggregate-attach pattern (crossJoin of a 1-row aggregate
+    or a literal spine) or a condition-ful non-equi broadcast — NEVER a
+    true cartesian. Pin it structurally: every condition-less Join in
+    those optimized plans must have a side Catalyst can statically
+    bound (maxRows ≤ 4096) or an explicit broadcast hint (a deliberate
+    small-side declaration — accidental cartesians carry neither). A
+    drift to a real cartesian would still pass the oracle at test SF
+    while being the 100 TB catastrophe class (r13 verdict item 8)."""
+    import os
+    import re
+
+    from oracle_to_cassandra_spark.plans import cartesian_attach_violations
+
+    plans_md = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
+    names = []
+    with open(plans_md) as fh:
+        for line in fh:
+            m = re.match(r"\|\s*(\w+)\s*\|", line)
+            if m and "BroadcastNestedLoopJoin" in line:
+                names.append(m.group(1))
+    assert names, "PLANS.md lists no BNLJ rows — parser or report drifted"
+    qs = E.queries()
+    violations = {}
+    for name in names:
+        bad = cartesian_attach_violations(qs[name](spark, SF_DIR))
+        if bad:
+            violations[name] = bad
+    assert not violations, f"unbounded condition-less joins: {violations}"
     """The sketch rollup must aggregate customer ONCE and derive the
     grand total from unioned segment sketches — a detail∪total union
     of two branches re-executes the scan+agg (no CSE across plan

@@ -95,6 +95,37 @@ def test_stage_lazy_adds_no_job(spark):
     assert staged.count() == 500
 
 
+def test_reliable_stage_materializes_marked_ancestors(spark, tmp_path):
+    """A stage BELOW another stage must actually be written on the
+    reliable path: ``DataFrame.checkpoint(eager=False)`` neither
+    persists nor — with ``checkpointAllMarkedAncestors`` at its false
+    default — checkpoints marked ancestors of a closer marked RDD, so
+    a lazily-marked iterative-loop input (CC's edge list under the
+    per-round labels) would silently re-execute its full upstream
+    every round. ``stage()`` therefore forces eager on this path (r13
+    ADVICE item 1); each eager checkpoint writes its own rdd-N dir, so
+    two nested stages must leave TWO materialized checkpoint RDDs."""
+    ckpt = str(tmp_path / "nested_ckpt")
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try:
+        a = stage(spark.range(32).select((F.col("id") * 2).alias("x")))
+        b = stage(a.select((F.col("x") + 1).alias("y")))
+        assert b.count() == 32
+        rdd_dirs = {
+            r
+            for r, _, files in os.walk(ckpt)
+            for f in files
+            if f.startswith("part-")
+        }
+        assert len(rdd_dirs) >= 2, (
+            "nested reliable stages materialized fewer than 2 checkpoint "
+            "RDDs — a marked ancestor was never written (the lazy-mark "
+            "double-execution regression)"
+        )
+    finally:
+        _set_jvm_checkpoint_dir_none(spark)
+
+
 def test_cc_pipeline_identical_under_reliable_checkpoint(spark, tmp_path):
     """End-to-end durability check: the CC-based dedup pipeline (every
     stage() call inside MinHash→LSH→Jaccard→CC) must produce identical
