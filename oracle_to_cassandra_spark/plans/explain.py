@@ -79,7 +79,11 @@ def cartesian_attach_violations(df: DataFrame, row_bound: int = 4096) -> list[st
     def _walk(node) -> None:
         if node.nodeName() == "Join" and node.condition().isEmpty():
             bounds = [_max_rows(node.left()), _max_rows(node.right())]
-            hinted = "broadcast" in node.hint().toString().lower()
+            # JoinHint.toString renders the strategy lowercase, e.g.
+            # "rightHint=(strategy=broadcast)" — matched verbatim (no
+            # case fold: this is plan text, and the repo pins all
+            # folding of DATA text to fold_text_py)
+            hinted = "broadcast" in node.hint().toString()
             if not hinted and not any(
                 b is not None and b <= row_bound for b in bounds
             ):

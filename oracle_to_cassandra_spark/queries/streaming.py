@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.registry import query
 from oracle_to_cassandra_spark.streaming import (
+    JOIN_STATE_PARTITIONS,
+    pandas_state_partitions,
     read_events_stream,
     run_stream_to_memory,
 )
@@ -271,11 +273,19 @@ def stream_stream_interval_join(spark, sf_dir):
             "purchase_value_c"
         ),
     )
+    # width: JOIN_STATE_PARTITIONS (4 state stores per partition — see
+    # streaming/core.py); no_data_batches=False: an INNER interval
+    # join emits only on data batches — the trailing no-data batch
+    # exists to evict join state, moot when the query stops at
+    # exhaustion. Rows probed identical with/without it (r14); the
+    # left-outer twin below KEEPS no-data batches (its null padding is
+    # emitted by exactly that watermark-driven eviction pass).
     return run_stream_to_memory(
         joined,
         output_mode="append",
-        state_partitions=8,
+        state_partitions=JOIN_STATE_PARTITIONS,
         expect_single_batch=True,
+        no_data_batches=False,
     )
 
 
@@ -405,7 +415,7 @@ def stream_stream_left_outer_interval_join(spark, sf_dir):
     return run_stream_to_memory(
         joined,
         output_mode="append",
-        state_partitions=8,
+        state_partitions=JOIN_STATE_PARTITIONS,
         expect_single_batch=True,
     )
 
@@ -438,7 +448,12 @@ def stream_stateful_user_profile(spark, sf_dir):
     from oracle_to_cassandra_spark.streaming.stateful import user_profile_stream
 
     ev = read_events_stream(spark, sf_dir)
-    out = run_stream_to_memory(user_profile_stream(ev), output_mode="update")
+    # Python-stateful: width = compute parallelism (streaming/core.py)
+    out = run_stream_to_memory(
+        user_profile_stream(ev),
+        output_mode="update",
+        state_partitions=pandas_state_partitions(spark),
+    )
     return (
         out.groupBy("user_id")
         .agg(
@@ -557,7 +572,9 @@ def stream_tws_user_activity(spark, sf_dir):
     )
 
     out = run_stream_to_memory(
-        user_activity_tws_stream(ev), output_mode="update"
+        user_activity_tws_stream(ev),
+        output_mode="update",
+        state_partitions=pandas_state_partitions(spark),
     )
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -761,25 +778,27 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
             fired["crash"] = True
             raise _PlantedCrash("planted crash after the 2nd data batch")
 
-    n_src = src.count()
     agg_cols = [
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 1000000).cast("long")).alias(
             "value_micro"
         ),
     ]
-    # count NON-EMPTY files (groupBy input_file_name only sees files
-    # with rows): repartition(4) on a tiny source can emit empty part
+    # count rows and NON-EMPTY files in ONE pass over the just-written
+    # input (count_distinct(input_file_name) only sees files with
+    # rows): repartition(4) on a tiny source can emit empty part
     # files, and an empty "file count" would pass the guard while the
     # stream delivers fewer real data batches than the property needs
-    n_data_files = (
+    stats = (
         spark.read.parquet(in_dir)
         .select(F.input_file_name().alias("f"))
-        .agg(F.count_distinct("f").alias("n"))
-        .first()["n"]
-        if n_src
-        else 0
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("f").alias("nf"),
+        )
+        .first()
     )
+    n_src, n_data_files = stats["n"], stats["nf"]
     if n_data_files < 3:
         # the resume-after-partial-write property needs >= 3 DATA
         # micro-batches: the fault fires after the 2nd data batch's
@@ -948,7 +967,7 @@ def stream_session_expiry_timers(spark, sf_dir):
     return run_stream_to_memory(
         session_expiry_stream(ev),
         output_mode="append",
-        state_partitions=8,
+        state_partitions=pandas_state_partitions(spark),
         expect_single_batch=True,
     )
 
@@ -1022,19 +1041,23 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
         )
         return user_activity_tws_stream(ev)
 
-    n_src = src.count()
     # >= 3 NON-EMPTY files so the fault (after the 2nd data batch's
     # write) is strictly mid-stream — same guard structure as
     # stream_crash_resume_reconciliation; a tiny/empty source degrades
-    # to a single uncrashed run of the same harness, not an assertion
-    n_data_files = (
+    # to a single uncrashed run of the same harness, not an assertion.
+    # Row count and non-empty-file count come from ONE pass over the
+    # just-written input (r14: the separate src.count() re-read the
+    # source table for a number the sink already determines).
+    stats = (
         spark.read.parquet(in_dir)
         .select(F.input_file_name().alias("f"))
-        .agg(F.count_distinct("f").alias("n"))
-        .first()["n"]
-        if n_src
-        else 0
+        .agg(
+            F.count("*").alias("n"),
+            F.count_distinct("f").alias("nf"),
+        )
+        .first()
     )
+    n_src, n_data_files = stats["n"], stats["nf"]
 
     class _PlantedCrash(RuntimeError):
         pass
@@ -1061,7 +1084,7 @@ def stream_tws_checkpoint_resume(spark, sf_dir):
             ckpt,
             on_batch=on_batch,
             output_mode="update",
-            state_partitions=8,
+            state_partitions=pandas_state_partitions(spark),
         )
 
     if state["armed"]:

@@ -52,6 +52,46 @@ DEFAULT_STATE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
 )
 
+#: state width for STREAM-STREAM JOINS, which open FOUR state stores
+#: per partition (two sides × two stores each: keyToNumValues +
+#: keyWithIndexToValue) — so for equal state volume the store-lifecycle
+#: fixed cost per micro-batch is 4× an aggregation's at the same
+#: width. The join buffers are bounded at O(rate × (delay + range))
+#: rows regardless of width (width is layout, not semantics), and the
+#: per-batch join work is JVM-side (no Python compute to parallelize),
+#: so a narrower width strictly wins until a single partition's buffer
+#: skews: measured 8 → 4 at sf0.1 cut both interval joins ~20-25% on
+#: BOTH local[32] and local[8] (r14). Production sizes by peak buffer
+#: volume via the env override.
+JOIN_STATE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_JOIN_STATE_PARTITIONS", "4")
+)
+
+#: cap for the derived Python-stateful width below — past this the
+#: per-partition state-store open/commit fixed cost outgrows the
+#: added Python parallelism (measured flat 12→16 at local[32], r14)
+_PANDAS_STATE_CAP = 16
+
+
+def pandas_state_partitions(spark: SparkSession) -> int:
+    """State width for PYTHON-stateful operators
+    (``applyInPandasWithState`` / ``transformWithStateInPandas``).
+
+    Unlike JVM stateful operators (state-store fixed cost dominated —
+    see ``JOIN_STATE_PARTITIONS``), the per-batch keyed work here runs
+    in Python workers, so the width is COMPUTE parallelism first: one
+    partition per available core, capped where store fixed cost
+    overtakes the gain. Measured at sf0.1 (r14): local[32] prefers
+    12-16 over 8 (session timers 3.08 → 2.48 s, profile 1.56 → 1.18),
+    local[8] prefers 8 over 12-16 — i.e. the right width tracks the
+    core count, which ``defaultParallelism`` carries on local mode and
+    a cluster alike. Production overrides by keyspace via
+    ``SPARK_GRAFT_PANDAS_STATE_PARTITIONS``."""
+    env = os.environ.get("SPARK_GRAFT_PANDAS_STATE_PARTITIONS")
+    if env:
+        return int(env)
+    return min(_PANDAS_STATE_CAP, spark.sparkContext.defaultParallelism)
+
 
 def _session_token(spark: SparkSession) -> str:
     """Stable identity of the UNDERLYING session — the scope temp
@@ -125,6 +165,7 @@ def run_stream_to_memory(
     state_partitions: int | None = None,
     available_now: bool = True,
     expect_single_batch: bool = False,
+    no_data_batches: bool = True,
 ) -> DataFrame:
     """Execute a streaming plan to completion against the memory sink
     (synchronous: availableNow trigger + processAllAvailable) and
@@ -145,6 +186,17 @@ def run_stream_to_memory(
     rate-limited queue cursor); the default trigger re-polls until
     ``processAllAvailable`` observes no progress, draining them
     fully.
+
+    ``no_data_batches=False`` disables the trailing no-data
+    micro-batch for the duration of this query. ONLY legal for a
+    stream whose output is a pure function of its data batches — an
+    INNER stream-stream join emits exclusively on data arrival; the
+    final no-data batch exists to evict join state, which stopping at
+    exhaustion makes moot. NEVER set it on a stream whose no-data
+    batch EMITS (watermark-gated null padding on outer joins, expiry
+    timers, any append-mode aggregate flushed by the final watermark)
+    — those would silently lose their last rows. Result equality was
+    probed row-for-row against the default before adoption (r14).
 
     ``expect_single_batch=True`` asserts, from the query's progress
     log, that ALL input rows arrived in ONE micro-batch. The
@@ -174,6 +226,10 @@ def run_stream_to_memory(
     if state_partitions is None:
         state_partitions = DEFAULT_STATE_PARTITIONS
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    nd_conf = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nd = spark.conf.get(nd_conf, "true")
+    if not no_data_batches:
+        spark.conf.set(nd_conf, "false")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -204,6 +260,10 @@ def run_stream_to_memory(
     finally:
         q.stop()
         q.awaitTermination()
+        # restored only after the run: unlike the state width (pinned
+        # at first start), this conf is consulted per trigger
+        if not no_data_batches:
+            spark.conf.set(nd_conf, prev_nd)
     return spark.table(name)
 
 

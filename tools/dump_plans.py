@@ -15,7 +15,7 @@ sys.path.insert(0, ROOT)
 def main() -> int:
     tag = sys.argv[1]
     names = sys.argv[2:]
-    out_dir = os.path.join(ROOT, "plans", "r13")
+    out_dir = os.path.join(ROOT, "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
 
     from oracle_to_cassandra_spark.plans.explain import formatted_plan
