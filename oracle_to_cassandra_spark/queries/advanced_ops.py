@@ -16,6 +16,7 @@ run (north-star "custom operator" surface, SURVEY.md §2.6):
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oracle_to_cassandra_spark.registry import query
@@ -40,52 +41,96 @@ def range_join_shipments_after_order(spark, sf_dir):
     """Range join: per order, total corpus shipments in the 30 days
     from its order date — an interval join with NO equi key.
 
-    Scale rewrite: (1) pre-aggregate lineitem to one row per ship
-    day (corpus-sized stream → calendar-sized relation), (2) equi-join
-    on the month bin — each 30-day interval covers ≤3 month bins, the
-    daily side is broadcast — (3) residual exact range filter inside
-    the join condition (kept there so the LEFT join stays outer).
-    A raw inequality join plans as BroadcastNestedLoopJoin: |orders| ×
-    |days| comparisons; the bin join compares each order only against
-    its ≤3 months of candidate days.
+    Scale rewrite (r14, guide §2.3/§2.4 — prefix sums keyed on EXACT
+    boundary timestamps): (1) pre-aggregate lineitem to one row per
+    distinct ship time (corpus-sized stream → calendar-sized spine),
+    (2) derive each distinct order date's two window boundaries
+    (t, t+30d) and compute cum_below(b) = Σ n_ship over ship times
+    STRICTLY below b with ONE running sum over the union of spine rows
+    and boundary marks — marks sort before spine rows at equal time,
+    so the strict bound is exact at any temporal granularity (raw
+    timestamp values throughout; nothing is truncated to a day grid),
+    (3) each order's answer is cum_below(t+30d) − cum_below(t),
+    attached by a broadcast equi-join on its order date. No per-order
+    aggregate, no row multiplication: the orders side is scanned once,
+    exchange-free past its dictionary `distinct`.
 
-    r13 note: a calendar prefix-sum rewrite (dense day spine + two
-    broadcast boundary equi-joins, no per-order aggregate) was 2×
-    faster at sf0.1 but is only correct when both date columns are
-    day-granular — the TEMPORAL stress axis (sub-day timestamps)
-    caught it dropping every order whose clamped boundary fell on a
-    non-midnight extremum, and the exact general form needs an as-of
-    join, which is this month-bin plan again. Reverted; this form
-    compares raw timestamp values inside the join condition and is
-    total over any temporal granularity."""
+    The union+running-sum relation is boundary+spine sized (distinct
+    times, not rows — calendar-sized for real workloads), so its
+    single-partition window is the repo's standard tiny-relation
+    attach, not a data-sized global sort.
+
+    r13 note (why not a day-calendar prefix sum): a dense day spine
+    was 2× faster but only correct with day-granular dates — the
+    TEMPORAL stress axis (sub-day timestamps) caught it dropping every
+    order whose clamped boundary fell on a non-midnight extremum.
+    This form keys the prefix sum on the exact boundary VALUES
+    instead, so no grid exists to truncate to."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    daily = li.groupBy("l_shipdate").agg(F.count("*").alias("n_ship")).withColumn(
-        "mbin", F.date_trunc("month", "l_shipdate")
-    )
-    win_end = F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
-    binned = orders.select(
-        "o_orderkey",
-        "o_orderdate",
-        F.explode(
-            F.array_distinct(
-                F.sequence(
-                    F.date_trunc("month", "o_orderdate"),
-                    F.date_trunc("month", win_end),
-                    F.expr("INTERVAL 1 MONTH"),
+    daily = li.groupBy("l_shipdate").agg(F.count("*").alias("n_ship"))
+    # boundary marks: two per distinct order date — the window's
+    # half-open [t, t+30d) endpoints, compared as raw values
+    marks = (
+        orders.select("o_orderdate")
+        .distinct()
+        .select(
+            F.col("o_orderdate").alias("t"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("lo").alias("which"),
+                        F.col("o_orderdate")
+                        .cast("timestamp")
+                        .alias("tick"),
+                    ),
+                    F.struct(
+                        F.lit("hi").alias("which"),
+                        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+                        .cast("timestamp")
+                        .alias("tick"),
+                    ),
                 )
-            )
-        ).alias("mbin"),
+            ).alias("b"),
+        )
+        .select("t", F.col("b.which").alias("which"), F.col("b.tick").alias("tick"))
     )
-    joined = binned.join(
-        F.broadcast(daily),
-        (binned.mbin == daily.mbin)
-        & (daily.l_shipdate >= binned.o_orderdate)
-        & (daily.l_shipdate < binned.o_orderdate + F.expr("INTERVAL 30 DAYS")),
-        "left",
+    spine = daily.select(
+        F.col("l_shipdate").cast("timestamp").alias("tick"),
+        F.lit(1).alias("kind"),  # marks (kind 0) sort FIRST at a tie:
+        # cum at a mark then excludes equal-time shipments — exactly
+        # the strict d < b the half-open window needs on both ends
+        F.col("n_ship"),
+        F.lit(None).cast(orders.schema["o_orderdate"].dataType).alias("t"),
+        F.lit(None).cast("string").alias("which"),
     )
-    return joined.groupBy("o_orderkey").agg(
-        F.coalesce(F.sum("n_ship"), F.lit(0)).cast("long").alias("n_shipped_30d")
+    u = marks.select(
+        "tick", F.lit(0).alias("kind"), F.lit(0).cast("long").alias("n_ship"),
+        "t", "which",
+    ).unionByName(spine)
+    # running sum over (tick, kind): ties among marks all carry 0, so
+    # their relative order cannot change any cum; NULL order dates
+    # (possible under stress axes) sort first and read cum 0 → 0
+    # shipments, matching the oracle's never-true range predicate
+    w = (
+        Window.orderBy(F.col("tick").asc_nulls_first(), "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        u.withColumn("cum", F.sum("n_ship").over(w))
+        .filter(F.col("kind") == 0)
+        .groupBy("t")
+        .agg(
+            F.max(F.when(F.col("which") == "lo", F.col("cum"))).alias("c_lo"),
+            F.max(F.when(F.col("which") == "hi", F.col("cum"))).alias("c_hi"),
+        )
+    )
+    # eqNullSafe: a NULL-dated order must still meet its NULL mark row
+    return orders.join(
+        F.broadcast(cums), orders.o_orderdate.eqNullSafe(cums.t)
+    ).select(
+        "o_orderkey",
+        (F.col("c_hi") - F.col("c_lo")).cast("long").alias("n_shipped_30d"),
     )
 
 

@@ -90,18 +90,27 @@ def test_bucketed_join_zero_shuffle(spark):
 
 
 def test_range_join_binned_not_nested_loop(spark):
-    """The interval join must plan as a month-bin BroadcastHashJoin —
-    a BroadcastNestedLoopJoin means the binning rewrite regressed to
-    the quadratic |orders| × |days| comparison. (An r13 calendar
-    prefix-sum rewrite was reverted: only correct on day-granular
-    dates — the TEMPORAL stress axis caught it; see the query
-    docstring.)"""
+    """The interval join must attach a BROADCAST prefix-sum relation
+    to the orders scan by equi-key — a BroadcastNestedLoopJoin means
+    the rewrite regressed to the quadratic |orders| × |days|
+    comparison, and a per-order aggregate (groupBy o_orderkey) means
+    the exchange-free attach regressed to the r13 month-bin explode.
+    (The r14 form keys a running sum on exact boundary TIMESTAMPS, so
+    the r13 day-grid truncation the TEMPORAL stress axis caught cannot
+    recur; see the query docstring.)"""
     from oracle_to_cassandra_spark.plans import formatted_plan
 
     df = E.queries()["range_join_shipments_after_order"](spark, SF_DIR)
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # no aggregate keyed on o_orderkey anywhere: the per-order answer
+    # must come straight off the broadcast join projection
+    assert not re.search(r"HashAggregate\(keys=\[o_orderkey", plan), (
+        "per-order aggregate crept back into the range join"
+    )
 
 
 def test_tfidf_bounded_exchanges(spark):
