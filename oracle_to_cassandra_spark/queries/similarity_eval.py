@@ -301,6 +301,12 @@ def ivf_centroid_refinement(spark, sf_dir):
             "cand_cell", F.struct(F.col("c_sim"), (-F.col("cand_cell")).alias("nl"))
         ).alias("cell")
     )
+    # the assignment feeds TWO branches (member gather + cell counts)
+    # but needs NO explicit staging: both branches end in the same
+    # physical plan, whose identical argmax exchanges AQE stage-reuse
+    # dedups at runtime — an explicit localCheckpoint here measured
+    # SLOWER (1.49 → 1.72 s, r14 A/B; reuse doesn't show in the
+    # pre-execution explain, which is why it looks like double work)
     members = assigned.join(e.select("vec_id", "embedding"), "vec_id")
     dims = members.select(
         "cell", F.posexplode("embedding").alias("pos", "v")

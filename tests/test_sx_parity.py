@@ -149,6 +149,42 @@ def test_hyperplane_bucket_twin_parity(spark):
     _assert_parity(col_form, sx_form)
 
 
+def test_pq_subvectors_twin_parity(spark):
+    """similarity_pq._subvectors (SQL-string form, r14) vs the pre-r14
+    Column composition — reconstruction pin, like the hyperplane/JL
+    twins whose Column form was removed."""
+    from oracle_to_cassandra_spark.queries.similarity_pq import (
+        M,
+        SUB,
+        _subvectors,
+    )
+
+    e = _embs(spark).withColumn("label", F.lit(0))
+
+    def old_subvectors(edf):
+        slices = F.array(
+            *[
+                F.struct(
+                    F.lit(m).alias("m"),
+                    F.transform(
+                        F.slice("embedding", m * SUB + 1, SUB),
+                        lambda x: F.round(x.cast("double") * 1000000).cast(
+                            "long"
+                        ),
+                    ).alias("sv"),
+                )
+                for m in range(M)
+            ]
+        )
+        return edf.select(
+            "vec_id", "label", F.explode(slices).alias("s")
+        ).select(
+            "vec_id", "label", F.col("s.m").alias("m"), F.col("s.sv").alias("sv")
+        )
+
+    _assert_parity(old_subvectors(e), _subvectors(e))
+
+
 def test_jl_projection_twin_parity(spark):
     """_project_sx vs the pre-r13 Column fold (same reconstruction
     discipline as the hyperplane pin)."""
