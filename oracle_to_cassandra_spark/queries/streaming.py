@@ -715,7 +715,7 @@ def stream_trending_event_types(spark, sf_dir):
 )
 def stream_crash_resume_reconciliation(spark, sf_dir):
     """Checkpoint-recovery evidence AS AN ORACLED QUERY: the events
-    table is laid down as four files, a foreachBatch ingest is KILLED
+    table is laid down as three files, a foreachBatch ingest is KILLED
     by a planted fault after the second DATA micro-batch's sink write (the
     at-least-once redelivery window — written but not committed), then
     RESUMED from the same checkpoint; the reconciliation aggregate
@@ -741,11 +741,15 @@ def stream_crash_resume_reconciliation(spark, sf_dir):
     in_dir = scratch.session_path("crashres", run_id, "input")
     out_dir = scratch.session_path("crashres", run_id, "out")
     ckpt = scratch.session_path("crashres", run_id, "ckpt")
-    # lay the stream input down as four files = four micro-batches
+    # exactly 3 files = the MINIMUM the mid-stream property needs
+    # (crash after data batch 2 of 3, resume drains 1) — same sizing
+    # as the typed-state twin below; the r13 4-file layout paid one
+    # extra micro-batch + checkpoint commit in BOTH runs for no
+    # additional coverage (r14)
     src = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
-    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+    src.repartition(3).write.mode("overwrite").parquet(in_dir)
     schema = spark.read.parquet(in_dir).schema
     def _source():
         return (
