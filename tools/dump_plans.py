@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r13/<name>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/r14/<name>_<tag>.txt.
 
 Usage: python tools/dump_plans.py <tag> name [name ...]
 """
